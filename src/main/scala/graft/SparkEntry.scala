@@ -1,13 +1,88 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.GeoQueries
+import graft.sources.{Footprints, Pages}
+
+/** Driver contract — see SURVEY.md §7 + FIXTURES.md.
+  *
+  * Every `queries` entry has a DuckDB twin in `oracleSql` (same column
+  * names, same ORDER BY, integer arithmetic end-to-end) unless the operator
+  * is not SQL-expressible, in which case it is covered by the ScalaTest
+  * layer instead and gets a weaker rows-only check here.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: geotag -> cell index -> broadcast PIP join vs footprint
+    * covers -> per-footprint inventory (GIPS inventory analog). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GeoQueries.pipInventory(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pip_inventory" -> ((s, d) => GeoQueries.pipInventory(s, d)),
+    "q02_cell_inventory" -> ((s, d) => GeoQueries.cellInventory(s, d)),
+    "q03_partitioned_pip" -> ((s, d) => GeoQueries.partitionedPip(s, d)),
+    "q04_salted_pip" -> ((s, d) => GeoQueries.saltedPipJoin(s, d)),
+    "q05_range_join" -> ((s, d) => GeoQueries.rangeJoin(s, d)),
+    "q06_asof_join" -> ((s, d) => GeoQueries.asofJoin(s, d)),
+    "q07_knn" -> ((s, d) => GeoQueries.knnJoin(s, d)),
+    "q08_uncovered" -> ((s, d) => GeoQueries.uncoveredCells(s, d)),
+    "q09_parent_rollup" -> ((s, d) => GeoQueries.parentRollup(s, d)),
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+  // All single-line ANSI SQL, DuckDB-1.0-safe, runnable against views named
+  // after the driver tables. `pages` is derived from `documents` with the
+  // same integer arithmetic the Spark side uses (Pages.oracleCte).
+
+  private val P = s"WITH pages AS (${Pages.oracleCte})"
+  private val FP = Footprints.sqlValues
+  private def cell(l: Int, ilat: String = "p.ilat", ilon: String = "p.ilon") =
+    Pages.sqlCell(ilat, ilon, l)
+  private val boxJoin =
+    "p.ilat BETWEEN fp.ilat0 AND fp.ilat1 AND p.ilon BETWEEN fp.ilon0 AND fp.ilon1 " +
+      "AND p.ts_sec BETWEEN fp.tfrom AND fp.tto"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pip_inventory" ->
+      (s"$P SELECT fp.fp_id AS fp_id, count(*) AS n_pages, count(DISTINCT p.lang) AS n_langs, " +
+        s"count(DISTINCT ${cell(6)}) AS n_cells, CAST(sum(p.n_chars) AS BIGINT) AS sum_chars, " +
+        s"min(p.doc_id) AS min_doc, max(p.doc_id) AS max_doc " +
+        s"FROM pages p JOIN $FP ON $boxJoin GROUP BY fp.fp_id ORDER BY fp.fp_id"),
+    "q02_cell_inventory" ->
+      (s"$P SELECT fp.fp_id AS fp_id, ${cell(4)} AS cell4, count(*) AS n_pages, " +
+        s"count(DISTINCT p.url) AS n_urls FROM pages p JOIN $FP ON $boxJoin " +
+        s"GROUP BY fp.fp_id, ${cell(4)} ORDER BY fp.fp_id, cell4"),
+    "q03_partitioned_pip" ->
+      (s"$P SELECT fp.fp_id AS fp_id, count(*) AS n_pages, count(DISTINCT p.source) AS n_sources " +
+        s"FROM pages p JOIN $FP ON $boxJoin GROUP BY fp.fp_id ORDER BY fp.fp_id"),
+    "q04_salted_pip" ->
+      (s"$P SELECT fp.fp_id AS fp_id, count(*) AS n_pages, count(DISTINCT p.lang) AS n_langs " +
+        s"FROM pages p JOIN $FP ON $boxJoin GROUP BY fp.fp_id ORDER BY fp.fp_id"),
+    "q05_range_join" ->
+      (s"$P SELECT fp.fp_id AS fp_id, fp.tfrom AS tfrom, fp.tto AS tto, count(*) AS n_pages, " +
+        s"min(p.ts_sec) AS first_ts, max(p.ts_sec) AS last_ts " +
+        s"FROM pages p JOIN $FP ON $boxJoin WHERE fp.tto <> ${Pages.Epoch + 2000000000L} " +
+        s"GROUP BY fp.fp_id, fp.tfrom, fp.tto ORDER BY fp.fp_id"),
+    "q06_asof_join" ->
+      (s"$P SELECT fp.fp_id AS fp_id, p.source AS source, max(p.ts_sec) AS asof_ts, " +
+        s"arg_max(p.doc_id, p.ts_sec) AS asof_doc FROM pages p JOIN $FP " +
+        s"ON p.ilat BETWEEN fp.ilat0 AND fp.ilat1 AND p.ilon BETWEEN fp.ilon0 AND fp.ilon1 " +
+        s"AND p.ts_sec <= fp.tto GROUP BY fp.fp_id, p.source ORDER BY fp_id, source"),
+    "q07_knn" ->
+      (s"$P, d AS (SELECT q.qid AS qid, p.doc_id AS doc_id, " +
+        s"CAST((q.qlat - p.ilat) * (q.qlat - p.ilat) + (q.qlon - p.ilon) * (q.qlon - p.ilon) AS BIGINT) AS dist2 " +
+        s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
+        s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
+        s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q08_uncovered" ->
+      (s"$P SELECT ${cell(4)} AS cell4, count(*) AS n_pages FROM pages p " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $FP WHERE $boxJoin) " +
+        s"GROUP BY ${cell(4)} HAVING count(*) >= 3 ORDER BY cell4"),
+    "q09_parent_rollup" ->
+      (s"$P SELECT ${cell(2)} AS cell2, count(*) AS n_pages, " +
+        s"count(DISTINCT ${cell(6)}) AS n_subcells FROM pages p " +
+        s"GROUP BY ${cell(2)} ORDER BY cell2"),
+  )
 }

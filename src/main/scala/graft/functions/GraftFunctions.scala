@@ -1,0 +1,222 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CellIndex, Extract, Geo}
+
+/** Catalyst expressions for the cell index / geometry / extraction core
+  * (SURVEY.md §2.C + B3). All are `CodegenFallback` scalar expressions —
+  * they sit inside whole-stage-codegen'd stages as leaf calls, and the heavy
+  * per-row work (Morton bit mix, JTS PIP) dominates any virtual-call
+  * overhead; hand-written doGenCode is deferred until the bench demands it
+  * (SURVEY.md §4).
+  */
+object expressions {
+
+  abstract class GraftUnary extends UnaryExpression with CodegenFallback {
+    override def nullable: Boolean = true
+  }
+
+  /** cell_id(ilat int, ilon int, level int) -> long */
+  case class CellIdExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cell_id"
+    override protected def nullSafeEval(a: Any, o: Any, l: Any): Any =
+      CellIndex.encode(a.asInstanceOf[Int], o.asInstanceOf[Int], l.asInstanceOf[Int])
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** cell_parent(cell long, level int) -> long */
+  case class CellParentExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cell_parent"
+    override protected def nullSafeEval(c: Any, p: Any): Any =
+      CellIndex.parent(c.asInstanceOf[Long], p.asInstanceOf[Int])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cell_level(cell long) -> int */
+  case class CellLevelExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "cell_level"
+    override protected def nullSafeEval(c: Any): Any = CellIndex.level(c.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** cell_rowmajor(cell long) -> long — SQL-mirrorable surrogate cy*2^L+cx */
+  case class CellRowMajorExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "cell_rowmajor"
+    override protected def nullSafeEval(c: Any): Any = CellIndex.rowMajor(c.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** cell_children(cell long) -> array<long> */
+  case class CellChildrenExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cell_children"
+    override protected def nullSafeEval(c: Any): Any =
+      new GenericArrayData(CellIndex.children(c.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** cell_kring(cell long, k int) -> array<long> */
+  case class CellKRingExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cell_kring"
+    override protected def nullSafeEval(c: Any, k: Any): Any =
+      new GenericArrayData(CellIndex.kring(c.asInstanceOf[Long], k.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cell_ring_shell(cell long, k int) -> array<long> (exactly-distance-k shell) */
+  case class CellRingShellExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cell_ring_shell"
+    override protected def nullSafeEval(c: Any, k: Any): Any =
+      new GenericArrayData(CellIndex.ringShell(c.asInstanceOf[Long], k.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cell_cover(wkt string, level int) -> array<long> */
+  case class CellCoverExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cell_cover"
+    override protected def nullSafeEval(w: Any, l: Any): Any =
+      new GenericArrayData(Geo.cover(w.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cell_cover_frac(wkt string, level int) -> array<struct<cell:long, frac:double>> */
+  case class CellCoverFracExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("cell", LongType, false), StructField("frac", DoubleType, false))),
+      containsNull = false)
+    override def prettyName: String = "cell_cover_frac"
+    override protected def nullSafeEval(w: Any, l: Any): Any = {
+      val pairs = Geo.coverWithFrac(w.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int])
+      new GenericArrayData(pairs.map { case (c, f) => InternalRow(c, f) })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cell_boundary(cell long) -> struct<ilat0,ilon0,ilat1,ilon1:int> */
+  case class CellBoundaryExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = StructType(Seq(
+      StructField("ilat0", IntegerType, false), StructField("ilon0", IntegerType, false),
+      StructField("ilat1", IntegerType, false), StructField("ilon1", IntegerType, false)))
+    override def prettyName: String = "cell_boundary"
+    override protected def nullSafeEval(c: Any): Any = {
+      val (a0, o0, a1, o1) = CellIndex.boundary(c.asInstanceOf[Long])
+      InternalRow(a0, o0, a1, o1)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** cell_wkt(cell long) -> string */
+  case class CellBoundaryWktExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "cell_wkt"
+    override protected def nullSafeEval(c: Any): Any =
+      UTF8String.fromString(CellIndex.boundaryWkt(c.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** coverage_frac(cell long, wkt string) -> double */
+  case class CoverageFracExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "coverage_frac"
+    override protected def nullSafeEval(c: Any, w: Any): Any =
+      Geo.coverageFrac(c.asInstanceOf[Long], w.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** contains_point(wkt string, ilat int, ilon int) -> boolean */
+  case class ContainsPointExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "contains_point"
+    override protected def nullSafeEval(w: Any, a: Any, o: Any): Any =
+      Geo.containsPoint(w.asInstanceOf[UTF8String].toString, a.asInstanceOf[Int], o.asInstanceOf[Int])
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** extract_text(html binary) -> string — the byte-identical invariant fn */
+  case class ExtractTextExpr(child: Expression) extends GraftUnary {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "extract_text"
+    override protected def nullSafeEval(h: Any): Any =
+      UTF8String.fromString(Extract.extractText(h.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}
+
+/** Session registration + Column-level API. Register once per session
+  * (idempotent); the Column wrappers resolve through the function registry
+  * so they need no private Column constructors. */
+object GraftFunctions {
+  import expressions._
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cell_id" -> (e => CellIdExpr(e(0), e(1), e(2))),
+    "cell_parent" -> (e => CellParentExpr(e(0), e(1))),
+    "cell_level" -> (e => CellLevelExpr(e(0))),
+    "cell_rowmajor" -> (e => CellRowMajorExpr(e(0))),
+    "cell_children" -> (e => CellChildrenExpr(e(0))),
+    "cell_kring" -> (e => CellKRingExpr(e(0), e(1))),
+    "cell_ring_shell" -> (e => CellRingShellExpr(e(0), e(1))),
+    "cell_cover" -> (e => CellCoverExpr(e(0), e(1))),
+    "cell_cover_frac" -> (e => CellCoverFracExpr(e(0), e(1))),
+    "cell_boundary" -> (e => CellBoundaryExpr(e(0))),
+    "cell_wkt" -> (e => CellBoundaryWktExpr(e(0))),
+    "coverage_frac" -> (e => CoverageFracExpr(e(0), e(1))),
+    "contains_point" -> (e => ContainsPointExpr(e(0), e(1), e(2))),
+    "extract_text" -> (e => ExtractTextExpr(e(0))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  // Column API (requires register(spark) on the active session first).
+  def cell_id(ilat: Column, ilon: Column, level: Column): Column =
+    call_function("cell_id", ilat, ilon, level)
+  def cell_parent(cell: Column, level: Column): Column = call_function("cell_parent", cell, level)
+  def cell_level(cell: Column): Column = call_function("cell_level", cell)
+  def cell_rowmajor(cell: Column): Column = call_function("cell_rowmajor", cell)
+  def cell_children(cell: Column): Column = call_function("cell_children", cell)
+  def cell_kring(cell: Column, k: Column): Column = call_function("cell_kring", cell, k)
+  def cell_ring_shell(cell: Column, k: Column): Column = call_function("cell_ring_shell", cell, k)
+  def cell_cover(wkt: Column, level: Column): Column = call_function("cell_cover", wkt, level)
+  def cell_cover_frac(wkt: Column, level: Column): Column = call_function("cell_cover_frac", wkt, level)
+  def cell_boundary(cell: Column): Column = call_function("cell_boundary", cell)
+  def cell_wkt(cell: Column): Column = call_function("cell_wkt", cell)
+  def coverage_frac(cell: Column, wkt: Column): Column = call_function("coverage_frac", cell, wkt)
+  def contains_point(wkt: Column, ilat: Column, ilon: Column): Column =
+    call_function("contains_point", wkt, ilat, ilon)
+  def extract_text(html: Column): Column = call_function("extract_text", html)
+}

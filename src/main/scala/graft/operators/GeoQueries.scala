@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.sources.{Footprints, Pages}
+
+/** Geospatial join + inventory operators — the engine's heart (SURVEY.md §2
+  * C/D/E). Each public method returns a DataFrame whose plan is the one
+  * we'd want on a 1000-executor cluster:
+  *
+  *  - footprint side is always tiny -> exploded to covering cells and
+  *    BROADCAST (no shuffle of the pages side at all for D1);
+  *  - the equi-join key is the Morton cell id, so the join is a hash join
+  *    on a long, never a nested-loop over box predicates;
+  *  - the exact geometry check runs only on cell-matched candidates
+  *    (classic filter-and-refine);
+  *  - for the partitioned variant both sides shuffle once on the cell key
+  *    and sort-merge join;
+  *  - for the skew variant the hot cells are salted explicitly (AQE's skew
+  *    handling can't split a single hot key within one join key — salting
+  *    can).
+  */
+object GeoQueries {
+
+  /** Default index level for joins: 4^6 = 4096 cells over the plane —
+    * coarse enough that a 16-footprint cover stays tiny (broadcastable at
+    * any scale), fine enough that the refine step sees few false
+    * candidates. */
+  final val JoinLevel = 6
+
+  /** Footprints exploded to covering cells at `level` (tiny; broadcast side).
+    * One row per (footprint, cell). */
+  def footprintCells(spark: SparkSession, level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    Footprints.boxesWktDf(spark)
+      .withColumn("cell", explode(cell_cover(col("wkt"), lit(level))))
+      .drop("wkt")
+  }
+
+  private def pageCell(level: Int): Column =
+    cell_id(col("ilat"), col("ilon"), lit(level))
+
+  /** D1 — broadcast PIP join: pages x footprint-cover cells, hash join on
+    * the cell id, exact box+time refine. Zero shuffle on the pages side. */
+  def pipJoin(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+    pages.join(broadcast(footprintCells(spark, level)), Seq("cell"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+  }
+
+  /** Flagship: D1 + E1 — per-footprint inventory aggregation
+    * (GIPS DataInventory analog: what coverage exists per site). */
+  def pipInventory(spark: SparkSession, sfDir: String): DataFrame =
+    pipJoin(spark, sfDir)
+      .groupBy(col("fp_id"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("cell")).as("n_cells"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("fp_id"))
+
+  /** E1 at cell granularity: per (footprint, level-4 cell, date) counts —
+    * the per-tile-per-date inventory calendar. Cell reported as the
+    * SQL-mirrorable row-major surrogate. */
+  def cellInventory(spark: SparkSession, sfDir: String): DataFrame =
+    pipJoin(spark, sfDir)
+      .withColumn("cell4", Pages.cellCol(col("ilat"), col("ilon"), 4))
+      .groupBy(col("fp_id"), col("cell4"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_urls"))
+      .orderBy(col("fp_id"), col("cell4"))
+
+  /** D2 — partitioned PIP join: models the both-sides-large case. The pages
+    * side is explicitly hash-partitioned by cell and the join is forced to
+    * shuffle (sort-merge) instead of broadcast — the plan shape that
+    * co-locates by spatial key at 100 TB. Output aggregated per cell. */
+  def partitionedPip(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+      .repartition(col("cell"))
+    val fpCells = footprintCells(spark, level).hint("shuffle_merge")
+    pages.join(fpCells, Seq("cell"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+      .groupBy(col("fp_id"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("fp_id"))
+  }
+
+  /** D3 — salted skew join: the hot cell (10% of all pages, FIXTURES.md §3)
+    * would make one shuffle partition ~400x the median. Pages get a salt
+    * from the url hash; the (tiny) footprint-cell side is replicated x S.
+    * Same result set as the unsalted join — the oracle checks that. */
+  def saltedPipJoin(spark: SparkSession, sfDir: String, salts: Int = 16,
+      level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(salts)).cast("int"))
+    val fpCells = footprintCells(spark, level)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_merge")
+    pages.repartition(col("cell"), col("salt"))
+      .join(fpCells, Seq("cell", "salt"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+      .groupBy(col("fp_id"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("fp_id"))
+  }
+
+  /** D4 — range/interval join: equi on cell + non-equi residual on the
+    * footprint validity window (narrow-window footprints only select pages
+    * crawled inside the window). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    pipJoin(spark, sfDir)
+      .filter(col("tto") =!= Footprints.boxes.head.tto) // narrow-window fps only
+      .groupBy(col("fp_id"), col("tfrom"), col("tto"))
+      .agg(count(lit(1)).as("n_pages"),
+        min(col("ts_sec")).as("first_ts"), max(col("ts_sec")).as("last_ts"))
+      .orderBy(col("fp_id"))
+
+  /** D5 — as-of join: for each footprint, the latest page per source at or
+    * before the footprint's window end (latest-asset-per-tile-date analog).
+    * max_by keeps it a single aggregation, no window shuffle. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(JoinLevel))
+    pages.join(broadcast(footprintCells(spark, JoinLevel)), Seq("cell"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec") <= col("tto"))
+      .groupBy(col("fp_id"), col("source"))
+      // ts_sec = doc_id*137 + epoch is unique per doc -> max_by deterministic
+      .agg(max(col("ts_sec")).as("asof_ts"),
+        max_by(col("doc_id"), col("ts_sec")).as("asof_doc"))
+      .orderBy(col("fp_id"), col("source"))
+  }
+
+  /** D6 — kNN join via ring expansion. For each query point: candidates
+    * from rings r = 0..R (R bounded by a density-derived constant), exact
+    * dist2 rank with a deterministic tiebreak. Correctness guard: R is
+    * chosen so that ring R's inner boundary is farther than the k-th
+    * candidate found in rings <= R-1 (tested against brute force). */
+  def knnJoin(spark: SparkSession, sfDir: String, k: Int = 5, rings: Int = 2,
+      level: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+      .select("cell", "doc_id", "ilat", "ilon")
+    val queries = knnQueries(spark)
+      .withColumn("qcell", cell_id(col("qlat"), col("qlon"), lit(level)))
+      .withColumn("cell", explode(cell_kring(col("qcell"), lit(rings))))
+    val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
+      (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
+    queries.join(pages, Seq("cell"))
+      .withColumn("dist2", dist.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** 20 fixed query points (deterministic arithmetic, shared with the
+    * brute-force oracle SQL). */
+  def knnQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    knnQueryPoints.toDF("qid", "qlat", "qlon")
+  }
+  val knnQueryPoints: Seq[(Int, Int, Int)] =
+    (0 until 20).map(q => (q, ((q * 379) % 1800) - 900, ((q * 733) % 3600) - 1800))
+  val knnQueriesSqlValues: String = knnQueryPoints
+    .map { case (q, la, lo) => s"($q, $la, $lo)" }
+    .mkString("(VALUES ", ", ", ") AS q(qid, qlat, qlon)")
+
+  /** D6 oracle shape (brute force) as a Spark plan, for the ST cross-check. */
+  def knnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val pages = Pages.fromDocuments(spark, sfDir).select("doc_id", "ilat", "ilon")
+    val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
+      (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
+    knnQueries(spark).crossJoin(pages)
+      .withColumn("dist2", dist.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** D7 — anti join: cells (level 4) holding pages that no footprint
+    * covers ("missing inventory" report). */
+  def uncoveredCells(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(JoinLevel))
+    val covered = pipJoin(spark, sfDir).select("doc_id")
+    pages.join(covered, Seq("doc_id"), "left_anti")
+      .withColumn("cell4", Pages.cellCol(col("ilat"), col("ilon"), 4))
+      .groupBy(col("cell4"))
+      .agg(count(lit(1)).as("n_pages"))
+      .filter(col("n_pages") >= 3)
+      .orderBy(col("cell4"))
+  }
+
+  /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
+    * via cell_parent, reported as row-major surrogates at both levels. */
+  def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell6", pageCell(6))
+      .withColumn("cell2", cell_rowmajor(cell_parent(col("cell6"), lit(2))))
+      .groupBy(col("cell2"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("cell6")).as("n_subcells"))
+      .orderBy(col("cell2"))
+  }
+}
