@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.GeoQueries
+import graft.operators.{GeoQueries, RelationalQueries, SimilarityQueries, TextQueries}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -29,6 +29,30 @@ object SparkEntry {
     "q07_knn" -> ((s, d) => GeoQueries.knnJoin(s, d)),
     "q08_uncovered" -> ((s, d) => GeoQueries.uncoveredCells(s, d)),
     "q09_parent_rollup" -> ((s, d) => GeoQueries.parentRollup(s, d)),
+    "q10_pricing_summary" -> ((s, d) => RelationalQueries.pricingSummary(s, d)),
+    "q11_top_orders" -> ((s, d) => RelationalQueries.topOrdersPerCust(s, d)),
+    "q12_event_gaps" -> ((s, d) => RelationalQueries.eventGaps(s, d)),
+    "q13_rolling_value" -> ((s, d) => RelationalQueries.rollingValue(s, d)),
+    "q14_lang_source_rollup" -> ((s, d) => RelationalQueries.langSourceRollup(s, d)),
+    "q15_cust_activity" -> ((s, d) => RelationalQueries.custOrderActivity(s, d)),
+    "q16_source_setdiff" -> ((s, d) => RelationalQueries.sourceSetDiff(s, d)),
+    "q17_top_cells" -> ((s, d) => RelationalQueries.topCells(s, d)),
+    "q18_cell_distincts" -> ((s, d) => RelationalQueries.cellDistincts(s, d)),
+    "q19_latest_per_source" -> ((s, d) => RelationalQueries.latestPerSource(s, d)),
+    "q20_event_props" -> ((s, d) => RelationalQueries.eventProps(s, d)),
+    "q21_url_parts" -> ((s, d) => RelationalQueries.urlParts(s, d)),
+    "q22_doy_window" -> ((s, d) => RelationalQueries.doyWindow(s, d)),
+    "q23_token_stats" -> ((s, d) => TextQueries.tokenStats(s, d)),
+    "q24_quality_buckets" -> ((s, d) => TextQueries.qualityBuckets(s, d)),
+    "q25_langid" -> ((s, d) => TextQueries.langId(s, d)),
+    "q26_fingerprint" -> ((s, d) => TextQueries.fingerprint(s, d)),
+    "q27_exact_dedup" -> ((s, d) => TextQueries.exactDedup(s, d)),
+    "q28_minhash_sigs" -> ((s, d) => TextQueries.minhashSigs(s, d)),
+    "q29_lsh_neardup" -> ((s, d) => TextQueries.lshNearDupPairs(s, d)),
+    "q30_simhash" -> ((s, d) => TextQueries.simhash(s, d)),
+    "q31_ann_l2" -> ((s, d) => SimilarityQueries.l2TopK(s, d)),
+    "q32_ann_lsh" -> ((s, d) => SimilarityQueries.lshTopK(s, d)),
+    "q33_ann_buckets" -> ((s, d) => SimilarityQueries.bucketStats(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -84,5 +108,5 @@ object SparkEntry {
       (s"$P SELECT ${cell(2)} AS cell2, count(*) AS n_pages, " +
         s"count(DISTINCT ${cell(6)}) AS n_subcells FROM pages p " +
         s"GROUP BY ${cell(2)} ORDER BY cell2"),
-  )
+  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
 }

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Pages
+
+/** Relational breadth (SURVEY.md §2 B/E/F/G): projections, windows,
+  * grouping sets, set ops, dedup-pick, JSON/url/date functions — each the
+  * GIPS-analog surface listed in the survey, each with a DuckDB oracle.
+  *
+  * Determinism rules applied throughout (FIXTURES.md §3): money/doubles are
+  * converted to integer cents BEFORE aggregation (float accumulation order
+  * is not reproducible across engines), timestamps flow as epoch seconds,
+  * every query ends in an explicit ORDER BY with a unique tiebreaker.
+  */
+object RelationalQueries {
+
+  private def li(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private def orders(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+  private def customer(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+  private def events(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/events.parquet")
+  private def docs(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** E1/B8 — pricing summary (TPC-H Q1 shape) in exact integer cents. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    li(spark, sfDir)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_c4"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** F1/F4 — top-3 orders per customer by price (rank window + filter). */
+  def topOrdersPerCust(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** F2 — lag: inter-event (recrawl-cadence analog) gaps per user. */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    events(spark, sfDir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("gap")).as("sum_gap"), max(col("gap")).as("max_gap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** F3 — frames: rolling 4-row sum of event value per user. */
+  def rollingValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    events(spark, sfDir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("value_c", cents(col("value")))
+      .withColumn("roll_c", sum(col("value_c")).over(w.rowsBetween(-3, 0)))
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("value_c"), col("roll_c"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** E4 — rollup over (lang, source): the inventory-rollup analog. */
+  def langSourceRollup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** D7 — semi/anti: customers with vs without orders. */
+  def custOrderActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = customer(spark, sfDir)
+    val o = orders(spark, sfDir)
+    val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_cust")).withColumn("kind", lit("with_orders"))
+    val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_cust")).withColumn("kind", lit("without_orders"))
+    withO.unionByName(withoutO).select(col("kind"), col("n_cust")).orderBy(col("kind"))
+  }
+
+  /** G4 — set ops: source-set intersect/except between two langs. */
+  def sourceSetDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val en = d.filter(col("lang") === "en").select(col("source")).distinct()
+    val de = d.filter(col("lang") === "de").select(col("source")).distinct()
+    val ex = en.except(de).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+    val in = en.intersect(de).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+    ex.unionByName(in).select(col("op"), col("n")).orderBy(col("op"))
+  }
+
+  /** G2 — global top-k: densest level-6 cells. */
+  def topCells(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell6", Pages.cellCol(col("ilat"), col("ilon"), 6))
+      .groupBy(col("cell6"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("n_pages").desc, col("cell6"))
+      .limit(10)
+
+  /** E2 — exact distincts per coarse cell. */
+  def cellDistincts(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell2", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .groupBy(col("cell2"))
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("cell2"))
+
+  /** E7 — dedup-with-pick: newest page per source (newest-asset analog). */
+  def latestPerSource(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.fromDocuments(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), col("ts_sec")).as("latest_doc"),
+        max(col("ts_sec")).as("latest_ts"))
+      .orderBy(col("source"))
+
+  /** B10 — JSON props extraction + aggregation per event type. */
+  def eventProps(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** B5 — url parsing: host + doc id extraction, per-host rollup. */
+  def urlParts(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("path_id", regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("path_id")).as("sum_docid"))
+      .orderBy(col("host"))
+
+  /** B7 — day-of-year window filter (the GIPS %j temporal filter analog). */
+  def doyWindow(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .filter(dayofyear(col("ts")).between(1, 15))
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy(col("event_type"), col("day"))
+
+  // ---- oracle twins -------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q10_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "count(*) AS n_rows, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4 " +
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q11_top_orders" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_c, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) " +
+        "SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, total_c FROM r WHERE rnk <= 3 " +
+        "ORDER BY o_custkey, rnk"),
+    "q12_event_gaps" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "g AS (SELECT user_id, ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap FROM e) " +
+        "SELECT user_id, count(*) AS n_events, CAST(sum(gap) AS BIGINT) AS sum_gap, max(gap) AS max_gap " +
+        "FROM g GROUP BY user_id ORDER BY user_id"),
+    "q13_rolling_value" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+        "CAST(round(value*100) AS BIGINT) AS value_c FROM events WHERE user_id < 20) " +
+        "SELECT user_id, event_id, ts_sec, value_c, CAST(sum(value_c) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_c " +
+        "FROM e ORDER BY user_id, ts_sec, event_id"),
+    "q14_lang_source_rollup" ->
+      ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"),
+    "q15_cust_activity" ->
+      ("SELECT 'with_orders' AS kind, count(*) AS n_cust FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+        "UNION ALL SELECT 'without_orders' AS kind, count(*) AS n_cust FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY kind"),
+    "q16_source_setdiff" ->
+      ("SELECT 'except' AS op, count(*) AS n FROM (SELECT DISTINCT source FROM documents WHERE lang = 'en' " +
+        "EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'de') " +
+        "UNION ALL SELECT 'intersect' AS op, count(*) AS n FROM (SELECT DISTINCT source FROM documents WHERE lang = 'en' " +
+        "INTERSECT SELECT DISTINCT source FROM documents WHERE lang = 'de') ORDER BY op"),
+    "q17_top_cells" ->
+      (s"WITH pages AS (${Pages.oracleCte}) SELECT ${Pages.sqlCell("p.ilat", "p.ilon", 6)} AS cell6, " +
+        "count(*) AS n_pages FROM pages p GROUP BY 1 ORDER BY n_pages DESC, cell6 LIMIT 10"),
+    "q18_cell_distincts" ->
+      (s"WITH pages AS (${Pages.oracleCte}) SELECT ${Pages.sqlCell("p.ilat", "p.ilon", 2)} AS cell2, " +
+        "count(*) AS n_pages, count(DISTINCT p.url) AS n_urls, count(DISTINCT p.source) AS n_sources, " +
+        "count(DISTINCT p.lang) AS n_langs FROM pages p GROUP BY 1 ORDER BY cell2"),
+    "q19_latest_per_source" ->
+      (s"WITH pages AS (${Pages.oracleCte}) SELECT p.source AS source, count(*) AS n_docs, " +
+        "arg_max(p.doc_id, p.ts_sec) AS latest_doc, max(p.ts_sec) AS latest_ts " +
+        "FROM pages p GROUP BY p.source ORDER BY source"),
+    "q20_event_props" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "min(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS min_k, " +
+        "max(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q21_url_parts" ->
+      (s"WITH pages AS (${Pages.oracleCte}) SELECT regexp_extract(p.url, 'https://([^/]+)/', 1) AS host, " +
+        "count(*) AS n_pages, CAST(sum(CAST(regexp_extract(p.url, '/doc/([0-9]+)$', 1) AS BIGINT)) AS BIGINT) AS sum_docid " +
+        "FROM pages p GROUP BY 1 ORDER BY host"),
+    "q22_doy_window" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c " +
+        "FROM events WHERE dayofyear(ts) BETWEEN 1 AND 15 " +
+        "GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day"),
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Metric determinism: vectors are quantized to integer milli-units
+  * (floor(x * 1000) on the double-widened float — bit-identical in Spark
+  * and DuckDB), so distances are exact BIGINTs and rankings are fully
+  * reproducible across engines. Float cosine lives in the ScalaTest layer.
+  *
+  *  - `l2TopK`: brute-force exact top-k (the correctness baseline; at
+  *    scale this is the per-probe re-rank step, broadcast the queries).
+  *  - `lshTopK`: random-hyperplane LSH — 8 deterministic integer
+  *    hyperplanes -> 8-bit bucket signature; candidates only within the
+  *    same bucket (the scale path: the self-join is an equi-join on the
+  *    bucket key, shuffled by bucket, never an all-pairs product).
+  */
+object SimilarityQueries {
+
+  final val Dims = 64
+  /** 4 planes -> 16 buckets; with Hamming<=1 multi-probe (5 probes) this
+    * scans ~31% of the corpus per query and reaches ~0.74 recall@5 on the
+    * driver's (cluster-free, random) embeddings — measured; random data is
+    * the LSH worst case. More planes only pay off when vectors cluster. */
+  final val NumPlanes = 4
+
+  private def emb(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** floor(1000 * x) per element, as BIGINT. */
+  private def quantize(v: Column): Column =
+    transform(v, e => floor(e.cast("double") * 1000).cast("long"))
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic integer hyperplane component b,i -> ((i*31 + b*17) % 7) - 3. */
+  private def planeDot(qv: Column, b: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(Dims - 1)),
+        i => element_at(qv, i + lit(1)) * ((i * 31 + lit(b * 17)) % 7 - 3)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def bucketOf(qv: Column): Column =
+    (0 until NumPlanes).map(b =>
+      when(planeDot(qv, b) >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** Brute-force exact L2 top-k for query vectors (vec_id < nQueries). */
+  def l2TopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    q.crossJoin(e)
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-k with Hamming<=1 multi-probe: each query
+    * probes its own bucket plus the NumPlanes single-bit-flip neighbors.
+    * The probe expansion is an explode on the (tiny) query side; the join
+    * stays an equi-join on the bucket key — the shape that shuffles the
+    * corpus once by bucket at scale. Deterministic, exactly mirrored by
+    * the oracle; recall vs brute force asserted in ScalaTest. */
+  def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+    val masks = 0L +: (0 until NumPlanes).map(b => 1L << b)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("bucket").as("qbucket"))
+      .withColumn("bucket", explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    q.join(e, Seq("bucket"))
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Bucket histogram — distribution diagnostics for the LSH index. */
+  def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket"))
+
+  /** Float cosine top-k (ST-only; float-sum order is engine-specific). */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qvec"))
+    val dot = aggregate(zip_with(col("qvec"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nq = sqrt(aggregate(transform(col("qvec"), x => x * x), lit(0.0), (a, x) => a + x))
+    val nv = sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    q.crossJoin(e)
+      .withColumn("cos", dot / (nq * nv))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  // ---- oracle twins -------------------------------------------------------
+
+  private val sqlQuant =
+    "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT))"
+  private val sqlL2 =
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+      "i -> (qvec[i+1] - qv[i+1]) * (qvec[i+1] - qv[i+1]))), (a, b) -> a + b)"
+  private def sqlPlaneDot(b: Int): String =
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+      s"i -> qv[i+1] * (((i * 31 + ${b * 17}) % 7) - 3))), (a, b) -> a + b)"
+  private val sqlBucket = "CAST(" + (0 until NumPlanes).map(b =>
+    s"(CASE WHEN ${sqlPlaneDot(b)} >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q31_ann_l2" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < 10), " +
+        "d AS (SELECT qid, vec_id, CAST(" + sqlL2 + " AS BIGINT) AS dist FROM q CROSS JOIN e), " +
+        "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM d) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q32_ann_lsh" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "eb AS (SELECT vec_id, qv, " + sqlBucket + " AS bucket FROM e), " +
+        "q AS (SELECT qid, qvec, xor(qbucket, m.mask) AS bucket FROM " +
+        "(SELECT vec_id AS qid, qv AS qvec, bucket AS qbucket FROM eb WHERE vec_id < 10) " +
+        s"CROSS JOIN (VALUES ${(0L +: (0 until NumPlanes).map(b => 1L << b)).map(m => s"($m)").mkString(", ")}) m(mask)), " +
+        "d AS (SELECT q.qid, eb.vec_id, CAST(" + sqlL2 + " AS BIGINT) AS dist " +
+        "FROM q JOIN eb ON q.bucket = eb.bucket), " +
+        "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM d) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q33_ann_buckets" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings) " +
+        "SELECT " + sqlBucket + " AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec " +
+        "FROM e GROUP BY 1 ORDER BY bucket"),
+  )
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface: token stats, quality scoring,
+  * language-ID heuristic, document fingerprinting (rolling hash), exact
+  * dedup, MinHash+LSH near-dup candidate pairs with Jaccard verification,
+  * and SimHash.
+  *
+  * Everything is SQL-mirrorable by construction: token hashes are 60-bit
+  * ints derived from md5 hex (identical in Spark and DuckDB), ratios are
+  * floor-scaled integers, and all lambdas use only operations both engines
+  * implement identically. All hashing stays inside whole-stage codegen
+  * (built-in md5/conv — no UDFs).
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, sfDir: String) =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** 60-bit token hash from the md5 hex prefix — portable across engines. */
+  private def tokHash(t: Column, salt: String = ""): Column =
+    conv(substring(md5(if (salt.isEmpty) t else concat(lit(salt), t)), 1, 15), 16, 10).cast("long")
+  private def sqlTokHash(t: String, salt: String = ""): String =
+    if (salt.isEmpty) s"CAST(('0x' || substr(md5($t), 1, 15)) AS BIGINT)"
+    else s"CAST(('0x' || substr(md5('$salt' || $t), 1, 15)) AS BIGINT)"
+
+  /** B11 — token counting per language. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("lang"))
+
+  /** Quality scoring: stopword-ratio buckets (integer permille, floor). */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sw = size(filter(toks, t => t === "the" || t === "a"))
+    val swrM = floor(sw.cast("long") * 1000 / size(toks)).cast("long")
+    docs(spark, sfDir)
+      .withColumn("swr_m", swrM)
+      .withColumn("bucket",
+        when(col("swr_m") < 50, "low").when(col("swr_m") < 80, "mid").otherwise("high"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("swr_m")).as("min_swr"),
+        max(col("swr_m")).as("max_swr"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Language-ID heuristic (marker-token hits) vs the labeled lang. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val pred = when(instr(padded, " the ") > 0 || instr(padded, " a ") > 0, "en")
+      .otherwise("und")
+    docs(spark, sfDir)
+      .withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Document fingerprinting: rolling polynomial hash over token hashes,
+    * mod 1e9+7 (no overflow in either engine). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = aggregate(
+      transform(split(col("text"), " "), t => tokHash(t)),
+      lit(0L), (acc, h) => (acc * 31 + h) % 1000000007L)
+    docs(spark, sfDir)
+      .withColumn("fp", fp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fp"))
+      .orderBy(col("lang"))
+  }
+
+  /** Exact dedup via content hash: per (lang, source) duplicate stats. */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("h", md5(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+      .orderBy(col("lang"))
+
+  /** 3-gram shingles of the token list (docs with >= 3 tokens). */
+  private def withShingles(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    d.withColumn("n_tok", size(toks))
+      .filter(col("n_tok") >= 3)
+      .withColumn("sh", transform(sequence(lit(0), col("n_tok") - 3),
+        j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
+  }
+
+  private val NumSigs = 4
+
+  /** MinHash signatures (4 hash families) over 3-gram shingles. */
+  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = withShingles(docs(spark, sfDir))
+    val sigs = (0 until NumSigs).map(i =>
+      array_min(transform(col("sh"), x => tokHash(x, s"$i:"))).as(s"s$i"))
+    base.select(col("doc_id") +: sigs: _*).orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH banding (2 bands x 2 rows) -> candidate pairs ->
+    * exact Jaccard verification over shingle sets. The full near-dup
+    * pipeline: at scale the band self-join is an equi-join on the band
+    * hash (shuffle on band key), never an all-pairs product. */
+  def lshNearDupPairs(spark: SparkSession, sfDir: String, minJacM: Int = 200): DataFrame = {
+    val sig = minhashSigs(spark, sfDir)
+      .withColumn("b0", md5(concat(col("s0").cast("string"), lit(":"), col("s1").cast("string"))))
+      .withColumn("b1", md5(concat(col("s2").cast("string"), lit(":"), col("s3").cast("string"))))
+    val bands = sig.select(col("doc_id"), col("b0").as("band"), lit(0).as("bi"))
+      .unionByName(sig.select(col("doc_id"), col("b1").as("band"), lit(1).as("bi")))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bi") === col("y.bi") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sh = withShingles(docs(spark, sfDir))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val inter = size(array_intersect(col("x.shd"), col("y.shd")))
+    val uni = size(col("x.shd")) + size(col("y.shd")) - inter
+    pairs
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"), col("d2") === col("y.doc_id"))
+      .withColumn("jac_m", floor(inter.cast("long") * 1000 / uni).cast("long"))
+      .filter(col("jac_m") >= minJacM)
+      .select(col("d1"), col("d2"), col("jac_m"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 16-bit SimHash over token hashes (majority vote per bit). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("th", transform(col("toks"), t => tokHash(t)))
+    val sh = (0 until 16).map { j =>
+      when(size(filter(col("th"), h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) * 2
+        >= col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.withColumn("simhash16", sh)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), col("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- oracle twins -------------------------------------------------------
+
+  private val shCte =
+    "t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, lang, list_transform(range(len(toks) - 2), " +
+      "j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')) AS sh FROM t WHERE len(toks) >= 3)"
+
+  private def sqlSig(i: Int): String =
+    s"list_min(list_transform(sh, x -> ${sqlTokHash("x", s"$i:")})) AS s$i"
+
+  val oracle: Map[String, String] = Map(
+    "q23_token_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tok, " +
+        "min(len(string_split(text,' '))) AS min_tok, max(len(string_split(text,' '))) AS max_tok " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q24_quality_buckets" ->
+      ("WITH q AS (SELECT lang, CAST(floor(1000.0 * len(list_filter(string_split(text,' '), " +
+        "t -> t IN ('the','a'))) / len(string_split(text,' '))) AS BIGINT) AS swr_m FROM documents) " +
+        "SELECT lang, CASE WHEN swr_m < 50 THEN 'low' WHEN swr_m < 80 THEN 'mid' ELSE 'high' END AS bucket, " +
+        "count(*) AS n_docs, min(swr_m) AS min_swr, max(swr_m) AS max_swr " +
+        "FROM q GROUP BY 1, 2 ORDER BY lang, bucket"),
+    "q25_langid" ->
+      ("SELECT lang, CASE WHEN strpos(' '||text||' ', ' the ') > 0 OR strpos(' '||text||' ', ' a ') > 0 " +
+        "THEN 'en' ELSE 'und' END AS predicted, count(*) AS n_docs " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, predicted"),
+    "q26_fingerprint" ->
+      (s"WITH f AS (SELECT lang, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        s"list_transform(string_split(text,' '), t -> ${sqlTokHash("t")})), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents) " +
+        "SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_fp FROM f GROUP BY lang ORDER BY lang"),
+    "q27_exact_dedup" ->
+      ("SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct, " +
+        "count(*) - count(DISTINCT md5(text)) AS n_dups FROM documents GROUP BY lang ORDER BY lang"),
+    "q28_minhash_sigs" ->
+      (s"WITH $shCte SELECT doc_id, ${(0 until NumSigs).map(sqlSig).mkString(", ")} " +
+        "FROM s ORDER BY doc_id"),
+    "q29_lsh_neardup" ->
+      (s"WITH $shCte, m AS (SELECT doc_id, sh, ${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
+        "b AS (SELECT doc_id, md5(CAST(s0 AS VARCHAR) || ':' || CAST(s1 AS VARCHAR)) AS band, 0 AS bi FROM m " +
+        "UNION ALL SELECT doc_id, md5(CAST(s2 AS VARCHAR) || ':' || CAST(s3 AS VARCHAR)), 1 FROM m), " +
+        "pairs AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2 FROM b b1 " +
+        "JOIN b b2 ON b1.band = b2.band AND b1.bi = b2.bi AND b1.doc_id < b2.doc_id), " +
+        "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(list_distinct(m1.sh), list_distinct(m2.sh))) / " +
+        "(len(list_distinct(m1.sh)) + len(list_distinct(m2.sh)) - len(list_intersect(list_distinct(m1.sh), list_distinct(m2.sh))))) AS BIGINT) AS jac_m " +
+        "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2) " +
+        "SELECT d1, d2, jac_m FROM j WHERE jac_m >= 200 ORDER BY d1, d2"),
+    "q30_simhash" ->
+      (s"WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok, " +
+        s"list_transform(string_split(text,' '), t -> ${sqlTokHash("t")}) AS th FROM documents) " +
+        "SELECT doc_id, lang, CAST(" +
+        (0 until 16).map(j =>
+          s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $j) & 1) = 1)) >= n_tok THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") +
+        " AS BIGINT) AS simhash16 FROM d WHERE doc_id < 200 ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.testutil.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force L2: rank 1 is the query itself at distance 0") {
+    val rows = SimilarityQueries.l2TopK(spark, sf001).collect()
+    val r1 = rows.filter(_.getInt(1) == 1)
+    assert(r1.length === 10)
+    assert(r1.forall(r => r.getLong(0) === r.getLong(2) && r.getLong(3) === 0L))
+  }
+
+  test("LSH multi-probe recall@5 >= 0.5 vs brute force (random-vector worst case)") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = topSets(SimilarityQueries.l2TopK(spark, sf001))
+    val lsh = topSets(SimilarityQueries.lshTopK(spark, sf001))
+    val recalls = brute.map { case (q, t) => (t & lsh.getOrElse(q, Set())).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("bucket histogram covers every vector exactly once") {
+    val stats = SimilarityQueries.bucketStats(spark, sf001).collect()
+    val total = stats.map(_.getLong(1)).sum
+    val nVecs = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(total === nVecs)
+    assert(stats.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+  }
+
+  test("float cosine top-k: self-similarity is 1.0 at rank 1") {
+    val rows = SimilarityQueries.cosineTopK(spark, sf001).collect()
+    val r1 = rows.filter(_.getInt(1) == 1)
+    assert(r1.forall(r => r.getLong(0) === r.getLong(2) && math.abs(r.getDouble(3) - 1.0) < 1e-9))
+  }
+}
