@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GeoQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{GeoQueries, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -53,6 +53,9 @@ object SparkEntry {
     "q31_ann_l2" -> ((s, d) => SimilarityQueries.l2TopK(s, d)),
     "q32_ann_lsh" -> ((s, d) => SimilarityQueries.lshTopK(s, d)),
     "q33_ann_buckets" -> ((s, d) => SimilarityQueries.bucketStats(s, d)),
+    "q34_rasterize" -> ((s, d) => Tiling.rasterizeLong(s, d)),
+    "q35_mosaic" -> ((s, d) => Tiling.mosaicLong(s, d)),
+    "q36_tile_stats" -> ((s, d) => Tiling.tileStats(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -108,5 +111,5 @@ object SparkEntry {
       (s"$P SELECT ${cell(2)} AS cell2, count(*) AS n_pages, " +
         s"count(DISTINCT ${cell(6)}) AS n_subcells FROM pages p " +
         s"GROUP BY ${cell(2)} ORDER BY cell2"),
-  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
+  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++ Tiling.oracle
 }

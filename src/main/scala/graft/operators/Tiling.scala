@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.sources.Pages
+
+/** Tile rasterization + mosaicking — the GIPS `gips_project` / `Tiles.mosaic`
+  * analog (SURVEY.md §2 E5/E6): aggregate the pages inside each level-4 tile
+  * cell into a fixed W x H count raster, and merge per-snapshot rasters with
+  * a latest-timestamp-wins overlap rule (the cookie-cutter priority).
+  *
+  * Implemented as typed `Aggregator`s registered via `functions.udaf` —
+  * partial aggregation (map-side combine) applies, so each shuffle moves one
+  * W*H grid per (tile, partition), not one row per page. Buffers are dense
+  * Array[Long] of 16x16 = 256 cells (2 KiB) — bounded regardless of how many
+  * pages land in a tile, which is what makes the operator safe under the
+  * planted hot-cell skew.
+  *
+  * Correctness surface: the aggregator outputs are exploded back to long
+  * form (tile, px, py, n) and compared against a pure-SQL DuckDB oracle —
+  * i.e. the custom aggregation path itself is oracle-gated, not just a
+  * SQL-shaped twin.
+  */
+object Tiling {
+
+  final val W = 16
+  final val H = 16
+  final val TileLevel = 4
+
+  /** E5 — count-raster aggregator: IN = pixel index, BUF/OUT = dense grid. */
+  class RasterAgg extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](W * H)
+    override def reduce(b: Array[Long], pxy: java.lang.Long): Array[Long] = {
+      b(pxy.toInt) += 1; b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  final case class TileGrid(ts: Long, cells: Array[Long])
+  final case class MosaicBuf(ts: Array[Long], v: Array[Long])
+
+  /** E6 — mosaic aggregator: merges per-snapshot grids of the same tile;
+    * per pixel, the value from the newest grid that has data there wins. */
+  class MosaicAgg extends Aggregator[TileGrid, MosaicBuf, Array[Long]] {
+    override def zero: MosaicBuf = MosaicBuf(new Array[Long](W * H), new Array[Long](W * H))
+    override def reduce(b: MosaicBuf, g: TileGrid): MosaicBuf = {
+      var i = 0
+      while (i < W * H) {
+        if (g.cells(i) > 0 && g.ts > b.ts(i)) { b.ts(i) = g.ts; b.v(i) = g.cells(i) }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: MosaicBuf, b: MosaicBuf): MosaicBuf = {
+      var i = 0
+      while (i < W * H) {
+        if (b.v(i) > 0 && b.ts(i) > a.ts(i)) { a.ts(i) = b.ts(i); a.v(i) = b.v(i) }
+        i += 1
+      }
+      a
+    }
+    override def finish(b: MosaicBuf): Array[Long] = b.v
+    override def bufferEncoder: Encoder[MosaicBuf] = Encoders.product[MosaicBuf]
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Pages with tile cell + in-tile pixel coordinates (integer math shared
+    * with the oracle: pixel = (coord - lo) * W / extent, floor division). */
+  def pixelized(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", cell_id(col("ilat"), col("ilon"), lit(TileLevel)))
+      .withColumn("b", cell_boundary(col("cell")))
+      .withColumn("px", floor((col("ilon") - col("b.ilon0")).cast("long") * W /
+        (col("b.ilon1") + 1 - col("b.ilon0"))).cast("int"))
+      .withColumn("py", floor((col("ilat") - col("b.ilat0")).cast("long") * H /
+        (col("b.ilat1") + 1 - col("b.ilat0"))).cast("int"))
+      .withColumn("pxy", (col("py") * W + col("px")).cast("long"))
+  }
+
+  /** Long-form rasterize (tile, px, py, n) via the RasterAgg, exploded. */
+  def rasterizeLong(spark: SparkSession, sfDir: String): DataFrame = {
+    val raster = udaf(new RasterAgg, Encoders.LONG)
+    pixelized(spark, sfDir)
+      .groupBy(col("cell"))
+      .agg(raster(col("pxy")).as("grid"))
+      .select(cell_rowmajor(col("cell")).as("tile"), posexplode(col("grid")))
+      .filter(col("col") > 0)
+      .select(col("tile"), (col("pos") % W).cast("int").as("px"),
+        (col("pos") / W).cast("int").as("py"), col("col").as("n"))
+      .orderBy(col("tile"), col("py"), col("px"))
+  }
+
+  /** Mosaic: two synthetic crawl snapshots (doc_id parity), rasterized
+    * separately, merged with newest-snapshot-wins per pixel. Long form. */
+  def mosaicLong(spark: SparkSession, sfDir: String): DataFrame = {
+    val raster = udaf(new RasterAgg, Encoders.LONG)
+    val mosaic = udaf(new MosaicAgg, Encoders.product[TileGrid])
+    pixelized(spark, sfDir)
+      .withColumn("snap", (col("doc_id") % 2).cast("int"))
+      .groupBy(col("cell"), col("snap"))
+      .agg(max(col("ts_sec")).as("ts"), raster(col("pxy")).as("cells"))
+      .groupBy(col("cell"))
+      .agg(mosaic(col("ts"), col("cells")).as("grid"))
+      .select(cell_rowmajor(col("cell")).as("tile"), posexplode(col("grid")))
+      .filter(col("col") > 0)
+      .select(col("tile"), (col("pos") % W).cast("int").as("px"),
+        (col("pos") / W).cast("int").as("py"), col("col").as("n"))
+      .orderBy(col("tile"), col("py"), col("px"))
+  }
+
+  /** Zonal stats over rasters (gips_stats analog): per tile, pixel-count
+    * distribution summary — exercises the raster -> stats path. */
+  def tileStats(spark: SparkSession, sfDir: String): DataFrame =
+    rasterizeLong(spark, sfDir)
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_pixels"), sum(col("n")).as("n_pages"),
+        max(col("n")).as("max_pixel"), min(col("n")).as("min_pixel"))
+      .orderBy(col("tile"))
+
+  // ---- oracle twins -------------------------------------------------------
+  // Boundary arithmetic at level 4 over the row-major surrogate:
+  //   cx = tile % 16, cy = tile // 16
+  //   xlo(cx) = cx * 225            (3600/16 integer)
+  //   ylo(cy) = ceil(cy * 1800/16)  = (cy * 1800 + 15) // 16
+  // px = (X - xlo) * 16 // (xlo(cx+1) - xlo), X = ilon + 1800 (same for y).
+
+  private val pixelCte: String = {
+    val cell4 = Pages.sqlCell("p.ilat", "p.ilon", 4)
+    s"px AS (SELECT p.*, $cell4 AS tile, " +
+      s"CAST($cell4 % 16 AS BIGINT) AS cx, CAST($cell4 // 16 AS BIGINT) AS cy, " +
+      "p.ilon + 1800 AS gx, p.ilat + 900 AS gy FROM pages p), " +
+      "pb AS (SELECT *, cx * 225 AS xlo, (cx + 1) * 225 AS xhi, " +
+      "CAST(floor((cy * 1800 + 15) / 16.0) AS BIGINT) AS ylo, " +
+      "CAST(floor(((cy + 1) * 1800 + 15) / 16.0) AS BIGINT) AS yhi FROM px), " +
+      "pix AS (SELECT tile, doc_id, ts_sec, " +
+      "CAST(floor((gx - xlo) * 16.0 / (xhi - xlo)) AS INT) AS px, " +
+      "CAST(floor((gy - ylo) * 16.0 / (yhi - ylo)) AS INT) AS py FROM pb)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q34_rasterize" ->
+      (s"WITH pages AS (${Pages.oracleCte}), $pixelCte " +
+        "SELECT tile, px, py, count(*) AS n FROM pix GROUP BY tile, px, py " +
+        "ORDER BY tile, py, px"),
+    "q35_mosaic" ->
+      (s"WITH pages AS (${Pages.oracleCte}), $pixelCte, " +
+        "s AS (SELECT tile, px, py, doc_id % 2 AS snap, count(*) AS n FROM pix GROUP BY tile, px, py, snap), " +
+        "st AS (SELECT tile, doc_id % 2 AS snap, max(ts_sec) AS ts FROM pix GROUP BY tile, doc_id % 2), " +
+        "m AS (SELECT s.tile, s.px, s.py, arg_max(s.n, st.ts) AS n FROM s JOIN st " +
+        "ON s.tile = st.tile AND s.snap = st.snap GROUP BY s.tile, s.px, s.py) " +
+        "SELECT tile, px, py, CAST(n AS BIGINT) AS n FROM m ORDER BY tile, py, px"),
+    "q36_tile_stats" ->
+      (s"WITH pages AS (${Pages.oracleCte}), $pixelCte, " +
+        "r AS (SELECT tile, px, py, count(*) AS n FROM pix GROUP BY tile, px, py) " +
+        "SELECT tile, count(*) AS n_pixels, CAST(sum(n) AS BIGINT) AS n_pages, " +
+        "max(n) AS max_pixel, min(n) AS min_pixel FROM r GROUP BY tile ORDER BY tile"),
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.testutil.SparkTestBase
+
+class TilingSpec extends SparkTestBase {
+
+  test("rasterize long form == plain groupBy(pixel) counts") {
+    import spark.implicits._
+    val viaAgg = Tiling.rasterizeLong(spark, sf001).collect().map(_.toSeq)
+    val plain = Tiling.pixelized(spark, sf001)
+      .groupBy(col("cell"), col("px"), col("py"))
+      .agg(count(lit(1)).as("n"))
+      .select(graft.functions.GraftFunctions.cell_rowmajor($"cell").as("tile"),
+        $"px", $"py", $"n")
+      .orderBy($"tile", $"py", $"px").collect().map(_.toSeq)
+    assert(viaAgg.toSeq === plain.toSeq)
+  }
+
+  test("pixel coords are in [0, W) x [0, H)") {
+    val bad = Tiling.pixelized(spark, sf001)
+      .filter(col("px") < 0 || col("px") >= Tiling.W || col("py") < 0 || col("py") >= Tiling.H)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("mosaic per pixel equals newest-snapshot-wins rule (independent recompute)") {
+    import spark.implicits._
+    val mosaic = Tiling.mosaicLong(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    // recompute with plain SQL-ish ops
+    val pix = Tiling.pixelized(spark, sf001)
+      .withColumn("snap", (col("doc_id") % 2).cast("int"))
+    val snapTs = pix.groupBy(col("cell"), col("snap")).agg(max(col("ts_sec")).as("sts"))
+    val long = pix.groupBy(col("cell"), col("snap"), col("px"), col("py"))
+      .agg(count(lit(1)).as("n"))
+      .join(snapTs, Seq("cell", "snap"))
+      .groupBy(col("cell"), col("px"), col("py"))
+      .agg(max_by(col("n"), col("sts")).as("n"))
+      .select(graft.functions.GraftFunctions.cell_rowmajor($"cell").as("tile"),
+        $"px", $"py", $"n")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(mosaic === long)
+  }
+
+  test("mosaic aggregator: pixel-level merge semantics") {
+    val agg = new Tiling.MosaicAgg
+    val g1 = new Array[Long](Tiling.W * Tiling.H)
+    val g2 = new Array[Long](Tiling.W * Tiling.H)
+    g1(0) = 5; g1(1) = 7 // older snapshot has pixels 0,1
+    g2(1) = 2; g2(2) = 3 // newer snapshot has pixels 1,2
+    var b = agg.zero
+    b = agg.reduce(b, Tiling.TileGrid(100L, g1))
+    b = agg.reduce(b, Tiling.TileGrid(200L, g2))
+    val out = agg.finish(b)
+    assert(out(0) === 5) // only in old
+    assert(out(1) === 2) // newer wins
+    assert(out(2) === 3) // only in new
+    assert(out(3) === 0)
+  }
+
+  test("tile stats: page totals match the raw table") {
+    val total = Tiling.tileStats(spark, sf001).agg(sum(col("n_pages"))).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(total === docs)
+  }
+}
