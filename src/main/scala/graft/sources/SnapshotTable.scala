@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style table layer (SURVEY.md §1.4) — no Iceberg jar exists in
+  * this environment, so the snapshot/manifest mechanics are implemented
+  * from scratch on plain parquet + JSON:
+  *
+  * {{{
+  * root/
+  *   data/p_cell=<n>/p_date=<yyyy-MM-dd>/part-N.parquet
+  *   meta/snap-<seq>.json   // manifest: partition entries + min/max stats
+  *   meta/CURRENT           // name of the live snapshot; ATOMIC_MOVE commit
+  *   lineage/<jobId>/cell-<n>.json  // per-partition lineage + metrics
+  * }}}
+  *
+  * Readers resolve CURRENT -> manifest -> partition file list, prune
+  * partitions by their (ilat, ilon, ts) min/max stats BEFORE the parquet
+  * scan — the engine's partition-pruning surface: at 100 TB the pruning
+  * decision costs one small JSON read instead of a file-system walk, and
+  * Spark only ever sees the matching files.
+  *
+  * Commit protocol: write snap-<seq>.json, then move CURRENT into place via
+  * an atomic rename — readers see the old or the new snapshot, never a
+  * partial one. Snapshots are immutable; history stays readable.
+  */
+object SnapshotTable {
+
+  final case class PartitionEntry(
+      pCell: Long, pDate: String, path: String, rows: Long,
+      minIlat: Int, maxIlat: Int, minIlon: Int, maxIlon: Int,
+      minTs: Long, maxTs: Long)
+
+  final case class Snapshot(seq: Long, schemaVer: Int, parts: Seq[PartitionEntry])
+
+  private val mapper = new ObjectMapper()
+
+  // ---- JSON codec (flat, fully controlled format; java-typed for jackson) --
+
+  private def partToMap(p: PartitionEntry): java.util.Map[String, Object] =
+    Map[String, Object](
+      "p_cell" -> java.lang.Long.valueOf(p.pCell), "p_date" -> p.pDate,
+      "path" -> p.path, "rows" -> java.lang.Long.valueOf(p.rows),
+      "min_ilat" -> Integer.valueOf(p.minIlat), "max_ilat" -> Integer.valueOf(p.maxIlat),
+      "min_ilon" -> Integer.valueOf(p.minIlon), "max_ilon" -> Integer.valueOf(p.maxIlon),
+      "min_ts" -> java.lang.Long.valueOf(p.minTs), "max_ts" -> java.lang.Long.valueOf(p.maxTs)
+    ).asJava
+
+  def snapshotJson(s: Snapshot): String = {
+    val m = Map[String, Object](
+      "seq" -> java.lang.Long.valueOf(s.seq),
+      "schema_ver" -> Integer.valueOf(s.schemaVer),
+      "parts" -> s.parts.map(partToMap).asJava).asJava
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
+  }
+
+  def parseSnapshot(json: String): Snapshot = {
+    val root = mapper.readTree(json)
+    val parts = root.get("parts").elements().asScala.map { n =>
+      PartitionEntry(
+        n.get("p_cell").asLong(), n.get("p_date").asText(), n.get("path").asText(),
+        n.get("rows").asLong(),
+        n.get("min_ilat").asInt(), n.get("max_ilat").asInt(),
+        n.get("min_ilon").asInt(), n.get("max_ilon").asInt(),
+        n.get("min_ts").asLong(), n.get("max_ts").asLong())
+    }.toSeq
+    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), parts)
+  }
+
+  // ---- snapshot resolution + atomic commit --------------------------------
+
+  def currentSeq(root: String): Option[Long] = {
+    val cur = Paths.get(root, "meta", "CURRENT")
+    if (!Files.exists(cur)) None
+    else {
+      val name = Files.readString(cur).trim // "snap-<seq>.json"
+      Some(name.stripPrefix("snap-").stripSuffix(".json").toLong)
+    }
+  }
+
+  def currentSnapshot(root: String): Option[Snapshot] =
+    currentSeq(root).map { seq =>
+      parseSnapshot(Files.readString(Paths.get(root, "meta", s"snap-$seq.json")))
+    }
+
+  /** Write snap-<seq>.json and atomically flip CURRENT to it. */
+  def commitSnapshot(root: String, snap: Snapshot): Unit = {
+    val meta = Paths.get(root, "meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve(s"snap-${snap.seq}.json"), snapshotJson(snap))
+    val tmp = meta.resolve(s".CURRENT.tmp-${snap.seq}")
+    Files.writeString(tmp, s"snap-${snap.seq}.json")
+    Files.move(tmp, meta.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- pruned read ---------------------------------------------------------
+
+  final case class Pruning(
+      minIlat: Option[Int] = None, maxIlat: Option[Int] = None,
+      minIlon: Option[Int] = None, maxIlon: Option[Int] = None,
+      minTs: Option[Long] = None, maxTs: Option[Long] = None,
+      dates: Option[Set[String]] = None)
+
+  def prunedParts(snap: Snapshot, p: Pruning): Seq[PartitionEntry] =
+    snap.parts.filter { e =>
+      p.minIlat.forall(v => e.maxIlat >= v) && p.maxIlat.forall(v => e.minIlat <= v) &&
+      p.minIlon.forall(v => e.maxIlon >= v) && p.maxIlon.forall(v => e.minIlon <= v) &&
+      p.minTs.forall(v => e.maxTs >= v) && p.maxTs.forall(v => e.minTs <= v) &&
+      p.dates.forall(ds => ds.contains(e.pDate))
+    }
+
+  /** Resolve CURRENT, prune partitions by stats, read only matching files.
+    * Returns (dataframe, partitionsRead, partitionsTotal). */
+  def read(spark: SparkSession, root: String, p: Pruning = Pruning()): (DataFrame, Int, Int) = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $root"))
+    val keep = prunedParts(snap, p)
+    val df =
+      if (keep.isEmpty) {
+        // no matching partitions: empty frame with the table schema
+        val any = spark.read.parquet(snap.parts.head.path)
+        any.limit(0)
+      } else spark.read.parquet(keep.map(_.path): _*)
+    (df, keep.length, snap.parts.length)
+  }
+
+  // ---- lineage -------------------------------------------------------------
+
+  final case class Lineage(jobId: String, pCell: Long, rows: Long, wallMs: Long,
+      inputFingerprint: String)
+
+  def lineagePath(root: String, jobId: String, pCell: Long): Path =
+    Paths.get(root, "lineage", jobId, s"cell-$pCell.json")
+
+  def writeLineage(root: String, l: Lineage): Unit = {
+    val p = lineagePath(root, l.jobId, l.pCell)
+    Files.createDirectories(p.getParent)
+    val m = Map[String, Object](
+      "job_id" -> l.jobId, "p_cell" -> java.lang.Long.valueOf(l.pCell),
+      "rows" -> java.lang.Long.valueOf(l.rows), "wall_ms" -> java.lang.Long.valueOf(l.wallMs),
+      "input_fingerprint" -> l.inputFingerprint).asJava
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(m))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readLineage(root: String, jobId: String, pCell: Long): Option[Lineage] = {
+    val p = lineagePath(root, jobId, pCell)
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readString(p))
+      Some(Lineage(n.get("job_id").asText(), n.get("p_cell").asLong(),
+        n.get("rows").asLong(), n.get("wall_ms").asLong(),
+        n.get("input_fingerprint").asText()))
+    }
+  }
+
+  def bytesUtf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+}

@@ -1,0 +1,92 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.Pruning
+import graft.testutil.SparkTestBase
+
+class TableLayerSpec extends SparkTestBase {
+
+  private def tmpRoot(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-$tag")
+    p.toString
+  }
+
+  test("ingest commits a snapshot; rerun of same job skips every bucket") {
+    val root = tmpRoot("ingest")
+    val r1 = IngestJob.run(spark, sf0001, root, "job1")
+    assert(r1.partitionsWritten > 0 && r1.partitionsSkipped === 0)
+    assert(SnapshotTable.currentSeq(root) === Some(1L))
+    val r2 = IngestJob.run(spark, sf0001, root, "job1")
+    assert(r2.partitionsWritten === 0)
+    assert(r2.partitionsSkipped === r1.partitionsWritten)
+    assert(SnapshotTable.currentSeq(root) === Some(2L)) // snapshots immutable, history kept
+    assert(Files.exists(Paths.get(root, "meta", "snap-1.json")))
+  }
+
+  test("manifest pruning: lat-band read touches fewer partitions, same answer") {
+    val root = tmpRoot("prune")
+    IngestJob.run(spark, sf0001, root, "job1")
+    val (_, kept, total) = SnapshotTable.read(spark, root,
+      Pruning(minIlat = Some(0), maxIlat = Some(299)))
+    assert(kept < total, s"pruning had no effect: $kept/$total")
+    val got = IngestJob.inventory(spark, root, 0, 299).collect().map(_.toSeq).toSeq
+    val want = IngestJob.pagesWithPartitions(spark, sf0001)
+      .filter(col("ilat").between(0, 299))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("url")).as("n_urls"))
+      .orderBy(col("lang")).collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("time pruning: ts window touches fewer partitions (multi-day sf0.1)") {
+    val root = tmpRoot("prunets")
+    IngestJob.run(spark, "/root/testdata/sf0.1", root, "job1")
+    val (_, kept, total) = SnapshotTable.read(spark, root,
+      Pruning(minTs = Some(graft.sources.Pages.Epoch),
+        maxTs = Some(graft.sources.Pages.Epoch + 86399)))
+    assert(kept < total, s"$kept/$total")
+    val (_, keptD, totalD) = SnapshotTable.read(spark, root,
+      Pruning(dates = Some(Set("2024-01-02"))))
+    assert(keptD < totalD, s"$keptD/$totalD")
+  }
+
+  test("resume: crash after 3 buckets, rerun skips them, final state identical") {
+    val rootA = tmpRoot("resumeA")
+    val rootB = tmpRoot("resumeB")
+    // uninterrupted reference run
+    IngestJob.run(spark, sf0001, rootB, "jobB")
+    // crashing run
+    val err = intercept[RuntimeException] {
+      IngestJob.run(spark, sf0001, rootA, "jobA", failAfter = Some(3))
+    }
+    assert(err.getMessage.contains("injected failure"))
+    assert(SnapshotTable.currentSeq(rootA).isEmpty) // no snapshot committed
+    val lineageDone = Files.list(Paths.get(rootA, "lineage", "jobA")).count()
+    assert(lineageDone === 3)
+    // resume
+    val r = IngestJob.run(spark, sf0001, rootA, "jobA")
+    assert(r.partitionsSkipped === 3, s"skipped ${r.partitionsSkipped}")
+    assert(SnapshotTable.currentSeq(rootA) === Some(1L))
+    // content equality with uninterrupted run (html compared via md5 —
+    // Array[Byte] equality is referential in Row.toSeq)
+    def content(root: String) = SnapshotTable.read(spark, root)._1
+      .withColumn("html_md5", md5(col("html"))).drop("html")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(content(rootA) === content(rootB))
+    // manifest equality modulo job-independent fields
+    val sa = SnapshotTable.currentSnapshot(rootA).get
+    val sb = SnapshotTable.currentSnapshot(rootB).get
+    assert(sa.parts.map(p => p.copy(path = "")) === sb.parts.map(p => p.copy(path = "")))
+  }
+
+  test("snapshot json round-trips") {
+    val root = tmpRoot("json")
+    IngestJob.run(spark, sf0001, root, "job1")
+    val s = SnapshotTable.currentSnapshot(root).get
+    val round = SnapshotTable.parseSnapshot(SnapshotTable.snapshotJson(s))
+    assert(round === s)
+  }
+}
