@@ -1,0 +1,130 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video carried as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries): `FakeCodec` parses a deterministic synthetic header and
+  * derives pseudo pixels from it. Everything around the stub — the schema,
+  * the typed Dataset boundary, the mapPartitions batch shape (one codec
+  * instance per partition, streamed iterator, no per-row setup), the
+  * partitioning — is real, tested, and is exactly the plumbing a real
+  * decoder would drop into.
+  */
+object MultiModal {
+
+  /** media blob layout (synthetic): magic(4) | kind(1) | width(4) | height(4)
+    * | nFrames(4) | payload(width*height bytes, counter-derived). */
+  final val Magic = 0x47524654 // "GRFT"
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
+      src_url: String)
+  final case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, checksum: Long)
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** STUB CODEC — stands in for a real image/audio decoder. Deterministic:
+    * output depends only on the blob bytes. */
+  object FakeCodec {
+    def encode(mediaId: Long, kind: String, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val payload = w * h
+      val buf = ByteBuffer.allocate(17 + payload).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(Magic)
+      buf.put(kind.head.toByte)
+      buf.putInt(w); buf.putInt(h); buf.putInt(nFrames)
+      var i = 0
+      while (i < payload) { buf.put(((mediaId * 31 + i * 7) % 251).toByte); i += 1 }
+      buf.array()
+    }
+
+    def decode(blob: Array[Byte]): (Int, Int, Int, Long) = {
+      require(blob.length >= 17, "truncated media blob")
+      val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
+      require(buf.getInt() == Magic, "bad magic")
+      buf.get() // kind tag
+      val w = buf.getInt(); val h = buf.getInt(); val f = buf.getInt()
+      var sum = 0L
+      var i = 17
+      while (i < blob.length) { sum = (sum * 131 + (blob(i) & 0xFF)) % 1000000007L; i += 1 }
+      (w, h, f, sum)
+    }
+
+    /** "Resize": deterministic payload re-derivation at new dims (stub for
+      * a real resampler; keeps the bytes a pure function of input). */
+    def resize(blob: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (_, _, f, sum) = decode(blob)
+      val out = ByteBuffer.allocate(17 + w2 * h2).order(ByteOrder.BIG_ENDIAN)
+      out.putInt(Magic); out.put(blob(4)); out.putInt(w2); out.putInt(h2); out.putInt(f)
+      var i = 0
+      while (i < w2 * h2) { out.put(((sum + i * 13) % 251).toByte); i += 1 }
+      out.array()
+    }
+  }
+
+  /** Deterministic synthetic media table derived from page ids: images,
+    * audio, video in a 3-cycle with counter-based dims. */
+  def mediaTable(spark: SparkSession, n: Long, parts: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).map { id =>
+      val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val w = 8 + (id % 24).toInt
+      val h = 8 + (id % 16).toInt
+      val frames = if (kind == "video") 4 + (id % 12).toInt else 1
+      MediaRow(id, kind, FakeCodec.encode(id, kind, w, h, frames),
+        s"https://src${id % 20}.example.com/media/$id")
+    }
+  }
+
+  /** Decode stage: one codec per partition, iterator-streamed (the batch
+    * shape a real decoder needs — no per-row init, bounded memory). */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup site (real codecs allocate contexts here)
+      it.map { m =>
+        val (w, h, f, sum) = FakeCodec.decode(m.media)
+        DecodedRow(m.media_id, m.kind, w, h, f, sum)
+      }
+    }
+  }
+
+  /** Frame sampling: every `step`-th frame of each video, exploded to rows.
+    * Frame checksums are derived deterministically from the blob checksum. */
+  def sampleFrames(media: Dataset[MediaRow], step: Int = 3): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val (_, _, frames, sum) = FakeCodec.decode(m.media)
+      (0 until frames by step).map(i => FrameRow(m.media_id, i, (sum * 31 + i) % 1000000007L))
+    }
+  }
+
+  /** Resize stage + feature extraction: new dims halved (min 4), verify the
+    * output parses, return (id, old/new dims, new checksum). */
+  def resizeAll(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, _, _) = FakeCodec.decode(m.media)
+        val blob2 = FakeCodec.resize(m.media, math.max(4, w / 2), math.max(4, h / 2))
+        val (w2, h2, _, sum2) = FakeCodec.decode(blob2)
+        (m.media_id, w, h, w2, h2, sum2)
+      }
+    }.toDF("media_id", "w", "h", "w2", "h2", "checksum2")
+  }
+
+  /** Metadata inventory over the decoded table — the relational surface a
+    * training pipeline filters on (dims, frame counts, per-kind stats). */
+  def mediaInventory(spark: SparkSession, n: Long): DataFrame =
+    decodeAll(mediaTable(spark, n))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_frames")).as("sum_frames"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        countDistinct(col("checksum")).as("n_distinct_payloads"))
+      .orderBy(col("kind"))
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.sources.Pages
+
+/** Structured Streaming surface (SURVEY.md §2.H): file-source ingest of
+  * page parquet with event-time watermarks, windowed cell inventory,
+  * stateful url dedup, and a foreachBatch sink into the snapshot table
+  * layer. Batch-parity by construction: the streaming transforms reuse the
+  * same column expressions as the batch operators, so a replay of the same
+  * files produces the same aggregates (tested with the in-memory sink).
+  */
+object StreamingJobs {
+
+  /** Page schema as written by Pages.fromDocuments (streams must declare
+    * schemas — no inference at runtime). */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("url", StringType),
+    StructField("warc_ts", TimestampType), StructField("ts_sec", LongType),
+    StructField("html", BinaryType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType), StructField("ilat", IntegerType),
+    StructField("ilon", IntegerType)))
+
+  /** H1 — streaming ingest: parquet file source + 1h event-time watermark. */
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+      .withWatermark("warc_ts", "1 hour")
+
+  /** H2 — windowed inventory: tumbling 6h counts per level-2 cell. */
+  def windowedInventory(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("cell2", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .groupBy(window(col("warc_ts"), "6 hours"), col("cell2"))
+      .agg(count(lit(1)).as("n_pages"), approx_count_distinct(col("url")).as("n_urls_approx"))
+      .select(col("window.start").as("w_start"), col("cell2"), col("n_pages"),
+        col("n_urls_approx"))
+
+  /** H3 — stateful dedup: one row per url within the watermark horizon. */
+  def dedupedPages(pages: DataFrame): DataFrame =
+    pages.dropDuplicates("url")
+
+  /** H4 — sink: micro-batches appended as parquet via foreachBatch (the
+    * same pattern would call IngestJob/SnapshotTable.commit per batch). */
+  def sinkToParquet(pages: DataFrame, outDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** Drive a streaming query over already-materialized input to completion
+    * (test/bench harness: processes everything available, then stops). */
+  def runToCompletion(q: StreamingQuery): Unit = {
+    try q.awaitTermination(120000)
+    finally if (q.isActive) q.stop()
+  }
+}

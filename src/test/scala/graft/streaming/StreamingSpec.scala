@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Pages
+import graft.testutil.SparkTestBase
+
+class StreamingSpec extends SparkTestBase {
+
+  private def stageInput(): String = {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    Pages.fromDocuments(spark, sf0001).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed inventory over stream == same aggregate over batch") {
+    val dir = stageInput()
+    val q = StreamingJobs.windowedInventory(StreamingJobs.pagesStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("wininv").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wininv")
+      .orderBy("w_start", "cell2").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSeq
+    val want = Pages.fromDocuments(spark, sf0001)
+      .withColumn("cell2", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .groupBy(window(col("warc_ts"), "6 hours"), col("cell2"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("w_start"), col("cell2"), col("n_pages"))
+      .orderBy("w_start", "cell2").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
+  test("stream dedup: unique urls survive") {
+    val dir = stageInput()
+    val q = StreamingJobs.dedupedPages(StreamingJobs.pagesStream(spark, dir))
+      .select("url").writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dedup").count()
+    val distinct = Pages.fromDocuments(spark, sf0001).select("url").distinct().count()
+    assert(n === distinct)
+  }
+
+  test("foreachBatch sink lands all rows as parquet") {
+    val dir = stageInput()
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val q = StreamingJobs.sinkToParquet(
+      StreamingJobs.pagesStream(spark, dir).select("doc_id", "url", "warc_ts", "lang"),
+      out).start()
+    StreamingJobs.runToCompletion(q)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 500)
+    assert(landed.select("batch_id").distinct().count() >= 1)
+  }
+}
