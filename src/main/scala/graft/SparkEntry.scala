@@ -56,6 +56,10 @@ object SparkEntry {
     "q34_rasterize" -> ((s, d) => Tiling.rasterizeLong(s, d)),
     "q35_mosaic" -> ((s, d) => Tiling.mosaicLong(s, d)),
     "q36_tile_stats" -> ((s, d) => Tiling.tileStats(s, d)),
+    "q37_percentiles" -> ((s, d) => RelationalQueries.valuePercentiles(s, d)),
+    "q38_range_frame" -> ((s, d) => RelationalQueries.rangeFrameCounts(s, d)),
+    "q39_top_tokens" -> ((s, d) => RelationalQueries.topTokens(s, d)),
+    "q40_lang_source_cube" -> ((s, d) => RelationalQueries.langSourceCube(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

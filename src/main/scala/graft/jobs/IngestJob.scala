@@ -101,6 +101,23 @@ object IngestJob {
     RunReport(jobId, seq, written, skipped, totalRows)
   }
 
+  /** G1 — bulk archive fast path: ONE pass, spatially clustered write.
+    * `repartitionByRange(p_cell, p_date)` range-partitions by the spatial
+    * bucket (sampled bounds), so each output partition dir is written by
+    * few tasks and files are cell-clustered — the layout that co-locates
+    * later partitioned joins. No per-bucket resume (use `run` for that);
+    * this is the shape for initial 100 TB backfills where the job is
+    * all-or-nothing anyway. */
+  def bulkArchive(spark: SparkSession, sfDir: String, root: String): Long = {
+    val pages = pagesWithPartitions(spark, sfDir)
+    pages
+      .repartitionByRange(col("p_cell"), col("p_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_cell", "p_date")
+      .parquet(s"$root/data")
+    spark.read.parquet(s"$root/data").count()
+  }
+
   /** Pruned inventory over the committed table: partitions overlapping the
     * given lat band, read via the manifest (partition pruning happens before
     * the parquet scan). */

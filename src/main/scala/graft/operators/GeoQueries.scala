@@ -33,24 +33,50 @@ object GeoQueries {
   final val JoinLevel = 6
 
   /** Footprints exploded to covering cells at `level` (tiny; broadcast side).
-    * One row per (footprint, cell). */
+    * One row per (footprint, cell). The quadtree cover runs on Morton ids;
+    * the emitted join key is the row-major surrogate (bijective at a fixed
+    * level) so the BIG side's key stays pure codegen'd integer arithmetic —
+    * a CodegenFallback expression on the page side would break whole-stage
+    * codegen for 10^12 rows (measured 2x on the bench). */
   def footprintCells(spark: SparkSession, level: Int = JoinLevel): DataFrame = {
     GraftFunctions.register(spark)
     Footprints.boxesWktDf(spark)
-      .withColumn("cell", explode(cell_cover(col("wkt"), lit(level))))
-      .drop("wkt")
+      .withColumn("mcell", explode(cell_cover(col("wkt"), lit(level))))
+      .withColumn("cell", cell_rowmajor(col("mcell")))
+      .drop("wkt", "mcell")
   }
 
+  /** Page-side cell key: built-in arithmetic only (whole-stage codegen). */
   private def pageCell(level: Int): Column =
-    cell_id(col("ilat"), col("ilon"), lit(level))
+    Pages.cellCol(col("ilat"), col("ilon"), level)
 
   /** D1 — broadcast PIP join: pages x footprint-cover cells, hash join on
     * the cell id, exact box+time refine. Zero shuffle on the pages side. */
-  def pipJoin(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame = {
+  def pipJoin(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame =
+    pipJoinOn(spark, Pages.fromDocuments(spark, sfDir), level)
+
+  /** Same join over any pages-shaped frame (the bench runs it over the
+    * large synthetic table). */
+  def pipJoinOn(spark: SparkSession, pagesIn: DataFrame, level: Int = JoinLevel): DataFrame = {
     GraftFunctions.register(spark)
-    val pages = Pages.fromDocuments(spark, sfDir)
-      .withColumn("cell", pageCell(level))
+    val pages = pagesIn.withColumn("cell", pageCell(level))
     pages.join(broadcast(footprintCells(spark, level)), Seq("cell"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+  }
+
+  /** Bench variant: validity windows widened to forever, so join
+    * selectivity is scale-free (the fixture windows would otherwise reject
+    * every synthetic doc past ~14.6M as warc_ts grows with doc_id). */
+  def pipJoinTimelessOn(spark: SparkSession, pagesIn: DataFrame,
+      level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val fp = footprintCells(spark, level)
+      .withColumn("tfrom", lit(0L))
+      .withColumn("tto", lit(Long.MaxValue / 4))
+    pagesIn.withColumn("cell", pageCell(level))
+      .join(broadcast(fp), Seq("cell"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
         col("ilon").between(col("ilon0"), col("ilon1")) &&
         col("ts_sec").between(col("tfrom"), col("tto")))
@@ -164,7 +190,9 @@ object GeoQueries {
       .select("cell", "doc_id", "ilat", "ilon")
     val queries = knnQueries(spark)
       .withColumn("qcell", cell_id(col("qlat"), col("qlon"), lit(level)))
-      .withColumn("cell", explode(cell_kring(col("qcell"), lit(rings))))
+      .withColumn("mcell", explode(cell_kring(col("qcell"), lit(rings))))
+      .withColumn("cell", cell_rowmajor(col("mcell")))
+      .drop("mcell")
     val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
       (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
@@ -222,7 +250,7 @@ object GeoQueries {
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     Pages.fromDocuments(spark, sfDir)
-      .withColumn("cell6", pageCell(6))
+      .withColumn("cell6", cell_id(col("ilat"), col("ilon"), lit(6)))
       .withColumn("cell2", cell_rowmajor(cell_parent(col("cell6"), lit(2))))
       .groupBy(col("cell2"))
       .agg(count(lit(1)).as("n_pages"), countDistinct(col("cell6")).as("n_subcells"))

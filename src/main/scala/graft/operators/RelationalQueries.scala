@@ -166,6 +166,46 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
       .orderBy(col("event_type"), col("day"))
 
+  /** E3 — exact percentiles (zonal-stats analog) per event type. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("value_c", cents(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value_c"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value_c"), lit(0.9)), 4).as("p90"))
+      .orderBy(col("event_type"))
+
+  /** F3 — RANGE frame: events within the last 10 minutes per user. */
+  def rangeFrameCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-600, 0)
+    events(spark, sfDir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("n_10min", count(lit(1)).over(w))
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("n_10min"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** B9 — explode/UNNEST: global top-20 tokens. */
+  def topTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** E4 — full cube over (lang, source). */
+  def langSourceCube(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"), col("n_docs"))
+      .orderBy(col("lang"), col("source"))
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -231,5 +271,21 @@ object RelationalQueries {
         "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c " +
         "FROM events WHERE dayofyear(ts) BETWEEN 1 AND 15 " +
         "GROUP BY event_type, CAST(ts AS DATE) ORDER BY event_type, day"),
+    "q37_percentiles" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events) " +
+        "SELECT event_type, count(*) AS n, round(quantile_cont(value_c, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value_c, 0.9), 4) AS p90 FROM e GROUP BY event_type ORDER BY event_type"),
+    "q38_range_frame" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec " +
+        "FROM events WHERE user_id < 10) " +
+        "SELECT user_id, event_id, ts_sec, count(*) OVER (PARTITION BY user_id ORDER BY ts_sec " +
+        "RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min " +
+        "FROM e ORDER BY user_id, ts_sec, event_id"),
+    "q39_top_tokens" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+    "q40_lang_source_cube" ->
+      ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
+        "count(*) AS n_docs FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source"),
   )
 }

@@ -96,13 +96,23 @@ object TextQueries {
   }
 
   private val NumSigs = 4
+  /** Universal-hash MinHash families over ONE base md5 hash per shingle:
+    * h_i(x) = (A(i) * (h0(x) mod P) + B(i)) mod P. One md5 per shingle
+    * total (not per family) — the md5 is the cost driver at scale. */
+  private val P = 1000000007L
+  private val HashA = Array(131L, 137L, 139L, 149L)
+  private val HashB = Array(17L, 19L, 23L, 29L)
 
   /** MinHash signatures (4 hash families) over 3-gram shingles. */
-  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSigsUnsorted(spark, sfDir).orderBy(col("doc_id"))
+
+  private def minhashSigsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val base = withShingles(docs(spark, sfDir))
+      .withColumn("h0", transform(col("sh"), x => tokHash(x) % P))
     val sigs = (0 until NumSigs).map(i =>
-      array_min(transform(col("sh"), x => tokHash(x, s"$i:"))).as(s"s$i"))
-    base.select(col("doc_id") +: sigs: _*).orderBy(col("doc_id"))
+      array_min(transform(col("h0"), h => (h * HashA(i) + HashB(i)) % P)).as(s"s$i"))
+    base.select(col("doc_id") +: sigs: _*)
   }
 
   /** MinHash + LSH banding (2 bands x 2 rows) -> candidate pairs ->
@@ -110,9 +120,13 @@ object TextQueries {
     * pipeline: at scale the band self-join is an equi-join on the band
     * hash (shuffle on band key), never an all-pairs product. */
   def lshNearDupPairs(spark: SparkSession, sfDir: String, minJacM: Int = 200): DataFrame = {
-    val sig = minhashSigs(spark, sfDir)
+    // sig and shingle frames are reused in multiple plan branches (two
+    // bands, two pair sides) — persist so the shingle+hash pipeline runs
+    // once, not once per branch.
+    val sig = minhashSigsUnsorted(spark, sfDir)
       .withColumn("b0", md5(concat(col("s0").cast("string"), lit(":"), col("s1").cast("string"))))
       .withColumn("b1", md5(concat(col("s2").cast("string"), lit(":"), col("s3").cast("string"))))
+      .persist()
     val bands = sig.select(col("doc_id"), col("b0").as("band"), lit(0).as("bi"))
       .unionByName(sig.select(col("doc_id"), col("b1").as("band"), lit(1).as("bi")))
     val pairs = bands.as("x").join(bands.as("y"),
@@ -122,6 +136,7 @@ object TextQueries {
       .distinct()
     val sh = withShingles(docs(spark, sfDir))
       .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+      .persist()
     val inter = size(array_intersect(col("x.shd"), col("y.shd")))
     val uni = size(col("x.shd")) + size(col("y.shd")) - inter
     pairs
@@ -157,7 +172,7 @@ object TextQueries {
       "j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')) AS sh FROM t WHERE len(toks) >= 3)"
 
   private def sqlSig(i: Int): String =
-    s"list_min(list_transform(sh, x -> ${sqlTokHash("x", s"$i:")})) AS s$i"
+    s"list_min(list_transform(sh, x -> ((${sqlTokHash("x")} % $P) * ${HashA(i)} + ${HashB(i)}) % $P)) AS s$i"
 
   val oracle: Map[String, String] = Map(
     "q23_token_stats" ->

@@ -32,11 +32,19 @@ object Tiling {
   final val H = 16
   final val TileLevel = 4
 
-  /** E5 — count-raster aggregator: IN = pixel index, BUF/OUT = dense grid. */
-  class RasterAgg extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  /** E5 — densify aggregator: consumes SPARSE (pixel, count) pairs and
+    * builds the dense grid. The per-page hot path never reaches this
+    * operator: pages are first reduced by a codegen'd hash aggregate on
+    * (tile, pxy) — typed-Aggregator updates are interpreted and 256 groups
+    * would push ObjectHashAggregate into its sort-based fallback, so
+    * feeding it raw pages costs a whole-table sort at scale. Feeding it
+    * the sparse counts caps its input at W*H rows per tile. */
+  final case class SparsePix(pxy: Long, n: Long)
+
+  class RasterAgg extends Aggregator[SparsePix, Array[Long], Array[Long]] {
     override def zero: Array[Long] = new Array[Long](W * H)
-    override def reduce(b: Array[Long], pxy: java.lang.Long): Array[Long] = {
-      b(pxy.toInt) += 1; b
+    override def reduce(b: Array[Long], p: SparsePix): Array[Long] = {
+      b(p.pxy.toInt) += p.n; b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
@@ -78,43 +86,80 @@ object Tiling {
 
   /** Pages with tile cell + in-tile pixel coordinates (integer math shared
     * with the oracle: pixel = (coord - lo) * W / extent, floor division). */
-  def pixelized(spark: SparkSession, sfDir: String): DataFrame = {
+  def pixelized(spark: SparkSession, sfDir: String): DataFrame =
+    pixelizedOn(spark, Pages.fromDocuments(spark, sfDir))
+
+  /** Pixelize any pages-shaped frame (bench path). Pure built-in integer
+    * arithmetic — this runs per page row, so it must stay inside
+    * whole-stage codegen (no CodegenFallback expressions here; the Morton
+    * id is not needed: the row-major tile surrogate is the output anyway).
+    * Level-4 boundary arithmetic: xlo = cx*225 exact; ylo = ceil-div. */
+  def pixelizedOn(spark: SparkSession, pages: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    Pages.fromDocuments(spark, sfDir)
-      .withColumn("cell", cell_id(col("ilat"), col("ilon"), lit(TileLevel)))
-      .withColumn("b", cell_boundary(col("cell")))
-      .withColumn("px", floor((col("ilon") - col("b.ilon0")).cast("long") * W /
-        (col("b.ilon1") + 1 - col("b.ilon0"))).cast("int"))
-      .withColumn("py", floor((col("ilat") - col("b.ilat0")).cast("long") * H /
-        (col("b.ilat1") + 1 - col("b.ilat0"))).cast("int"))
+    val gx = col("ilon") + 1800
+    val gy = col("ilat") + 900
+    val cx = floor(gx * 16 / 3600).cast("long")
+    val cy = floor(gy * 16 / 1800).cast("long")
+    pages
+      .withColumn("tile", cy * 16 + cx)
+      .withColumn("xlo", cx * 225)
+      .withColumn("ylo", floor((cy * 1800 + 15) / 16).cast("long"))
+      .withColumn("yhi", floor(((cy + 1) * 1800 + 15) / 16).cast("long"))
+      .withColumn("px", floor((gx - col("xlo")) * W / 225).cast("int"))
+      .withColumn("py", floor((gy - col("ylo")) * H / (col("yhi") - col("ylo"))).cast("int"))
       .withColumn("pxy", (col("py") * W + col("px")).cast("long"))
+      .drop("xlo", "ylo", "yhi")
   }
 
-  /** Long-form rasterize (tile, px, py, n) via the RasterAgg, exploded. */
-  def rasterizeLong(spark: SparkSession, sfDir: String): DataFrame = {
-    val raster = udaf(new RasterAgg, Encoders.LONG)
-    pixelized(spark, sfDir)
-      .groupBy(col("cell"))
-      .agg(raster(col("pxy")).as("grid"))
-      .select(cell_rowmajor(col("cell")).as("tile"), posexplode(col("grid")))
-      .filter(col("col") > 0)
-      .select(col("tile"), (col("pos") % W).cast("int").as("px"),
-        (col("pos") / W).cast("int").as("py"), col("col").as("n"))
+  /** Sparse per-pixel counts: the codegen'd hot path. The grouping key is
+    * ONE fused long (tile*W*H + pxy) — a single-column long key halves the
+    * hash/compare cost per row vs a two-column composite and keeps the
+    * partial-agg map as small as possible (it's per-core L2-resident; the
+    * map size, not CPU, limits scaling on this leg). */
+  def sparseCounts(spark: SparkSession, pages: DataFrame): DataFrame =
+    pixelizedOn(spark, pages)
+      .withColumn("k", col("tile") * (W * H) + col("pxy"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("k") / (W * H)).cast("long").as("tile"),
+        pmod(col("k"), lit(W * H)).as("pxy"), col("n"))
+
+  /** Long-form rasterize (tile, px, py, n). */
+  def rasterizeLong(spark: SparkSession, sfDir: String): DataFrame =
+    rasterizeLongOn(spark, Pages.fromDocuments(spark, sfDir))
+
+  def rasterizeLongOn(spark: SparkSession, pages: DataFrame): DataFrame =
+    sparseCounts(spark, pages)
+      .select(col("tile"), (col("pxy") % W).cast("int").as("px"),
+        (col("pxy") / W).cast("int").as("py"), col("n"))
       .orderBy(col("tile"), col("py"), col("px"))
+
+  /** Dense grids per tile (the raster artifact consumed by mosaicking and
+    * export), densified from the sparse counts via RasterAgg. */
+  def rasterizeGrids(spark: SparkSession, pages: DataFrame): DataFrame = {
+    val raster = udaf(new RasterAgg, Encoders.product[SparsePix])
+    sparseCounts(spark, pages)
+      .groupBy(col("tile"))
+      .agg(raster(col("pxy"), col("n")).as("grid"))
   }
 
   /** Mosaic: two synthetic crawl snapshots (doc_id parity), rasterized
     * separately, merged with newest-snapshot-wins per pixel. Long form. */
   def mosaicLong(spark: SparkSession, sfDir: String): DataFrame = {
-    val raster = udaf(new RasterAgg, Encoders.LONG)
+    val raster = udaf(new RasterAgg, Encoders.product[SparsePix])
     val mosaic = udaf(new MosaicAgg, Encoders.product[TileGrid])
-    pixelized(spark, sfDir)
+    val pix = pixelized(spark, sfDir)
       .withColumn("snap", (col("doc_id") % 2).cast("int"))
-      .groupBy(col("cell"), col("snap"))
-      .agg(max(col("ts_sec")).as("ts"), raster(col("pxy")).as("cells"))
-      .groupBy(col("cell"))
+    pix
+      // codegen'd hash agg per pixel first; ts rides along as max
+      .groupBy(col("tile"), col("snap"), col("pxy"))
+      .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("pts"))
+      // densify per snapshot grid (input now <= W*H rows per group)
+      .groupBy(col("tile"), col("snap"))
+      .agg(raster(col("pxy"), col("n")).as("cells"), max(col("pts")).as("ts"))
+      .groupBy(col("tile"))
       .agg(mosaic(col("ts"), col("cells")).as("grid"))
-      .select(cell_rowmajor(col("cell")).as("tile"), posexplode(col("grid")))
+      .select(col("tile"), posexplode(col("grid")))
       .filter(col("col") > 0)
       .select(col("tile"), (col("pos") % W).cast("int").as("px"),
         (col("pos") / W).cast("int").as("py"), col("col").as("n"))

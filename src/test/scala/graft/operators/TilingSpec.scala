@@ -5,16 +5,17 @@ import graft.testutil.SparkTestBase
 
 class TilingSpec extends SparkTestBase {
 
-  test("rasterize long form == plain groupBy(pixel) counts") {
+  test("dense grids (RasterAgg) exploded == long-form counts") {
     import spark.implicits._
-    val viaAgg = Tiling.rasterizeLong(spark, sf001).collect().map(_.toSeq)
-    val plain = Tiling.pixelized(spark, sf001)
-      .groupBy(col("cell"), col("px"), col("py"))
-      .agg(count(lit(1)).as("n"))
-      .select(graft.functions.GraftFunctions.cell_rowmajor($"cell").as("tile"),
-        $"px", $"py", $"n")
+    val viaLong = Tiling.rasterizeLong(spark, sf001).collect().map(_.toSeq)
+    val viaGrid = Tiling.rasterizeGrids(spark,
+        graft.sources.Pages.fromDocuments(spark, sf001))
+      .select($"tile", posexplode($"grid"))
+      .filter($"col" > 0)
+      .select($"tile", ($"pos" % Tiling.W).cast("int").as("px"),
+        ($"pos" / Tiling.W).cast("int").as("py"), $"col".as("n"))
       .orderBy($"tile", $"py", $"px").collect().map(_.toSeq)
-    assert(viaAgg.toSeq === plain.toSeq)
+    assert(viaGrid.toSeq === viaLong.toSeq)
   }
 
   test("pixel coords are in [0, W) x [0, H)") {
@@ -31,14 +32,13 @@ class TilingSpec extends SparkTestBase {
     // recompute with plain SQL-ish ops
     val pix = Tiling.pixelized(spark, sf001)
       .withColumn("snap", (col("doc_id") % 2).cast("int"))
-    val snapTs = pix.groupBy(col("cell"), col("snap")).agg(max(col("ts_sec")).as("sts"))
-    val long = pix.groupBy(col("cell"), col("snap"), col("px"), col("py"))
+    val snapTs = pix.groupBy(col("tile"), col("snap")).agg(max(col("ts_sec")).as("sts"))
+    val long = pix.groupBy(col("tile"), col("snap"), col("px"), col("py"))
       .agg(count(lit(1)).as("n"))
-      .join(snapTs, Seq("cell", "snap"))
-      .groupBy(col("cell"), col("px"), col("py"))
+      .join(snapTs, Seq("tile", "snap"))
+      .groupBy(col("tile"), col("px"), col("py"))
       .agg(max_by(col("n"), col("sts")).as("n"))
-      .select(graft.functions.GraftFunctions.cell_rowmajor($"cell").as("tile"),
-        $"px", $"py", $"n")
+      .select($"tile", $"px", $"py", $"n")
       .collect()
       .map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
     assert(mosaic === long)
