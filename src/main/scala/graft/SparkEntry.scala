@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_range_frame" -> ((s, d) => RelationalQueries.rangeFrameCounts(s, d)),
     "q39_top_tokens" -> ((s, d) => RelationalQueries.topTokens(s, d)),
     "q40_lang_source_cube" -> ((s, d) => RelationalQueries.langSourceCube(s, d)),
+    "q41_embedding_neardup" -> ((s, d) => SimilarityQueries.nearDupPairs(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -85,6 +85,21 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Embedding near-dup pairs: LSH-bucket equi-join (never all-pairs) ->
+    * exact quantized-L2 verify -> global closest-20 ranking. The shape that
+    * finds embedding-space duplicates at corpus scale: candidate generation
+    * is a shuffle on the bucket key only. */
+  def nearDupPairs(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", bucketOf(col("qv")))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        l2(col("x.qv"), col("y.qv")).as("dist"))
+    pairs.orderBy(col("dist"), col("v1"), col("v2")).limit(topK)
+  }
+
   /** Bucket histogram — distribution diagnostics for the LSH index. */
   def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
@@ -147,5 +162,12 @@ object SimilarityQueries {
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings) " +
         "SELECT " + sqlBucket + " AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec " +
         "FROM e GROUP BY 1 ORDER BY bucket"),
+    "q41_embedding_neardup" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "eb AS (SELECT vec_id, qv, " + sqlBucket + " AS bucket FROM e), " +
+        "p AS (SELECT x.vec_id AS v1, y.vec_id AS v2, CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "list_transform(range(64), i -> (x.qv[i+1] - y.qv[i+1]) * (x.qv[i+1] - y.qv[i+1]))), (a, b) -> a + b) AS BIGINT) AS dist " +
+        "FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) " +
+        "SELECT v1, v2, dist FROM p ORDER BY dist, v1, v2 LIMIT 20"),
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GeoQueries, SimilarityQueries, Tiling}
+import graft.sources.Pages
+import graft.testutil.SparkTestBase
+
+/** Physical-plan shape gates: the properties that make these operators
+  * survive a 100x scale-up are asserted here, not just benchmarked —
+  * a regression that re-introduces a pages-side shuffle or kills
+  * whole-stage codegen on a hot path fails CI, not the next bench. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("broadcast PIP join: zero Exchange on the pages side before the join") {
+    val plan = GeoQueries.pipJoinOn(spark,
+      Pages.synthetic(spark, 10000, 4).select("doc_id", "ts_sec", "ilat", "ilon"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // the only exchange allowed is the broadcast one
+    assert(!plan.contains("ShuffleExchange") || plan.contains("BroadcastExchange"),
+      plan.take(1500))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 0, s"pages side shuffled: $plan")
+  }
+
+  test("headline join stays inside whole-stage codegen (no CodegenFallback on the big side)") {
+    val df = GeoQueries.pipJoinTimelessOn(spark,
+      Pages.synthetic(spark, 10000, 4).select("doc_id", "ts_sec", "ilat", "ilon"))
+    val plan = executed(df)
+    // executed plans render codegen stages as "*(n)" operator prefixes
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan.take(1500))
+    // our Morton expressions are CodegenFallback; they must not appear here
+    assert(!plan.toLowerCase.contains("cell_id"), "Morton cell_id on the hot path")
+  }
+
+  test("tile rasterization: partial aggregation before the single shuffle") {
+    val plan = Tiling.sparseCounts(spark,
+      Pages.synthetic(spark, 10000, 4).select("doc_id", "ts_sec", "ilat", "ilon"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly one shuffle:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "no map-side partial agg")
+  }
+
+  test("parquet scan prunes columns: inventory never reads html/text") {
+    val plan = GeoQueries.pipInventory(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan.take(800))
+    assert(!plan.contains("html"), "html column read by inventory scan")
+    assert(!plan.contains("text,") && !plan.contains(",text"), "text column read by inventory scan")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("lang") === "en").select("doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan.take(1200))
+  }
+
+  test("ANN LSH join is an equi-join on the bucket key, not a nested loop") {
+    val plan = SimilarityQueries.lshTopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+}
