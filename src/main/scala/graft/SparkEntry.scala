@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_top_tokens" -> ((s, d) => RelationalQueries.topTokens(s, d)),
     "q40_lang_source_cube" -> ((s, d) => RelationalQueries.langSourceCube(s, d)),
     "q41_embedding_neardup" -> ((s, d) => SimilarityQueries.nearDupPairs(s, d)),
+    "q42_knn_exact" -> ((s, d) => GeoQueries.knnJoinExact(s, d, k = 25, initRings = 1)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -108,6 +109,12 @@ object SparkEntry {
         s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
         s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
         s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q42_knn_exact" ->
+      (s"$P, d AS (SELECT q.qid AS qid, p.doc_id AS doc_id, " +
+        s"CAST((q.qlat - p.ilat) * (q.qlat - p.ilat) + (q.qlon - p.ilon) * (q.qlon - p.ilon) AS BIGINT) AS dist2 " +
+        s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
+        s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
+        s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 25 ORDER BY qid, rnk"),
     "q08_uncovered" ->
       (s"$P SELECT ${cell(4)} AS cell4, count(*) AS n_pages FROM pages p " +
         s"WHERE NOT EXISTS (SELECT 1 FROM $FP WHERE $boxJoin) " +

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.CellIndex
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
 import graft.sources.{Footprints, Pages}
@@ -202,6 +203,42 @@ object GeoQueries {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** D6-exact — adaptive kNN with a termination guard. Rings expand until
+    * the k-th candidate distance proves no point outside the searched ring
+    * can be closer: points beyond Chebyshev cell-ring R are at least
+    * R * minCellDim deci-degree units away, so once
+    * kthDist2 <= (R * minCellDim)^2 the result is exact (SURVEY.md §7 risk
+    * 3: a point in ring r can beat one in ring r-1, so the guard — not the
+    * hit count — decides). Only unresolved query ids (driver-side metadata,
+    * never data) are re-run with a wider ring. */
+  def knnJoinExact(spark: SparkSession, sfDir: String, k: Int = 5,
+      level: Int = 4, initRings: Int = 2): DataFrame = {
+    import spark.implicits._
+    val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
+    val maxRings = (1 << level) // whole grid
+    var rings = initRings
+    var unresolved = knnQueryPoints.map(_._1).toSet
+    var resolved = Seq.empty[(Int, Int, Long, Long)] // qid, rnk, doc_id, dist2
+
+    while (unresolved.nonEmpty && rings <= maxRings) {
+      val wanted = unresolved
+      val result = knnJoin(spark, sfDir, k, rings, level)
+        .filter(col("qid").isin(wanted.toSeq: _*))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val guard = rings.toLong * minDim
+      val byQ = result.groupBy(_._1)
+      val done = byQ.filter { case (_, rows) =>
+        rows.length >= k && rows.map(_._4).max <= guard * guard
+      }.keySet
+      // queries whose candidate set can't grow anymore are also final
+      val exhausted = if (rings >= maxRings) byQ.keySet -- done else Set.empty[Int]
+      resolved ++= result.filter(r => done(r._1) || exhausted(r._1))
+      unresolved = unresolved -- done -- exhausted
+      rings = math.max(1, rings * 2)
+    }
+    resolved.toDF("qid", "rnk", "doc_id", "dist2").orderBy(col("qid"), col("rnk"))
   }
 
   /** 20 fixed query points (deterministic arithmetic, shared with the
