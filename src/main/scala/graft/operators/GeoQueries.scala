@@ -111,19 +111,26 @@ object GeoQueries {
     * side is explicitly hash-partitioned by cell and the join is forced to
     * shuffle (sort-merge) instead of broadcast — the plan shape that
     * co-locates by spatial key at 100 TB. Output aggregated per cell. */
-  def partitionedPip(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame = {
+  def partitionedPip(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame =
+    partitionedPipOn(spark, Pages.fromDocuments(spark, sfDir), level)
+      .orderBy(col("fp_id"))
+
+  def partitionedPipOn(spark: SparkSession, pagesIn: DataFrame, level: Int = JoinLevel,
+      timeless: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
-    val pages = Pages.fromDocuments(spark, sfDir)
+    val pages = pagesIn
       .withColumn("cell", pageCell(level))
       .repartition(col("cell"))
-    val fpCells = footprintCells(spark, level).hint("shuffle_merge")
+    val fpCells0 = footprintCells(spark, level)
+    val fpCells = (if (timeless)
+      fpCells0.withColumn("tfrom", lit(0L)).withColumn("tto", lit(Long.MaxValue / 4))
+    else fpCells0).hint("shuffle_merge")
     pages.join(fpCells, Seq("cell"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
         col("ilon").between(col("ilon0"), col("ilon1")) &&
         col("ts_sec").between(col("tfrom"), col("tto")))
       .groupBy(col("fp_id"))
       .agg(count(lit(1)).as("n_pages"), countDistinct(col("source")).as("n_sources"))
-      .orderBy(col("fp_id"))
   }
 
   /** D3 — salted skew join: the hot cell (10% of all pages, FIXTURES.md §3)
@@ -131,14 +138,21 @@ object GeoQueries {
     * from the url hash; the (tiny) footprint-cell side is replicated x S.
     * Same result set as the unsalted join — the oracle checks that. */
   def saltedPipJoin(spark: SparkSession, sfDir: String, salts: Int = 16,
-      level: Int = JoinLevel): DataFrame = {
+      level: Int = JoinLevel): DataFrame =
+    saltedPipJoinOn(spark, Pages.fromDocuments(spark, sfDir), salts, level)
+      .orderBy(col("fp_id"))
+
+  def saltedPipJoinOn(spark: SparkSession, pagesIn: DataFrame, salts: Int = 16,
+      level: Int = JoinLevel, timeless: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
-    val pages = Pages.fromDocuments(spark, sfDir)
+    val pages = pagesIn
       .withColumn("cell", pageCell(level))
-      .withColumn("salt", pmod(xxhash64(col("url")), lit(salts)).cast("int"))
-    val fpCells = footprintCells(spark, level)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+    val fpCells0 = footprintCells(spark, level)
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-      .hint("shuffle_merge")
+    val fpCells = (if (timeless)
+      fpCells0.withColumn("tfrom", lit(0L)).withColumn("tto", lit(Long.MaxValue / 4))
+    else fpCells0).hint("shuffle_merge")
     pages.repartition(col("cell"), col("salt"))
       .join(fpCells, Seq("cell", "salt"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
@@ -146,7 +160,6 @@ object GeoQueries {
         col("ts_sec").between(col("tfrom"), col("tto")))
       .groupBy(col("fp_id"))
       .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
-      .orderBy(col("fp_id"))
   }
 
   /** D4 — range/interval join: equi on cell + non-equi residual on the

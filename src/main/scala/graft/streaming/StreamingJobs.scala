@@ -58,6 +58,34 @@ object StreamingJobs {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** H4-full — sink into the snapshot table layer: each micro-batch lands
+    * as its own immutable partition set and commits a new snapshot via the
+    * atomic-rename protocol, so batch and streaming writers share one
+    * table format and readers always see a consistent snapshot. */
+  def sinkToSnapshotTable(pages: DataFrame, root: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sources.SnapshotTable
+        import graft.sources.SnapshotTable.{PartitionEntry, Snapshot}
+        val path = s"$root/data/batch=$batchId"
+        batch.write.mode("overwrite").parquet(path)
+        val st = batch.agg(
+          count(lit(1)), min(col("ilat")), max(col("ilat")),
+          min(col("ilon")), max(col("ilon")),
+          min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
+        if (st.getLong(0) > 0) {
+          val entry = PartitionEntry(batchId, "stream", path, st.getLong(0),
+            st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
+            st.getLong(5), st.getLong(6))
+          val prev = SnapshotTable.currentSnapshot(root)
+          val seq = prev.map(_.seq).getOrElse(0L) + 1
+          SnapshotTable.commitSnapshot(root,
+            Snapshot(seq, 1, prev.map(_.parts).getOrElse(Seq.empty) :+ entry))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Drive a streaming query over already-materialized input to completion
     * (test/bench harness: processes everything available, then stops). */
   def runToCompletion(q: StreamingQuery): Unit = {

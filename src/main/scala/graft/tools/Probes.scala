@@ -41,19 +41,31 @@ object HeadlineProbe {
   }
 }
 
-/** Skew probe: partitioned (shuffle) PIP join with and without salting at a
-  * given synthetic scale — evidence for the explicit-skew-handling claim. */
+/** Skew probe: partitioned (shuffle) PIP join with and without salting over
+  * the synthetic pages table (10% of rows in ONE cell) — evidence for the
+  * explicit-skew-handling claim. HT_AQE=0 disables adaptive skew splitting
+  * to isolate the salting effect. */
 object SkewProbe {
   def main(a: Array[String]): Unit = {
-    val spark = Probes.session()
-    val sf = sys.env.getOrElse("HT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("HT_CPUS", "8")
+    val aqe = sys.env.getOrElse("HT_AQE", "1") == "1"
+    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def pages = graft.sources.Pages.synthetic(spark, Probes.rows, Probes.cpus * 4)
+      .select("doc_id", "ts_sec", "ilat", "ilon", "lang", "source")
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
-      val plain = graft.operators.GeoQueries.partitionedPip(spark, sf).count()
+      val plain = graft.operators.GeoQueries
+        .partitionedPipOn(spark, pages, timeless = true).count()
       val t1 = System.nanoTime()
-      val salted = graft.operators.GeoQueries.saltedPipJoin(spark, sf).count()
+      val salted = graft.operators.GeoQueries
+        .saltedPipJoinOn(spark, pages, timeless = true).count()
       val t2 = System.nanoTime()
-      println(f"run$i plainRows=$plain plainSec=${(t1 - t0) / 1e9}%.2f " +
+      println(f"run$i aqe=$aqe plainRows=$plain plainSec=${(t1 - t0) / 1e9}%.2f " +
         f"saltedRows=$salted saltedSec=${(t2 - t1) / 1e9}%.2f")
     }
     spark.stop()

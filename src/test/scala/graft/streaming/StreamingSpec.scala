@@ -46,6 +46,20 @@ class StreamingSpec extends SparkTestBase {
     assert(n === distinct)
   }
 
+  test("stream -> snapshot table: batches commit atomically, readers see all rows") {
+    val dir = stageInput()
+    val root = Files.createTempDirectory("graft-stream-snap").toString
+    val q = StreamingJobs.sinkToSnapshotTable(
+      StreamingJobs.pagesStream(spark, dir), root).start()
+    StreamingJobs.runToCompletion(q)
+    val snap = graft.sources.SnapshotTable.currentSnapshot(root)
+    assert(snap.nonEmpty)
+    assert(snap.get.parts.nonEmpty)
+    val (df, kept, total) = graft.sources.SnapshotTable.read(spark, root)
+    assert(kept === total)
+    assert(df.count() === 500)
+  }
+
   test("foreachBatch sink lands all rows as parquet") {
     val dir = stageInput()
     val out = Files.createTempDirectory("graft-stream-out").toString
