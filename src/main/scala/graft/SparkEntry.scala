@@ -62,6 +62,7 @@ object SparkEntry {
     "q40_lang_source_cube" -> ((s, d) => RelationalQueries.langSourceCube(s, d)),
     "q41_embedding_neardup" -> ((s, d) => SimilarityQueries.nearDupPairs(s, d)),
     "q42_knn_exact" -> ((s, d) => GeoQueries.knnJoinExact(s, d, k = 25, initRings = 1)),
+    "q43_string_fns" -> ((s, d) => RelationalQueries.stringFns(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -206,6 +206,16 @@ object RelationalQueries {
         coalesce(col("source"), lit("ALL")).as("source"), col("n_docs"))
       .orderBy(col("lang"), col("source"))
 
+  /** B6 — string functions: levenshtein / case / substring over sources. */
+  def stringFns(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(levenshtein(col("source"), lit("src0"))).as("sum_lev"),
+        countDistinct(upper(col("source"))).as("n_sources"),
+        sum(length(substring(col("text"), 1, 10))).as("sum_sub10"))
+      .orderBy(col("lang"))
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +297,10 @@ object RelationalQueries {
     "q40_lang_source_cube" ->
       ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
         "count(*) AS n_docs FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source"),
+    "q43_string_fns" ->
+      ("SELECT lang, CAST(sum(levenshtein(source, 'src0')) AS BIGINT) AS sum_lev, " +
+        "count(DISTINCT upper(source)) AS n_sources, " +
+        "CAST(sum(length(substr(text, 1, 10))) AS BIGINT) AS sum_sub10 " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
   )
 }

@@ -20,9 +20,22 @@ import org.apache.spark.sql.functions._
   * with every 10th row collapsed onto one hot cell (405, -740) to plant
   * real skew for the salted join path.
   */
+/** Typed row of the pages table (input_hint shape + derived geotag). */
+final case class Page(
+    doc_id: Long, url: String, warc_ts: java.sql.Timestamp, ts_sec: Long,
+    html: Array[Byte], text: String, lang: String, source: String,
+    n_chars: Long, ilat: Int, ilon: Int)
+
 object Pages {
   /** 2024-01-01T00:00:00Z */
   final val Epoch = 1704067200L
+
+  /** Typed Dataset boundary (SURVEY.md §1.3: case-class schemas at API
+    * boundaries, DataFrame inside relational pipelines). */
+  def typed(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Page] = {
+    import spark.implicits._
+    fromDocuments(spark, sfDir).as[Page]
+  }
 
   /** SQL (DuckDB) expression fragments — the oracle-side twins. Kept next
     * to the Column definitions below so they can't drift apart. */
