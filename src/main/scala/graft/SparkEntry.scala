@@ -63,6 +63,8 @@ object SparkEntry {
     "q41_embedding_neardup" -> ((s, d) => SimilarityQueries.nearDupPairs(s, d)),
     "q42_knn_exact" -> ((s, d) => GeoQueries.knnJoinExact(s, d, k = 25, initRings = 1)),
     "q43_string_fns" -> ((s, d) => RelationalQueries.stringFns(s, d)),
+    "q44_blocked_jaccard" -> ((s, d) => TextQueries.blockedJaccard(s, d)),
+    "q45_regex_tokens" -> ((s, d) => TextQueries.regexTokens(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

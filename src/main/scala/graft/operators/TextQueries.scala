@@ -164,6 +164,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Blocked n-gram Jaccard dedup (no LSH): all pairs within a (lang,
+    * source) block — the classic blocking strategy when a natural blocking
+    * key exists; block sizes are bounded so the quadratic term is local. */
+  def blockedJaccard(spark: SparkSession, sfDir: String, minJacM: Int = 150): DataFrame = {
+    val sh = withShingles(docs(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("source"), array_distinct(col("sh")).as("shd"))
+    val inter = size(array_intersect(col("x.shd"), col("y.shd")))
+    val uni = size(col("x.shd")) + size(col("y.shd")) - inter
+    sh.as("x").join(sh.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jac_m", floor(inter.cast("long") * 1000 / uni).cast("long"))
+      .filter(col("jac_m") >= minJacM)
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
+        col("y.doc_id").as("d2"), col("jac_m"))
+      .orderBy(col("lang"), col("d1"), col("d2"))
+  }
+
+  /** BPE-ish token counting: alpha runs, digit runs, and single other
+    * chars each count as one token (regex shared with the oracle). */
+  def regexTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("n_re", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .withColumn("n_ws", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_re")).as("sum_re_tok"),
+        sum(col("n_ws")).as("sum_ws_tok"))
+      .orderBy(col("lang"))
+
   // ---- oracle twins -------------------------------------------------------
 
   private val shCte =
@@ -218,5 +247,19 @@ object TextQueries {
           s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $j) & 1) = 1)) >= n_tok THEN ${1L << j} ELSE 0 END)")
           .mkString(" + ") +
         " AS BIGINT) AS simhash16 FROM d WHERE doc_id < 200 ORDER BY doc_id"),
+    "q44_blocked_jaccard" ->
+      ("WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, lang, source, list_distinct(list_transform(range(len(toks) - 2), " +
+        "j -> array_to_string(list_slice(toks, j + 1, j + 3), ' '))) AS shd FROM t WHERE len(toks) >= 3), " +
+        "p AS (SELECT x.lang AS lang, x.doc_id AS d1, y.doc_id AS d2, " +
+        "CAST(floor(1000.0 * len(list_intersect(x.shd, y.shd)) / " +
+        "(len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)))) AS BIGINT) AS jac_m " +
+        "FROM s x JOIN s y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id) " +
+        "SELECT lang, d1, d2, jac_m FROM p WHERE jac_m >= 150 ORDER BY lang, d1, d2"),
+    "q45_regex_tokens" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re_tok, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tok " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
   )
 }
