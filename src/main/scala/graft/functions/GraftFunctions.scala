@@ -20,13 +20,14 @@ import graft.core.{CellIndex, Extract, Geo}
   */
 object expressions {
 
-  abstract class GraftUnary extends UnaryExpression with CodegenFallback {
+  abstract class GraftUnary extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def nullable: Boolean = true
   }
 
   /** cell_id(ilat int, ilon int, level int) -> long */
   case class CellIdExpr(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_id"
     override protected def nullSafeEval(a: Any, o: Any, l: Any): Any =
@@ -37,7 +38,8 @@ object expressions {
 
   /** cell_parent(cell long, level int) -> long */
   case class CellParentExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_parent"
     override protected def nullSafeEval(c: Any, p: Any): Any =
@@ -48,6 +50,7 @@ object expressions {
 
   /** cell_level(cell long) -> int */
   case class CellLevelExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "cell_level"
     override protected def nullSafeEval(c: Any): Any = CellIndex.level(c.asInstanceOf[Long])
@@ -56,6 +59,7 @@ object expressions {
 
   /** cell_rowmajor(cell long) -> long — SQL-mirrorable surrogate cy*2^L+cx */
   case class CellRowMajorExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_rowmajor"
     override protected def nullSafeEval(c: Any): Any = CellIndex.rowMajor(c.asInstanceOf[Long])
@@ -64,6 +68,7 @@ object expressions {
 
   /** cell_children(cell long) -> array<long> */
   case class CellChildrenExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_children"
     override protected def nullSafeEval(c: Any): Any =
@@ -73,7 +78,8 @@ object expressions {
 
   /** cell_kring(cell long, k int) -> array<long> */
   case class CellKRingExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_kring"
     override protected def nullSafeEval(c: Any, k: Any): Any =
@@ -84,7 +90,8 @@ object expressions {
 
   /** cell_ring_shell(cell long, k int) -> array<long> (exactly-distance-k shell) */
   case class CellRingShellExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_ring_shell"
     override protected def nullSafeEval(c: Any, k: Any): Any =
@@ -95,7 +102,8 @@ object expressions {
 
   /** cell_cover(wkt string, level int) -> array<long> */
   case class CellCoverExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_cover"
     override protected def nullSafeEval(w: Any, l: Any): Any =
@@ -106,7 +114,8 @@ object expressions {
 
   /** cell_cover_frac(wkt string, level int) -> array<struct<cell:long, frac:double>> */
   case class CellCoverFracExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
     override def dataType: DataType = ArrayType(
       StructType(Seq(StructField("cell", LongType, false), StructField("frac", DoubleType, false))),
       containsNull = false)
@@ -121,6 +130,7 @@ object expressions {
 
   /** cell_boundary(cell long) -> struct<ilat0,ilon0,ilat1,ilon1:int> */
   case class CellBoundaryExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = StructType(Seq(
       StructField("ilat0", IntegerType, false), StructField("ilon0", IntegerType, false),
       StructField("ilat1", IntegerType, false), StructField("ilon1", IntegerType, false)))
@@ -134,6 +144,7 @@ object expressions {
 
   /** cell_wkt(cell long) -> string */
   case class CellBoundaryWktExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
     override def dataType: DataType = StringType
     override def prettyName: String = "cell_wkt"
     override protected def nullSafeEval(c: Any): Any =
@@ -143,7 +154,8 @@ object expressions {
 
   /** coverage_frac(cell long, wkt string) -> double */
   case class CoverageFracExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "coverage_frac"
     override protected def nullSafeEval(c: Any, w: Any): Any =
@@ -154,7 +166,8 @@ object expressions {
 
   /** contains_point(wkt string, ilat int, ilon int) -> boolean */
   case class ContainsPointExpr(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with CodegenFallback {
+      extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
     override def dataType: DataType = BooleanType
     override def prettyName: String = "contains_point"
     override protected def nullSafeEval(w: Any, a: Any, o: Any): Any =
@@ -165,6 +178,7 @@ object expressions {
 
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
     override def dataType: DataType = StringType
     override def prettyName: String = "extract_text"
     override protected def nullSafeEval(h: Any): Any =

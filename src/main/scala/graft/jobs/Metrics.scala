@@ -26,7 +26,8 @@ final class MetricsCollector extends QueryExecutionListener {
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-    queue.add(QueryMetric(funcName, -1, None, Some(exception.getMessage)))
+    queue.add(QueryMetric(funcName, -1, None,
+      Option(exception.getMessage).orElse(Some(exception.toString))))
 
   def snapshot(): Seq[QueryMetric] = queue.iterator().asScala.toSeq
   def clear(): Unit = queue.clear()

@@ -231,11 +231,13 @@ object GeoQueries {
     import spark.implicits._
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
     val maxRings = (1 << level) // whole grid
-    var rings = initRings
+    var rings = math.min(initRings, maxRings)
     var unresolved = knnQueryPoints.map(_._1).toSet
     var resolved = Seq.empty[(Int, Int, Long, Long)] // qid, rnk, doc_id, dist2
+    var lastPass = false
 
-    while (unresolved.nonEmpty && rings <= maxRings) {
+    while (unresolved.nonEmpty && !lastPass) {
+      lastPass = rings >= maxRings
       val wanted = unresolved
       val result = knnJoin(spark, sfDir, k, rings, level)
         .filter(col("qid").isin(wanted.toSeq: _*))
@@ -245,11 +247,11 @@ object GeoQueries {
       val done = byQ.filter { case (_, rows) =>
         rows.length >= k && rows.map(_._4).max <= guard * guard
       }.keySet
-      // queries whose candidate set can't grow anymore are also final
-      val exhausted = if (rings >= maxRings) byQ.keySet -- done else Set.empty[Int]
+      // at maxRings the whole grid was searched — everything left is final
+      val exhausted = if (lastPass) byQ.keySet -- done else Set.empty[Int]
       resolved ++= result.filter(r => done(r._1) || exhausted(r._1))
       unresolved = unresolved -- done -- exhausted
-      rings = math.max(1, rings * 2)
+      rings = math.min(maxRings, math.max(1, rings * 2))
     }
     resolved.toDF("qid", "rnk", "doc_id", "dist2").orderBy(col("qid"), col("rnk"))
   }
@@ -285,7 +287,6 @@ object GeoQueries {
   def uncoveredCells(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val pages = Pages.fromDocuments(spark, sfDir)
-      .withColumn("cell", pageCell(JoinLevel))
     val covered = pipJoin(spark, sfDir).select("doc_id")
     pages.join(covered, Seq("doc_id"), "left_anti")
       .withColumn("cell4", Pages.cellCol(col("ilat"), col("ilon"), 4))

@@ -139,13 +139,20 @@ object TextQueries {
       .persist()
     val inter = size(array_intersect(col("x.shd"), col("y.shd")))
     val uni = size(col("x.shd")) + size(col("y.shd")) - inter
-    pairs
+    val out = pairs
       .join(sh.as("x"), col("d1") === col("x.doc_id"))
       .join(sh.as("y"), col("d2") === col("y.doc_id"))
       .withColumn("jac_m", floor(inter.cast("long") * 1000 / uni).cast("long"))
       .filter(col("jac_m") >= minJacM)
       .select(col("d1"), col("d2"), col("jac_m"))
       .orderBy(col("d1"), col("d2"))
+      .persist()
+    // materialize the (tiny) pair result, then release the big shingle /
+    // signature caches — they must not outlive this query in the session
+    out.count()
+    sig.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 
   /** 16-bit SimHash over token hashes (majority vote per bit). */

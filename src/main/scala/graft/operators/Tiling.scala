@@ -96,19 +96,25 @@ object Tiling {
     * Level-4 boundary arithmetic: xlo = cx*225 exact; ylo = ceil-div. */
   def pixelizedOn(spark: SparkSession, pages: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    val gx = col("ilon") + 1800
-    val gy = col("ilat") + 900
-    val cx = floor(gx * 16 / 3600).cast("long")
-    val cy = floor(gy * 16 / 1800).cast("long")
+    val p = 1 << TileLevel
+    val (gw, gh) = (graft.core.CellIndex.GridW, graft.core.CellIndex.GridH)
+    val gx = col("ilon") + gw / 2
+    val gy = col("ilat") + gh / 2
+    val cx = floor(gx * p / gw).cast("long")
+    val cy = floor(gy * p / gh).cast("long")
+    // ceil-div boundaries, same formula as CellIndex.boundary
+    def lo(c: org.apache.spark.sql.Column, dim: Int) =
+      floor((c * dim + (p - 1)) / p).cast("long")
     pages
-      .withColumn("tile", cy * 16 + cx)
-      .withColumn("xlo", cx * 225)
-      .withColumn("ylo", floor((cy * 1800 + 15) / 16).cast("long"))
-      .withColumn("yhi", floor(((cy + 1) * 1800 + 15) / 16).cast("long"))
-      .withColumn("px", floor((gx - col("xlo")) * W / 225).cast("int"))
+      .withColumn("tile", cy * p + cx)
+      .withColumn("xlo", lo(cx, gw))
+      .withColumn("xhi", lo(cx + 1, gw))
+      .withColumn("ylo", lo(cy, gh))
+      .withColumn("yhi", lo(cy + 1, gh))
+      .withColumn("px", floor((gx - col("xlo")) * W / (col("xhi") - col("xlo"))).cast("int"))
       .withColumn("py", floor((gy - col("ylo")) * H / (col("yhi") - col("ylo"))).cast("int"))
       .withColumn("pxy", (col("py") * W + col("px")).cast("long"))
-      .drop("xlo", "ylo", "yhi")
+      .drop("xlo", "xhi", "ylo", "yhi")
   }
 
   /** Sparse per-pixel counts: the codegen'd hot path. The grouping key is

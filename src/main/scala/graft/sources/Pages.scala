@@ -50,6 +50,12 @@ object Pages {
     s"SELECT doc_id, $sqlUrl AS url, $sqlTsSec AS ts_sec, text, lang, source, n_chars, " +
       s"$sqlIlat AS ilat, $sqlIlon AS ilon FROM documents"
 
+  /** Column twin of Extract.escapeHtml — keeps the byte-identical
+    * extraction invariant even if text contains &, < or > (order matters:
+    * ampersand first). */
+  private def escapeHtmlCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val docId = col("doc_id")
@@ -60,7 +66,7 @@ object Pages {
       (docId * 137 + Epoch).as("ts_sec"),
       concat(
         lit("<html><head><title>d"), docId.cast("string"),
-        lit("</title></head><body><p>"), col("text"),
+        lit("</title></head><body><p>"), escapeHtmlCol(col("text")),
         lit("</p></body></html>")).cast("binary").as("html"),
       col("text"), col("lang"), col("source"), col("n_chars"),
       when(docId % 10 === 0, 405)
@@ -103,7 +109,7 @@ object Pages {
       .withColumn("n_chars", length(col("text")))
       .withColumn("html", concat(
         lit("<html><head><title>d"), col("doc_id").cast("string"),
-        lit("</title></head><body><p>"), col("text"),
+        lit("</title></head><body><p>"), escapeHtmlCol(col("text")),
         lit("</p></body></html>")).cast("binary"))
   }
 

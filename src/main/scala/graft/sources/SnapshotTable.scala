@@ -122,10 +122,10 @@ object SnapshotTable {
       throw new IllegalStateException(s"no CURRENT snapshot under $root"))
     val keep = prunedParts(snap, p)
     val df =
-      if (keep.isEmpty) {
+      if (snap.parts.isEmpty) spark.emptyDataFrame
+      else if (keep.isEmpty) {
         // no matching partitions: empty frame with the table schema
-        val any = spark.read.parquet(snap.parts.head.path)
-        any.limit(0)
+        spark.read.parquet(snap.parts.head.path).limit(0)
       } else spark.read.parquet(keep.map(_.path): _*)
     (df, keep.length, snap.parts.length)
   }

@@ -80,8 +80,10 @@ object StreamingJobs {
             st.getLong(5), st.getLong(6))
           val prev = SnapshotTable.currentSnapshot(root)
           val seq = prev.map(_.seq).getOrElse(0L) + 1
-          SnapshotTable.commitSnapshot(root,
-            Snapshot(seq, 1, prev.map(_.parts).getOrElse(Seq.empty) :+ entry))
+          // idempotent under foreachBatch retries: a re-run batchId
+          // replaces its previous entry (same path) instead of duplicating
+          val kept = prev.map(_.parts).getOrElse(Seq.empty).filterNot(_.path == path)
+          SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, kept :+ entry))
         }
       }
       .trigger(Trigger.AvailableNow())
