@@ -102,19 +102,25 @@ object Tiling {
     val gy = col("ilat") + gh / 2
     val cx = floor(gx * p / gw).cast("long")
     val cy = floor(gy * p / gh).cast("long")
-    // ceil-div boundaries, same formula as CellIndex.boundary
+    // ceil-div boundaries, same formula as CellIndex.boundary; when the
+    // grid divides evenly the stride is a plan-time CONSTANT (divisions by
+    // constants codegen far cheaper than by a per-row column)
     def lo(c: org.apache.spark.sql.Column, dim: Int) =
       floor((c * dim + (p - 1)) / p).cast("long")
-    pages
-      .withColumn("tile", cy * p + cx)
-      .withColumn("xlo", lo(cx, gw))
-      .withColumn("xhi", lo(cx + 1, gw))
-      .withColumn("ylo", lo(cy, gh))
-      .withColumn("yhi", lo(cy + 1, gh))
-      .withColumn("px", floor((gx - col("xlo")) * W / (col("xhi") - col("xlo"))).cast("int"))
-      .withColumn("py", floor((gy - col("ylo")) * H / (col("yhi") - col("ylo"))).cast("int"))
-      .withColumn("pxy", (col("py") * W + col("px")).cast("long"))
-      .drop("xlo", "xhi", "ylo", "yhi")
+    val base = pages.withColumn("tile", cy * p + cx)
+    val withPx =
+      if (gw % p == 0)
+        base.withColumn("px", floor((gx - cx * (gw / p)) * W / (gw / p)).cast("int"))
+      else base.withColumn("xlo", lo(cx, gw)).withColumn("xhi", lo(cx + 1, gw))
+        .withColumn("px", floor((gx - col("xlo")) * W / (col("xhi") - col("xlo"))).cast("int"))
+        .drop("xlo", "xhi")
+    val withPy =
+      if (gh % p == 0)
+        withPx.withColumn("py", floor((gy - cy * (gh / p)) * H / (gh / p)).cast("int"))
+      else withPx.withColumn("ylo", lo(cy, gh)).withColumn("yhi", lo(cy + 1, gh))
+        .withColumn("py", floor((gy - col("ylo")) * H / (col("yhi") - col("ylo"))).cast("int"))
+        .drop("ylo", "yhi")
+    withPy.withColumn("pxy", (col("py") * W + col("px")).cast("long"))
   }
 
   /** Sparse per-pixel counts: the codegen'd hot path. The grouping key is
