@@ -24,6 +24,16 @@ object expressions {
     override def nullable: Boolean = true
   }
 
+  /** Malformed WKT yields NULL instead of killing the job — on 10^12 rows
+    * one corrupt footprint must degrade, not abort. The null then flows
+    * through joins/filters like any SQL null. */
+  @inline private def nullOnBadGeometry[T](body: => T): Any =
+    try body.asInstanceOf[Any] catch {
+      case _: org.locationtech.jts.io.ParseException => null
+      case e: RuntimeException if e.getCause.isInstanceOf[org.locationtech.jts.io.ParseException] => null
+      case _: IllegalArgumentException => null
+    }
+
   /** cell_id(ilat int, ilon int, level int) -> long */
   case class CellIdExpr(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -104,10 +114,12 @@ object expressions {
   case class CellCoverExpr(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+    override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_cover"
-    override protected def nullSafeEval(w: Any, l: Any): Any =
+    override protected def nullSafeEval(w: Any, l: Any): Any = nullOnBadGeometry {
       new GenericArrayData(Geo.cover(w.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int]))
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -116,11 +128,12 @@ object expressions {
   case class CellCoverFracExpr(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+    override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = ArrayType(
       StructType(Seq(StructField("cell", LongType, false), StructField("frac", DoubleType, false))),
       containsNull = false)
     override def prettyName: String = "cell_cover_frac"
-    override protected def nullSafeEval(w: Any, l: Any): Any = {
+    override protected def nullSafeEval(w: Any, l: Any): Any = nullOnBadGeometry {
       val pairs = Geo.coverWithFrac(w.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int])
       new GenericArrayData(pairs.map { case (c, f) => InternalRow(c, f) })
     }
@@ -156,10 +169,12 @@ object expressions {
   case class CoverageFracExpr(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+    override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = DoubleType
     override def prettyName: String = "coverage_frac"
-    override protected def nullSafeEval(c: Any, w: Any): Any =
+    override protected def nullSafeEval(c: Any, w: Any): Any = nullOnBadGeometry {
       Geo.coverageFrac(c.asInstanceOf[Long], w.asInstanceOf[UTF8String].toString)
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -168,10 +183,12 @@ object expressions {
   case class ContainsPointExpr(first: Expression, second: Expression, third: Expression)
       extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+    override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = BooleanType
     override def prettyName: String = "contains_point"
-    override protected def nullSafeEval(w: Any, a: Any, o: Any): Any =
+    override protected def nullSafeEval(w: Any, a: Any, o: Any): Any = nullOnBadGeometry {
       Geo.containsPoint(w.asInstanceOf[UTF8String].toString, a.asInstanceOf[Int], o.asInstanceOf[Int])
+    }
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
       copy(first = f, second = s, third = t)
   }

@@ -94,4 +94,33 @@ object StreamingJobs {
     try q.awaitTermination(120000)
     finally if (q.isActive) q.stop()
   }
+
+  final case class SourceState(nPages: Long, lastTs: Long, maxGap: Long)
+  final case class SourceUpdate(source: String, n_pages: Long, last_ts: Long, max_gap: Long)
+
+  /** H-custom-state — per-source recrawl cadence via mapGroupsWithState:
+    * tracks page count, last crawl ts and the max inter-crawl gap per
+    * source across micro-batches (the GIPS revisit-cadence analog with
+    * explicit keyed state, not a windowed aggregate). */
+  def sourceCadence(pages: DataFrame): org.apache.spark.sql.Dataset[SourceUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("source").as[String], col("ts_sec").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long)], state: GroupState[SourceState]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          val prev = state.getOption.getOrElse(SourceState(0L, Long.MinValue, 0L))
+          var last = prev.lastTs
+          var maxGap = prev.maxGap
+          ts.foreach { t =>
+            if (last != Long.MinValue && t - last > maxGap) maxGap = t - last
+            last = t
+          }
+          val next = SourceState(prev.nPages + ts.length, last, maxGap)
+          state.update(next)
+          SourceUpdate(source, next.nPages, next.lastTs, next.maxGap)
+      }
+  }
 }

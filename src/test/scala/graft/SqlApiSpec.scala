@@ -39,6 +39,15 @@ class SqlApiSpec extends SparkTestBase {
     assert(cover > 0)
   }
 
+  test("malformed WKT degrades to NULL, never kills the job") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT contains_point('NOT A POLYGON', 0, 0) AS a, " +
+        "coverage_frac(CAST(0 AS BIGINT), 'POLYGON ((broken') AS b, " +
+        "cell_cover('GARBAGE WKT', 4) AS c").first()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("typed Dataset boundary: Page case class round-trips") {
     val ds = Pages.typed(spark, sf0001)
     val p = ds.filter(_.doc_id == 0L).head()

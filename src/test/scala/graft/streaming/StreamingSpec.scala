@@ -60,6 +60,25 @@ class StreamingSpec extends SparkTestBase {
     assert(df.count() === 500)
   }
 
+  test("stateful recrawl cadence (mapGroupsWithState) matches batch recompute") {
+    val dir = stageInput()
+    val q = StreamingJobs.sourceCadence(StreamingJobs.pagesStream(spark, dir))
+      .writeStream.outputMode("update").format("memory").queryName("cadence").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest state per source (update mode emits one row per batch; max
+    // n_pages/last_ts is the final state)
+    val got = spark.table("cadence")
+      .groupBy(col("source"))
+      .agg(max(col("n_pages")).as("n_pages"), max(col("last_ts")).as("last_ts"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = Pages.fromDocuments(spark, sf0001)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("ts_sec")).as("last_ts"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   test("foreachBatch sink lands all rows as parquet") {
     val dir = stageInput()
     val out = Files.createTempDirectory("graft-stream-out").toString
