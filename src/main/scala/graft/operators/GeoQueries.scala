@@ -15,8 +15,9 @@ import graft.sources.{Footprints, Pages}
   *
   *  - footprint side is always tiny -> exploded to covering cells and
   *    BROADCAST (no shuffle of the pages side at all for D1);
-  *  - the equi-join key is the Morton cell id, so the join is a hash join
-  *    on a long, never a nested-loop over box predicates;
+  *  - the equi-join key is the cell id (row-major surrogate — pure integer
+  *    arithmetic on the big side), so the join is a hash join on a long,
+  *    never a nested-loop over box predicates;
   *  - the exact geometry check runs only on cell-matched candidates
   *    (classic filter-and-refine);
   *  - for the partitioned variant both sides shuffle once on the cell key
@@ -135,7 +136,7 @@ object GeoQueries {
 
   /** D3 — salted skew join: the hot cell (10% of all pages, FIXTURES.md §3)
     * would make one shuffle partition ~400x the median. Pages get a salt
-    * from the url hash; the (tiny) footprint-cell side is replicated x S.
+    * from the doc-id hash; the (tiny) footprint-cell side is replicated x S.
     * Same result set as the unsalted join — the oracle checks that. */
   def saltedPipJoin(spark: SparkSession, sfDir: String, salts: Int = 16,
       level: Int = JoinLevel): DataFrame =
