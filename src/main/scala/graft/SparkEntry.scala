@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_string_fns" -> ((s, d) => RelationalQueries.stringFns(s, d)),
     "q44_blocked_jaccard" -> ((s, d) => TextQueries.blockedJaccard(s, d)),
     "q45_regex_tokens" -> ((s, d) => TextQueries.regexTokens(s, d)),
+    "q46_ann_ivf" -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

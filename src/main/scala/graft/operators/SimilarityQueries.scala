@@ -100,6 +100,46 @@ object SimilarityQueries {
     pairs.orderBy(col("dist"), col("v1"), col("v2")).limit(topK)
   }
 
+  final val IvfCentroids = 16
+  final val IvfProbes = 4
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `IvfCentroids` vectors act as centroids — assignment-only; a real
+    * deployment would k-means-train them, but deterministic seeds keep the
+    * cross-engine oracle exact), inverted-list assignment by nearest
+    * centroid, multi-probe of the `IvfProbes` nearest lists per query, and
+    * exact quantized-L2 re-rank. All joins are equi-joins on the centroid
+    * id — at corpus scale the inverted lists are the shuffle partitions. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
+    // inverted-list assignment: nearest centroid per vector
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cd", l2(col("qv"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cid"), col("qv"))
+    // probe set: the IvfProbes nearest centroids per query vector
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cd", l2(col("qvec"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfProbes)
+      .select(col("qid"), col("qvec"), col("cid"))
+    // candidates from probed lists, exact re-rank
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    probes.join(assigned, Seq("cid"))
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Bucket histogram — distribution diagnostics for the LSH index. */
   def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)
@@ -132,9 +172,10 @@ object SimilarityQueries {
 
   private val sqlQuant =
     "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT))"
-  private val sqlL2 =
+  private def sqlL2c(a: String, b: String): String =
     "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
-      "i -> (qvec[i+1] - qv[i+1]) * (qvec[i+1] - qv[i+1]))), (a, b) -> a + b)"
+      s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (x, y) -> x + y)"
+  private val sqlL2 = sqlL2c("qvec", "qv")
   private def sqlPlaneDot(b: Int): String =
     "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
       s"i -> qv[i+1] * (((i * 31 + ${b * 17}) % 7) - 3))), (a, b) -> a + b)"
@@ -162,6 +203,16 @@ object SimilarityQueries {
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings) " +
         "SELECT " + sqlBucket + " AS bucket, count(*) AS n_vecs, min(vec_id) AS min_vec " +
         "FROM e GROUP BY 1 ORDER BY bucket"),
+    "q46_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        s"c AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e WHERE vec_id < $IvfCentroids), " +
+        "ad AS (SELECT e.vec_id, c.cid, e.qv, " + sqlL2c("e.qv", "c.cv") + " AS cd FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, cid, qv FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS arn FROM ad) WHERE arn = 1), " +
+        "qd AS (SELECT e.vec_id AS qid, e.qv AS qvec, c.cid, " + sqlL2c("e.qv", "c.cv") + " AS cd FROM e CROSS JOIN c WHERE e.vec_id < 10), " +
+        s"p AS (SELECT qid, qvec, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS prn FROM qd) WHERE prn <= $IvfProbes), " +
+        "d AS (SELECT p.qid, a.vec_id, CAST(" + sqlL2c("p.qvec", "a.qv") + " AS BIGINT) AS dist FROM p JOIN a ON p.cid = a.cid), " +
+        "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM d) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
     "q41_embedding_neardup" ->
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
         "eb AS (SELECT vec_id, qv, " + sqlBucket + " AS bucket FROM e), " +

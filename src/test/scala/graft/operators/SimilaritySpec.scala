@@ -29,6 +29,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(stats.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
   }
 
+  test("IVF multi-probe recall@5 vs brute force, self always found") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = topSets(SimilarityQueries.l2TopK(spark, sf001))
+    val ivf = topSets(SimilarityQueries.ivfTopK(spark, sf001))
+    // the query's own vector is always in its probed list
+    assert(ivf.forall { case (q, s) => s.contains(q) })
+    val recalls = brute.map { case (q, t) => (t & ivf.getOrElse(q, Set())).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall $mean") // random-vector worst case, 4/16 lists probed
+  }
+
+  test("synthetic pages generator is partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    def digest(parts: Int) = graft.sources.Pages.synthetic(spark, 5000, parts)
+      .agg(sum(conv(substring(md5(col("html")), 1, 15), 16, 10).cast("long") % 1000000007L).as("h"),
+        sum(col("ilat").cast("long") * col("doc_id")).as("s")).collect()(0).toSeq
+    assert(digest(3) === digest(11))
+  }
+
   test("float cosine top-k: self-similarity is 1.0 at rank 1") {
     val rows = SimilarityQueries.cosineTopK(spark, sf001).collect()
     val r1 = rows.filter(_.getInt(1) == 1)
