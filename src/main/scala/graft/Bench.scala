@@ -47,9 +47,10 @@ object Bench {
     val parts = cpus.toInt * 4
     def pagesGen = Pages.synthetic(spark, headlineRows, parts)
       .select("doc_id", "ts_sec", "ilat", "ilon")
-    // warm-up pass (codegen + JIT), then best-of-3 measured passes — this
-    // VM's throughput fluctuates ~25% run-to-run, so a single sample
-    // under-reports steady-state capability.
+    // warm-up pass (codegen + JIT), then best-of-N measured passes (3 at
+    // >=8 cores — this VM fluctuates ~25% run-to-run and a single sample
+    // under-reports steady state; 1 below 8 cores to bound wall time, so
+    // treat small-runner numbers as noisy).
     GeoQueries.pipJoinTimelessOn(spark, pagesGen).count()
     Tiling.rasterizeLongOn(spark, pagesGen).count()
     val nSamples = if (cpus.toInt >= 8) 3 else 1 // bound wall time on small runners

@@ -20,23 +20,24 @@ import graft.core.{CellIndex, Extract, Geo}
   */
 object expressions {
 
-  abstract class GraftUnary extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  abstract class GraftUnary extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def nullable: Boolean = true
   }
 
   /** Malformed WKT yields NULL instead of killing the job — on 10^12 rows
-    * one corrupt footprint must degrade, not abort. The null then flows
-    * through joins/filters like any SQL null. */
+    * one corrupt footprint must degrade, not abort. Only GEOMETRY failures
+    * map to null; caller bugs (e.g. an out-of-range level, which is a
+    * plan-time constant) stay fatal so a typo can't silently empty a join. */
   @inline private def nullOnBadGeometry[T](body: => T): Any =
     try body.asInstanceOf[Any] catch {
       case _: org.locationtech.jts.io.ParseException => null
+      case _: org.locationtech.jts.geom.TopologyException => null
       case e: RuntimeException if e.getCause.isInstanceOf[org.locationtech.jts.io.ParseException] => null
-      case _: IllegalArgumentException => null
     }
 
   /** cell_id(ilat int, ilon int, level int) -> long */
   case class CellIdExpr(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_id"
@@ -48,7 +49,7 @@ object expressions {
 
   /** cell_parent(cell long, level int) -> long */
   case class CellParentExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_parent"
@@ -88,7 +89,7 @@ object expressions {
 
   /** cell_kring(cell long, k int) -> array<long> */
   case class CellKRingExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_kring"
@@ -100,7 +101,7 @@ object expressions {
 
   /** cell_ring_shell(cell long, k int) -> array<long> (exactly-distance-k shell) */
   case class CellRingShellExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_ring_shell"
@@ -112,7 +113,7 @@ object expressions {
 
   /** cell_cover(wkt string, level int) -> array<long> */
   case class CellCoverExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
     override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -126,7 +127,7 @@ object expressions {
 
   /** cell_cover_frac(wkt string, level int) -> array<struct<cell:long, frac:double>> */
   case class CellCoverFracExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
     override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = ArrayType(
@@ -167,7 +168,7 @@ object expressions {
 
   /** coverage_frac(cell long, wkt string) -> double */
   case class CoverageFracExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
     override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = DoubleType
@@ -181,7 +182,7 @@ object expressions {
 
   /** contains_point(wkt string, ilat int, ilon int) -> boolean */
   case class ContainsPointExpr(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
     override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = BooleanType

@@ -97,7 +97,8 @@ object IngestJob {
       .sortBy(e => (e.pCell, e.pDate))
 
     val seq = SnapshotTable.currentSeq(root).getOrElse(0L) + 1
-    SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, stats.toIndexedSeq))
+    val schemaDdl = pages.drop("p_date").schema.toDDL
+    SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, stats.toIndexedSeq, schemaDdl))
     RunReport(jobId, seq, written, skipped, totalRows)
   }
 

@@ -52,6 +52,10 @@ object GeoQueries {
   private def pageCell(level: Int): Column =
     Pages.cellCol(col("ilat"), col("ilon"), level)
 
+  /** Widen footprint validity to forever (bench/synthetic variants). */
+  private def timeless(fp: DataFrame): DataFrame =
+    fp.withColumn("tfrom", lit(0L)).withColumn("tto", lit(Long.MaxValue / 4))
+
   /** D1 — broadcast PIP join: pages x footprint-cover cells, hash join on
     * the cell id, exact box+time refine. Zero shuffle on the pages side. */
   def pipJoin(spark: SparkSession, sfDir: String, level: Int = JoinLevel): DataFrame =
@@ -74,9 +78,7 @@ object GeoQueries {
   def pipJoinTimelessOn(spark: SparkSession, pagesIn: DataFrame,
       level: Int = JoinLevel): DataFrame = {
     GraftFunctions.register(spark)
-    val fp = footprintCells(spark, level)
-      .withColumn("tfrom", lit(0L))
-      .withColumn("tto", lit(Long.MaxValue / 4))
+    val fp = timeless(footprintCells(spark, level))
     pagesIn.withColumn("cell", pageCell(level))
       .join(broadcast(fp), Seq("cell"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
@@ -117,15 +119,13 @@ object GeoQueries {
       .orderBy(col("fp_id"))
 
   def partitionedPipOn(spark: SparkSession, pagesIn: DataFrame, level: Int = JoinLevel,
-      timeless: Boolean = false): DataFrame = {
+      widenTime: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
     val pages = pagesIn
       .withColumn("cell", pageCell(level))
       .repartition(col("cell"))
     val fpCells0 = footprintCells(spark, level)
-    val fpCells = (if (timeless)
-      fpCells0.withColumn("tfrom", lit(0L)).withColumn("tto", lit(Long.MaxValue / 4))
-    else fpCells0).hint("shuffle_merge")
+    val fpCells = (if (widenTime) timeless(fpCells0) else fpCells0).hint("shuffle_merge")
     pages.join(fpCells, Seq("cell"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
         col("ilon").between(col("ilon0"), col("ilon1")) &&
@@ -144,16 +144,14 @@ object GeoQueries {
       .orderBy(col("fp_id"))
 
   def saltedPipJoinOn(spark: SparkSession, pagesIn: DataFrame, salts: Int = 16,
-      level: Int = JoinLevel, timeless: Boolean = false): DataFrame = {
+      level: Int = JoinLevel, widenTime: Boolean = false): DataFrame = {
     GraftFunctions.register(spark)
     val pages = pagesIn
       .withColumn("cell", pageCell(level))
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
     val fpCells0 = footprintCells(spark, level)
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    val fpCells = (if (timeless)
-      fpCells0.withColumn("tfrom", lit(0L)).withColumn("tto", lit(Long.MaxValue / 4))
-    else fpCells0).hint("shuffle_merge")
+    val fpCells = (if (widenTime) timeless(fpCells0) else fpCells0).hint("shuffle_merge")
     pages.repartition(col("cell"), col("salt"))
       .join(fpCells, Seq("cell", "salt"))
       .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&

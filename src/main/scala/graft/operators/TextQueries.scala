@@ -146,13 +146,18 @@ object TextQueries {
       .filter(col("jac_m") >= minJacM)
       .select(col("d1"), col("d2"), col("jac_m"))
       .orderBy(col("d1"), col("d2"))
-      .persist()
-    // materialize the (tiny) pair result, then release the big shingle /
-    // signature caches — they must not outlive this query in the session
-    out.count()
+    // The pair set is dedup OUTPUT — orders of magnitude smaller than the
+    // corpus by construction (band collisions filtered by Jaccard), so
+    // localize it and release the big shingle/signature caches instead of
+    // leaving them pinned for the session. (A production 100 TB run would
+    // write `out` to a sink here instead of localizing.)
+    val rows = out.collect()
+    val schema = out.schema
     sig.unpersist(false)
     sh.unpersist(false)
-    out
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      schema)
   }
 
   /** 16-bit SimHash over token hashes (majority vote per bit). */

@@ -36,7 +36,8 @@ object SnapshotTable {
       minIlat: Int, maxIlat: Int, minIlon: Int, maxIlon: Int,
       minTs: Long, maxTs: Long)
 
-  final case class Snapshot(seq: Long, schemaVer: Int, parts: Seq[PartitionEntry])
+  final case class Snapshot(seq: Long, schemaVer: Int, parts: Seq[PartitionEntry],
+      schemaDdl: String = "")
 
   private val mapper = new ObjectMapper()
 
@@ -55,6 +56,7 @@ object SnapshotTable {
     val m = Map[String, Object](
       "seq" -> java.lang.Long.valueOf(s.seq),
       "schema_ver" -> Integer.valueOf(s.schemaVer),
+      "schema_ddl" -> s.schemaDdl,
       "parts" -> s.parts.map(partToMap).asJava).asJava
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
   }
@@ -69,7 +71,8 @@ object SnapshotTable {
         n.get("min_ilon").asInt(), n.get("max_ilon").asInt(),
         n.get("min_ts").asLong(), n.get("max_ts").asLong())
     }.toSeq
-    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), parts)
+    val ddl = Option(root.get("schema_ddl")).map(_.asText()).getOrElse("")
+    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), parts, ddl)
   }
 
   // ---- snapshot resolution + atomic commit --------------------------------
@@ -122,7 +125,14 @@ object SnapshotTable {
       throw new IllegalStateException(s"no CURRENT snapshot under $root"))
     val keep = prunedParts(snap, p)
     val df =
-      if (snap.parts.isEmpty) spark.emptyDataFrame
+      if (snap.parts.isEmpty) {
+        // zero-part snapshot: reconstruct the typed empty frame from the
+        // recorded schema DDL (same contract as the pruned-to-zero case)
+        if (snap.schemaDdl.nonEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl))
+        else spark.emptyDataFrame
+      }
       else if (keep.isEmpty) {
         // no matching partitions: empty frame with the table schema
         spark.read.parquet(snap.parts.head.path).limit(0)

@@ -17,14 +17,10 @@ import graft.sources.Pages
 object StreamingJobs {
 
   /** Page schema as written by Pages.fromDocuments (streams must declare
-    * schemas — no inference at runtime). */
-  val pageSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("url", StringType),
-    StructField("warc_ts", TimestampType), StructField("ts_sec", LongType),
-    StructField("html", BinaryType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType), StructField("ilat", IntegerType),
-    StructField("ilon", IntegerType)))
+    * schemas — no inference at runtime). Derived from the Page case class
+    * so the row shape has exactly one source of truth. */
+  val pageSchema: StructType =
+    org.apache.spark.sql.Encoders.product[graft.sources.Page].schema
 
   /** H1 — streaming ingest: parquet file source + 1h event-time watermark. */
   def pagesStream(spark: SparkSession, dir: String): DataFrame =
@@ -69,12 +65,15 @@ object StreamingJobs {
         import graft.sources.SnapshotTable
         import graft.sources.SnapshotTable.{PartitionEntry, Snapshot}
         val path = s"$root/data/batch=$batchId"
-        batch.write.mode("overwrite").parquet(path)
-        val st = batch.agg(
+        // stats BEFORE the write (cached, one source evaluation) so empty
+        // batches skip both the orphan dir and the snapshot commit
+        val cached = batch.persist()
+        val st = cached.agg(
           count(lit(1)), min(col("ilat")), max(col("ilat")),
           min(col("ilon")), max(col("ilon")),
           min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
         if (st.getLong(0) > 0) {
+          cached.write.mode("overwrite").parquet(path)
           val entry = PartitionEntry(batchId, "stream", path, st.getLong(0),
             st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
             st.getLong(5), st.getLong(6))
@@ -83,8 +82,11 @@ object StreamingJobs {
           // idempotent under foreachBatch retries: a re-run batchId
           // replaces its previous entry (same path) instead of duplicating
           val kept = prev.map(_.parts).getOrElse(Seq.empty).filterNot(_.path == path)
-          SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, kept :+ entry))
+          SnapshotTable.commitSnapshot(root,
+            Snapshot(seq, 1, kept :+ entry, cached.schema.toDDL))
         }
+        cached.unpersist(false)
+        ()
       }
       .trigger(Trigger.AvailableNow())
 
@@ -114,9 +116,14 @@ object StreamingJobs {
           val prev = state.getOption.getOrElse(SourceState(0L, Long.MinValue, 0L))
           var last = prev.lastTs
           var maxGap = prev.maxGap
+          // late rows (ts <= last crawl seen) are counted but neither
+          // regress last_ts nor fabricate a gap — micro-batches carry no
+          // cross-batch ordering guarantee under the watermark
           ts.foreach { t =>
-            if (last != Long.MinValue && t - last > maxGap) maxGap = t - last
-            last = t
+            if (t > last) {
+              if (last != Long.MinValue && t - last > maxGap) maxGap = t - last
+              last = t
+            }
           }
           val next = SourceState(prev.nPages + ts.length, last, maxGap)
           state.update(next)

@@ -60,10 +60,10 @@ object SkewProbe {
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()
       val plain = graft.operators.GeoQueries
-        .partitionedPipOn(spark, pages, timeless = true).count()
+        .partitionedPipOn(spark, pages, widenTime = true).count()
       val t1 = System.nanoTime()
       val salted = graft.operators.GeoQueries
-        .saltedPipJoinOn(spark, pages, timeless = true).count()
+        .saltedPipJoinOn(spark, pages, widenTime = true).count()
       val t2 = System.nanoTime()
       println(f"run$i aqe=$aqe plainRows=$plain plainSec=${(t1 - t0) / 1e9}%.2f " +
         f"saltedRows=$salted saltedSec=${(t2 - t1) / 1e9}%.2f")
