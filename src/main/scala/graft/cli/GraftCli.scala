@@ -1,0 +1,88 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.jobs.IngestJob
+import graft.operators.{GeoQueries, Tiling}
+import graft.sources.SnapshotTable
+
+/** CLI entry points mirroring the reference's user surface (SURVEY.md §3.1:
+  * gips_inventory / gips_process / gips_project / gips_stats re-imagined):
+  *
+  * {{{
+  * spark-submit --class graft.cli.GraftCli <jar> inventory <sfDir>
+  * spark-submit --class graft.cli.GraftCli <jar> ingest    <sfDir> <tableRoot> <jobId>
+  * spark-submit --class graft.cli.GraftCli <jar> project   <sfDir> <outDir>
+  * spark-submit --class graft.cli.GraftCli <jar> stats     <sfDir>
+  * spark-submit --class graft.cli.GraftCli <jar> snapshots <tableRoot>
+  * }}}
+  *
+  * Local runs: `sbt "runMain graft.cli.GraftCli inventory /root/testdata/sf0.001"`.
+  */
+object GraftCli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val b = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    // under spark-submit the master comes from the launcher; default local
+    val s = (if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println(usage); sys.exit(2) }
+    val spark = session()
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Separated for tests (no session lifecycle, no exit). */
+  def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
+    case "inventory" :: sfDir :: Nil =>
+      // gips_inventory analog: per-footprint coverage calendar
+      GeoQueries.pipInventory(spark, sfDir).show(100, truncate = false)
+    case "ingest" :: sfDir :: root :: jobId :: Nil =>
+      // gips_process analog: raw rows -> archived, partitioned, committed
+      val r = IngestJob.run(spark, sfDir, root, jobId)
+      println(s"ingest: snapshot=${r.snapshotSeq} written=${r.partitionsWritten} " +
+        s"skipped=${r.partitionsSkipped} rows=${r.rows}")
+    case "project" :: sfDir :: outDir :: Nil =>
+      // gips_project analog: tiles rasterized + mosaicked, exported
+      Tiling.mosaicLong(spark, sfDir).write.mode("overwrite").parquet(outDir)
+      println(s"project: wrote mosaic long-form rasters to $outDir")
+    case "stats" :: sfDir :: Nil =>
+      // gips_stats analog: per-tile zonal statistics
+      Tiling.tileStats(spark, sfDir).show(100, truncate = false)
+    case "snapshots" :: root :: Nil =>
+      // table history: every committed snapshot stays readable
+      SnapshotTable.currentSeq(root) match {
+        case None => println(s"no CURRENT snapshot under $root")
+        case Some(cur) =>
+          (1L to cur).foreach { seq =>
+            val p = java.nio.file.Paths.get(root, "meta", s"snap-$seq.json")
+            if (java.nio.file.Files.exists(p)) {
+              val s = SnapshotTable.parseSnapshot(java.nio.file.Files.readString(p))
+              val live = if (seq == cur) " (CURRENT)" else ""
+              println(s"snap-$seq$live: ${s.parts.length} partitions, " +
+                s"${s.parts.map(_.rows).sum} rows")
+            }
+          }
+      }
+    case _ =>
+      println(usage)
+      throw new IllegalArgumentException(s"unknown command: ${args.mkString(" ")}")
+  }
+
+  private val usage: String =
+    """usage: graft.cli.GraftCli <command> <args>
+      |  inventory <sfDir>                per-footprint coverage inventory
+      |  ingest    <sfDir> <root> <jobId> archive pages into the snapshot table (resumable)
+      |  project   <sfDir> <outDir>       rasterize + mosaic tiles, export parquet
+      |  stats     <sfDir>                per-tile zonal statistics
+      |  snapshots <root>                 list committed table snapshots""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.sources.SnapshotTable
+import graft.testutil.SparkTestBase
+
+class GraftCliSpec extends SparkTestBase {
+
+  test("ingest + snapshots + project commands run end to end") {
+    val root = Files.createTempDirectory("graft-cli").toString
+    val out = Files.createTempDirectory("graft-cli-out").toString
+    GraftCli.run(spark, Array("ingest", sf0001, root, "cli1"))
+    assert(SnapshotTable.currentSeq(root) === Some(1L))
+    GraftCli.run(spark, Array("snapshots", root)) // must not throw
+    GraftCli.run(spark, Array("project", sf0001, out))
+    val mosaic = spark.read.parquet(out)
+    assert(mosaic.count() > 0)
+    assert(mosaic.columns.toSeq === Seq("tile", "px", "py", "n"))
+  }
+
+  test("inventory and stats commands run") {
+    GraftCli.run(spark, Array("inventory", sf0001))
+    GraftCli.run(spark, Array("stats", sf0001))
+  }
+
+  test("unknown command fails loudly") {
+    intercept[IllegalArgumentException] {
+      GraftCli.run(spark, Array("frobnicate"))
+    }
+  }
+
+  test("snapshot time travel: both snapshots readable after second ingest") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    GraftCli.run(spark, Array("ingest", sf0001, root, "t1"))
+    GraftCli.run(spark, Array("ingest", sf0001, root, "t2"))
+    assert(SnapshotTable.currentSeq(root) === Some(2L))
+    val s1 = SnapshotTable.parseSnapshot(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "meta", "snap-1.json")))
+    val s2 = SnapshotTable.currentSnapshot(root).get
+    assert(s1.parts.map(_.rows).sum === s2.parts.map(_.rows).sum)
+    assert(s1.schemaDdl === s2.schemaDdl && s1.schemaDdl.nonEmpty)
+  }
+}
