@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_blocked_jaccard" -> ((s, d) => TextQueries.blockedJaccard(s, d)),
     "q45_regex_tokens" -> ((s, d) => TextQueries.regexTokens(s, d)),
     "q46_ann_ivf" -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
+    "q47_winnow" -> ((s, d) => TextQueries.winnowFingerprints(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

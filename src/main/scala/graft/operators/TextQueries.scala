@@ -194,6 +194,29 @@ object TextQueries {
       .orderBy(col("lang"), col("d1"), col("d2"))
   }
 
+  final val WinnowWindow = 4
+
+  /** Winnowing fingerprints (MOSS-style): the distinct local minima of the
+    * shingle-hash sequence over a sliding window — position-robust document
+    * fingerprints whose count is ~2/(w+1) of the shingle count. Two docs
+    * sharing winnowed prints share content even under edits. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = WinnowWindow
+    val base = withShingles(docs(spark, sfDir))
+      .withColumn("h", transform(col("sh"), x => tokHash(x) % P))
+      .filter(size(col("h")) >= w)
+      .withColumn("prints", array_distinct(
+        transform(sequence(lit(0), size(col("h")) - w),
+          i => array_min(slice(col("h"), i + 1, lit(w))))))
+    base
+      .select(col("lang"), col("doc_id"), explode(col("prints")).as("print"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_prints"),
+        countDistinct(col("print")).as("n_distinct_prints"))
+      .orderBy(col("lang"))
+  }
+
   /** BPE-ish token counting: alpha runs, digit runs, and single other
     * chars each count as one token (regex shared with the oracle). */
   def regexTokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -268,6 +291,15 @@ object TextQueries {
         "(len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)))) AS BIGINT) AS jac_m " +
         "FROM s x JOIN s y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id) " +
         "SELECT lang, d1, d2, jac_m FROM p WHERE jac_m >= 150 ORDER BY lang, d1, d2"),
+    "q47_winnow" ->
+      (s"WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, lang, list_transform(range(len(toks) - 2), " +
+        s"j -> ${sqlTokHash("array_to_string(list_slice(toks, j + 1, j + 3), ' ')")} % $P) AS h " +
+        "FROM t WHERE len(toks) >= 3), " +
+        s"p AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(range(len(h) - ${WinnowWindow - 1}), " +
+        s"i -> list_min(list_slice(h, i + 1, i + $WinnowWindow))))) AS prnt FROM s WHERE len(h) >= $WinnowWindow) " +
+        "SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_prints, " +
+        "count(DISTINCT prnt) AS n_distinct_prints FROM p GROUP BY lang ORDER BY lang"),
     "q45_regex_tokens" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re_tok, " +
