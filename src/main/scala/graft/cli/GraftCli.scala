@@ -21,23 +21,9 @@ import graft.sources.SnapshotTable
   */
 object GraftCli {
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val b = SparkSession.builder()
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-    // under spark-submit the master comes from the launcher; default local
-    val s = (if (sys.props.contains("spark.master")) b else b.master(s"local[$cpus]"))
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { println(usage); sys.exit(2) }
-    val spark = session()
+    val spark = graft.util.GraftSession.build("graft")
     try run(spark, args) finally spark.stop()
   }
 

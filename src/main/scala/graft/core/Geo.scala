@@ -24,7 +24,17 @@ object Geo {
 
   def parseWkt(wkt: String): Geometry = {
     if (geomCache.size() > CacheMax) geomCache.clear()
-    geomCache.computeIfAbsent(wkt, w => new WKTReader(gf).read(w))
+    geomCache.computeIfAbsent(wkt, { w =>
+      try new WKTReader(gf).read(w)
+      catch {
+        // JTS reports structural WKT defects (unclosed rings, too-short
+        // linestrings) as IllegalArgumentException from the geometry
+        // factory; normalize them to ParseException so callers have ONE
+        // malformed-input signal (expressions map it to SQL NULL).
+        case e: IllegalArgumentException =>
+          throw new org.locationtech.jts.io.ParseException(e.getMessage)
+      }
+    })
   }
 
   def prepared(wkt: String): PreparedGeometry = {

@@ -71,10 +71,14 @@ object IngestJob {
           if (failAfter.exists(written >= _))
             throw new RuntimeException(s"injected failure after $written buckets")
           val t0 = System.nanoTime()
+          // data paths are versioned by jobId: snapshots from different
+          // jobs never share files (history stays truly immutable), while
+          // a RETRY of the same jobId overwrites its own yet-uncommitted
+          // files — which is exactly the idempotency resume relies on
           pages.filter(col("p_cell") === cell)
             .write.mode(SaveMode.Overwrite)
             .partitionBy("p_date")
-            .parquet(s"$root/data/p_cell=$cell")
+            .parquet(s"$root/data/$jobId/p_cell=$cell")
           SnapshotTable.writeLineage(root,
             Lineage(jobId, cell, rows, (System.nanoTime() - t0) / 1000000, fp))
           written += 1
@@ -90,7 +94,7 @@ object IngestJob {
       .collect()
       .map { r =>
         val (cell, date) = (r.getLong(0), r.getString(1))
-        PartitionEntry(cell, date, s"$root/data/p_cell=$cell/p_date=$date",
+        PartitionEntry(cell, date, s"$root/data/$jobId/p_cell=$cell/p_date=$date",
           r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
           r.getLong(7), r.getLong(8))
       }

@@ -114,13 +114,14 @@ object SimilarityQueries {
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = e.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
-    // inverted-list assignment: nearest centroid per vector
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cd"), col("cid"))
+    // inverted-list assignment: nearest centroid per vector via argmin
+    // aggregation (map-side partial agg; a row_number window here would
+    // shuffle+sort NumCentroids x corpus rows instead of ~corpus rows)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cd", l2(col("qv"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cid"), col("qv"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("qv")), struct(col("cd"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.qv").as("qv"))
     // probe set: the IvfProbes nearest centroids per query vector
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))
     val probes = e.filter(col("vec_id") < nQueries)

@@ -146,18 +146,15 @@ object TextQueries {
       .filter(col("jac_m") >= minJacM)
       .select(col("d1"), col("d2"), col("jac_m"))
       .orderBy(col("d1"), col("d2"))
-    // The pair set is dedup OUTPUT — orders of magnitude smaller than the
-    // corpus by construction (band collisions filtered by Jaccard), so
-    // localize it and release the big shingle/signature caches instead of
-    // leaving them pinned for the session. (A production 100 TB run would
-    // write `out` to a sink here instead of localizing.)
-    val rows = out.collect()
-    val schema = out.schema
+      .persist()
+    // Materialize the pair result (stays DISTRIBUTED — its size is
+    // data-dependent and must not be collected to the driver), then
+    // release the big shingle/signature caches. Only the far smaller pair
+    // cache outlives the call; callers writing to a sink may unpersist it.
+    out.count()
     sig.unpersist(false)
     sh.unpersist(false)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-      schema)
+    out
   }
 
   /** 16-bit SimHash over token hashes (majority vote per bit). */

@@ -30,7 +30,7 @@ class GraftCliSpec extends SparkTestBase {
     }
   }
 
-  test("snapshot time travel: both snapshots readable after second ingest") {
+  test("snapshot time travel: snapshots own disjoint files and snap-1 survives job 2") {
     val root = Files.createTempDirectory("graft-tt").toString
     GraftCli.run(spark, Array("ingest", sf0001, root, "t1"))
     GraftCli.run(spark, Array("ingest", sf0001, root, "t2"))
@@ -38,7 +38,11 @@ class GraftCliSpec extends SparkTestBase {
     val s1 = SnapshotTable.parseSnapshot(
       java.nio.file.Files.readString(java.nio.file.Paths.get(root, "meta", "snap-1.json")))
     val s2 = SnapshotTable.currentSnapshot(root).get
-    assert(s1.parts.map(_.rows).sum === s2.parts.map(_.rows).sum)
+    // true immutability: different jobs never share data paths
+    assert(s1.parts.map(_.path).toSet.intersect(s2.parts.map(_.path).toSet).isEmpty)
     assert(s1.schemaDdl === s2.schemaDdl && s1.schemaDdl.nonEmpty)
+    // the OLD snapshot's files are still fully readable after job 2
+    val snap1Rows = spark.read.parquet(s1.parts.map(_.path): _*).count()
+    assert(snap1Rows === s1.parts.map(_.rows).sum)
   }
 }
