@@ -67,6 +67,7 @@ object SparkEntry {
     "q45_regex_tokens" -> ((s, d) => TextQueries.regexTokens(s, d)),
     "q46_ann_ivf" -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
     "q47_winnow" -> ((s, d) => TextQueries.winnowFingerprints(s, d)),
+    "q48_snapshot_union" -> ((s, d) => RelationalQueries.snapshotUnion(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -206,6 +206,18 @@ object RelationalQueries {
         coalesce(col("source"), lit("ALL")).as("source"), col("n_docs"))
       .orderBy(col("lang"), col("source"))
 
+  /** G3 — union of two overlapping crawl snapshots (multi-sensor union
+    * analog): row totals vs distinct urls across the overlap. */
+  def snapshotUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val snapA = pages.filter(col("doc_id") % 3 =!= 0)
+    val snapB = pages.filter(col("doc_id") % 2 === 0)
+    snapA.unionByName(snapB)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("url")).as("n_urls"))
+      .orderBy(col("lang"))
+  }
+
   /** B6 — string functions: levenshtein / case / substring over sources. */
   def stringFns(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -297,6 +309,10 @@ object RelationalQueries {
     "q40_lang_source_cube" ->
       ("SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source, " +
         "count(*) AS n_docs FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source"),
+    "q48_snapshot_union" ->
+      (s"WITH pages AS (${Pages.oracleCte}), " +
+        "u AS (SELECT * FROM pages WHERE doc_id % 3 <> 0 UNION ALL SELECT * FROM pages WHERE doc_id % 2 = 0) " +
+        "SELECT lang, count(*) AS n_rows, count(DISTINCT url) AS n_urls FROM u GROUP BY lang ORDER BY lang"),
     "q43_string_fns" ->
       ("SELECT lang, CAST(sum(levenshtein(source, 'src0')) AS BIGINT) AS sum_lev, " +
         "count(DISTINCT upper(source)) AS n_sources, " +
