@@ -135,7 +135,8 @@ object TextQueries {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val sh = withShingles(docs(spark, sfDir))
-      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), x => tokHash(x))).as("shd"))
       .persist()
     val inter = size(array_intersect(col("x.shd"), col("y.shd")))
     val uni = size(col("x.shd")) + size(col("y.shd")) - inter
@@ -178,7 +179,8 @@ object TextQueries {
     * key exists; block sizes are bounded so the quadratic term is local. */
   def blockedJaccard(spark: SparkSession, sfDir: String, minJacM: Int = 150): DataFrame = {
     val sh = withShingles(docs(spark, sfDir))
-      .select(col("doc_id"), col("lang"), col("source"), array_distinct(col("sh")).as("shd"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(transform(col("sh"), x => tokHash(x))).as("shd"))
     val inter = size(array_intersect(col("x.shd"), col("y.shd")))
     val uni = size(col("x.shd")) + size(col("y.shd")) - inter
     sh.as("x").join(sh.as("y"),
@@ -199,12 +201,17 @@ object TextQueries {
     * sharing winnowed prints share content even under edits. */
   def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val w = WinnowWindow
+    // let-binding via a singleton transform: the hash array is evaluated
+    // ONCE per row as the lambda argument. Referencing the md5-transform
+    // expression directly inside the window lambda lets Catalyst inline
+    // it per window position — O(shingles^2) md5 calls (measured 113s at
+    // sf0.1 vs ~2s for this shape).
+    val hExpr = transform(col("sh"), x => tokHash(x) % P)
+    val printsExpr = array_distinct(flatten(transform(array(hExpr), hh =>
+      transform(sequence(lit(0), size(hh) - w), i => array_min(slice(hh, i + 1, lit(w)))))))
     val base = withShingles(docs(spark, sfDir))
-      .withColumn("h", transform(col("sh"), x => tokHash(x) % P))
-      .filter(size(col("h")) >= w)
-      .withColumn("prints", array_distinct(
-        transform(sequence(lit(0), size(col("h")) - w),
-          i => array_min(slice(col("h"), i + 1, lit(w))))))
+      .filter(col("n_tok") >= w + 2) // n shingles = n_tok - 2 >= w
+      .withColumn("prints", printsExpr)
     base
       .select(col("lang"), col("doc_id"), explode(col("prints")).as("print"))
       .groupBy(col("lang"))
@@ -262,13 +269,14 @@ object TextQueries {
       (s"WITH $shCte SELECT doc_id, ${(0 until NumSigs).map(sqlSig).mkString(", ")} " +
         "FROM s ORDER BY doc_id"),
     "q29_lsh_neardup" ->
-      (s"WITH $shCte, m AS (SELECT doc_id, sh, ${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
+      (s"WITH $shCte, m AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${sqlTokHash("x")})) AS shd, " +
+        s"${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
         "b AS (SELECT doc_id, md5(CAST(s0 AS VARCHAR) || ':' || CAST(s1 AS VARCHAR)) AS band, 0 AS bi FROM m " +
         "UNION ALL SELECT doc_id, md5(CAST(s2 AS VARCHAR) || ':' || CAST(s3 AS VARCHAR)), 1 FROM m), " +
         "pairs AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2 FROM b b1 " +
         "JOIN b b2 ON b1.band = b2.band AND b1.bi = b2.bi AND b1.doc_id < b2.doc_id), " +
-        "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(list_distinct(m1.sh), list_distinct(m2.sh))) / " +
-        "(len(list_distinct(m1.sh)) + len(list_distinct(m2.sh)) - len(list_intersect(list_distinct(m1.sh), list_distinct(m2.sh))))) AS BIGINT) AS jac_m " +
+        "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / " +
+        "(len(m1.shd) + len(m2.shd) - len(list_intersect(m1.shd, m2.shd)))) AS BIGINT) AS jac_m " +
         "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2) " +
         "SELECT d1, d2, jac_m FROM j WHERE jac_m >= 200 ORDER BY d1, d2"),
     "q30_simhash" ->
@@ -282,7 +290,8 @@ object TextQueries {
     "q44_blocked_jaccard" ->
       ("WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents), " +
         "s AS (SELECT doc_id, lang, source, list_distinct(list_transform(range(len(toks) - 2), " +
-        "j -> array_to_string(list_slice(toks, j + 1, j + 3), ' '))) AS shd FROM t WHERE len(toks) >= 3), " +
+        "j -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, j + 1, j + 3), ' ')), 1, 15)) AS BIGINT))) AS shd " +
+        "FROM t WHERE len(toks) >= 3), " +
         "p AS (SELECT x.lang AS lang, x.doc_id AS d1, y.doc_id AS d2, " +
         "CAST(floor(1000.0 * len(list_intersect(x.shd, y.shd)) / " +
         "(len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)))) AS BIGINT) AS jac_m " +
