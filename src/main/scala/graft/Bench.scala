@@ -37,11 +37,13 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    // 1. query suite
+    // 1. query suite — failures are NAMED in the JSON (a silently dropped
+    // query would over-report health), and excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, _) = try secsOf(fn(spark, sfDir).count()) catch { case _: Throwable => (-1.0, -1L) }
       name -> sec
     }
+    val failed = results.collect { case (name, sec) if sec < 0 => name }
 
     // 2. headline: PIP join + tile assignment over synthetic pages
     val parts = cpus.toInt * 4
@@ -68,8 +70,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}}""")
     spark.stop()
   }
 }
