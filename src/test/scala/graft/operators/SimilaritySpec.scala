@@ -41,6 +41,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.4, s"mean recall $mean") // random-vector worst case, 4/16 lists probed
   }
 
+  test("banded LSH: bounded buckets (max share < 5%), refinement splits oversized bands") {
+    val sf01 = "/root/testdata/sf0.1"
+    val n = spark.read.parquet(s"$sf01/embeddings.parquet").count()
+    val buckets = SimilarityQueries.bandedBucketStats(spark, sf01).collect()
+    val maxShare = buckets.map(_.getLong(2)).max.toDouble / n
+    assert(maxShare < 0.05, s"max bucket share $maxShare")
+    // every vector lands in exactly NumTables buckets
+    assert(buckets.map(_.getLong(2)).sum === n * SimilarityQueries.NumTables)
+    // the refinement path actually fires at sf0.1: some band exceeded the
+    // cap (band_cnt > BucketCap) and was split into sub-keys (key % stride != 0)
+    val refined = buckets.filter(r => r.getLong(3) > SimilarityQueries.BucketCap)
+    assert(refined.nonEmpty, "no band exceeded BucketCap — refinement untested")
+    assert(refined.forall(r => r.getLong(1) % SimilarityQueries.KeyStride != 0L))
+  }
+
+  test("banded near-dup recall@20 vs brute force beats the 16-bucket design") {
+    // deterministic planes + fixed data => recall is a constant per sf.
+    // Measured: 0.50 at sf0.01, 0.55 at sf0.1; the round-1 16-bucket join
+    // measured 0.20/0.25. Assert with a small safety margin.
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityQueries.nearDupBruteForce(spark, sf001))
+    val banded = pairs(SimilarityQueries.nearDupPairs(spark, sf001))
+    val recall = (brute & banded).size.toDouble / brute.size
+    assert(recall >= 0.45, s"recall@20 $recall")
+  }
+
   test("synthetic pages generator is partitioning-invariant") {
     import org.apache.spark.sql.functions._
     def digest(parts: Int) = graft.sources.Pages.synthetic(spark, 5000, parts)
