@@ -40,70 +40,113 @@ object IngestJob {
       .withColumn("p_cell", Pages.cellCol(col("ilat"), col("ilon"), PCellLevel))
       .withColumn("p_date", date_format(col("warc_ts"), "yyyy-MM-dd"))
 
-  /** Deterministic fingerprint of a bucket's input (count + doc_id ranges) —
-    * used to detect stale lineage when inputs change between runs. */
-  private def fingerprint(rows: Long, minDoc: Long, maxDoc: Long, sumDoc: Long): String =
-    s"$rows:$minDoc:$maxDoc:$sumDoc"
+  /** Deterministic fingerprint of a bucket's input (count + doc_id ranges
+    * + content volume) — used to detect stale lineage when inputs change
+    * between runs. The n_chars sum catches same-ids-different-content
+    * edits that id ranges alone would miss. */
+  private def fingerprint(rows: Long, minDoc: Long, maxDoc: Long, sumDoc: Long,
+      sumChars: Long): String =
+    s"$rows:$minDoc:$maxDoc:$sumDoc:$sumChars"
 
   /** Run (or resume) the ingest. `failAfter`: test hook — throw after N
-    * buckets have been written (simulates a mid-job crash). */
+    * buckets have been made durable (simulates a mid-job crash).
+    *
+    * TWO passes over the input, independent of bucket count (the round-1
+    * version ran one filtered scan PER bucket plus two stats scans — ~18
+    * passes at 16 buckets):
+    *
+    *  1. one column-pruned aggregation computes the per-(p_cell, p_date)
+    *     manifest stats AND the per-bucket input fingerprints;
+    *  2. one `partitionBy(pc, p_date)` write covering exactly the stale
+    *     buckets (dynamic partition overwrite — already-durable buckets of
+    *     a crashed attempt survive the resume's write untouched).
+    *
+    * Data paths are versioned by the snapshot seq the run will commit
+    * (`data/<jobId>/a<seq>/`): a crash-before-commit retry recomputes the
+    * same seq and idempotently overwrites only its own uncommitted files,
+    * while a rerun AFTER a commit gets a fresh attempt dir — no path a
+    * committed snapshot references is ever rewritten, so history stays
+    * readable (ADVICE r1). Unchanged buckets keep serving their prior
+    * attempt's files via the lineage dataPath (Iceberg-style file sharing
+    * across snapshots). */
   def run(spark: SparkSession, sfDir: String, root: String, jobId: String,
       failAfter: Option[Int] = None): RunReport = {
     val pages = pagesWithPartitions(spark, sfDir)
 
-    // bucket inventory: tiny (16 rows) driver-side metadata, not data
-    val buckets = pages.groupBy(col("p_cell"))
-      .agg(count(lit(1)).as("rows"), min(col("doc_id")).as("mind"),
-        max(col("doc_id")).as("maxd"), sum(col("doc_id")).as("sumd"))
-      .orderBy(col("p_cell"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), fingerprint(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-
-    var written = 0
-    var skipped = 0
-    var totalRows = 0L
-    buckets.foreach { case (cell, rows, fp) =>
-      totalRows += rows
-      SnapshotTable.readLineage(root, jobId, cell) match {
-        case Some(l) if l.inputFingerprint == fp =>
-          skipped += 1
-        case _ =>
-          if (failAfter.exists(written >= _))
-            throw new RuntimeException(s"injected failure after $written buckets")
-          val t0 = System.nanoTime()
-          // data paths are versioned by jobId: snapshots from different
-          // jobs never share files (history stays truly immutable), while
-          // a RETRY of the same jobId overwrites its own yet-uncommitted
-          // files — which is exactly the idempotency resume relies on
-          pages.filter(col("p_cell") === cell)
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("p_date")
-            .parquet(s"$root/data/$jobId/p_cell=$cell")
-          SnapshotTable.writeLineage(root,
-            Lineage(jobId, cell, rows, (System.nanoTime() - t0) / 1000000, fp))
-          written += 1
-      }
-    }
-
-    // stats per (p_cell, p_date) for the manifest
-    val stats = pages.groupBy(col("p_cell"), col("p_date"))
+    // pass 1 — single stats aggregation; tiny (bucket x date) metadata rows
+    val cellDate = pages.groupBy(col("p_cell"), col("p_date"))
       .agg(count(lit(1)).as("rows"),
         min(col("ilat")).as("mina"), max(col("ilat")).as("maxa"),
         min(col("ilon")).as("mino"), max(col("ilon")).as("maxo"),
-        min(col("ts_sec")).as("mint"), max(col("ts_sec")).as("maxt"))
+        min(col("ts_sec")).as("mint"), max(col("ts_sec")).as("maxt"),
+        min(col("doc_id")).as("mind"), max(col("doc_id")).as("maxd"),
+        sum(col("doc_id")).as("sumd"), sum(col("n_chars")).as("sumc"))
       .collect()
+
+    // per-bucket fingerprints: driver-side fold of the stats rows
+    val byCell: Seq[(Long, Long, String)] = cellDate.groupBy(_.getLong(0)).toSeq
+      .map { case (cell, rs) =>
+        val rows = rs.map(_.getLong(2)).sum
+        (cell, rows, fingerprint(rows, rs.map(_.getLong(9)).min,
+          rs.map(_.getLong(10)).max, rs.map(_.getLong(11)).sum,
+          rs.map(_.getLong(12)).sum))
+      }
+      .sortBy(_._1)
+
+    val seq = SnapshotTable.currentSeq(root).getOrElse(0L) + 1
+    val attemptDir = s"$root/data/$jobId/a$seq"
+
+    val priorLineage: Map[Long, Lineage] = byCell.flatMap { case (cell, _, _) =>
+      SnapshotTable.readLineage(root, jobId, cell).map(cell -> _)
+    }.toMap
+    val fresh = byCell.filter { case (cell, _, fp) =>
+      !priorLineage.get(cell).exists(_.inputFingerprint == fp)
+    }
+    val skipped = byCell.size - fresh.size
+    // test hook: make only the first N stale buckets durable, then crash
+    val stale = failAfter.fold(fresh)(n => fresh.take(n))
+
+    if (stale.nonEmpty) {
+      val t0 = System.nanoTime()
+      // pass 2 — ONE write job for every stale bucket. `pc` duplicates
+      // p_cell as the partition column so p_cell itself stays a DATA
+      // column in the files (the table schema readers see is stable).
+      pages.filter(col("p_cell").isin(stale.map(_._1): _*))
+        .withColumn("pc", col("p_cell"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pc", "p_date")
+        .parquet(attemptDir)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      // bucket-level lineage marks durability; wallMs is the write job's
+      // wall (one job writes all stale buckets — attempt-level metric)
+      stale.foreach { case (cell, rows, fp) =>
+        SnapshotTable.writeLineage(root,
+          Lineage(jobId, cell, rows, wallMs, fp, s"$attemptDir/pc=$cell"))
+      }
+    }
+    failAfter.foreach { n =>
+      if (fresh.size > n) throw new RuntimeException(s"injected failure after $n buckets")
+    }
+
+    // manifest: stats from pass 1, paths from the (just-written or prior)
+    // bucket lineage — snapshots may span attempts
+    val cellPath: Map[Long, String] =
+      stale.map { case (cell, _, _) => cell -> s"$attemptDir/pc=$cell" }.toMap ++
+        priorLineage.collect { case (cell, l) if l.dataPath.nonEmpty &&
+          !stale.exists(_._1 == cell) => cell -> l.dataPath }
+    val stats = cellDate
       .map { r =>
         val (cell, date) = (r.getLong(0), r.getString(1))
-        PartitionEntry(cell, date, s"$root/data/$jobId/p_cell=$cell/p_date=$date",
+        PartitionEntry(cell, date, s"${cellPath(cell)}/p_date=$date",
           r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
           r.getLong(7), r.getLong(8))
       }
       .sortBy(e => (e.pCell, e.pDate))
 
-    val seq = SnapshotTable.currentSeq(root).getOrElse(0L) + 1
     val schemaDdl = pages.drop("p_date").schema.toDDL
     SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, stats.toIndexedSeq, schemaDdl))
-    RunReport(jobId, seq, written, skipped, totalRows)
+    RunReport(jobId, seq, stale.size, skipped, byCell.map(_._2).sum)
   }
 
   /** G1 — bulk archive fast path: ONE pass, spatially clustered write.

@@ -217,42 +217,48 @@ object GeoQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** D6-exact — adaptive kNN with a termination guard. Rings expand until
-    * the k-th candidate distance proves no point outside the searched ring
-    * can be closer: points beyond Chebyshev cell-ring R are at least
-    * R * minCellDim deci-degree units away, so once
-    * kthDist2 <= (R * minCellDim)^2 the result is exact (SURVEY.md §7 risk
-    * 3: a point in ring r can beat one in ring r-1, so the guard — not the
-    * hit count — decides). Only unresolved query ids (driver-side metadata,
-    * never data) are re-run with a wider ring. */
+  /** D6-exact — two-phase distributed exact kNN, no driver-side loop.
+    *
+    * Phase A: ring-candidate join at `initRings`. A query is PROVABLY
+    * exact iff it found k candidates and its k-th distance is STRICTLY
+    * inside the ring guard — any unsearched point lies beyond Chebyshev
+    * cell-ring `initRings` and is therefore at least initRings*minCellDim
+    * units away (strict `<`, not `<=`: an exact tie at the guard distance
+    * could admit an unsearched point with a smaller doc_id tiebreak —
+    * SURVEY.md §7 risk 3 / ADVICE r1).
+    *
+    * Phase B: queries the guard could not prove fall back to ONE
+    * distributed brute-force pass (query side broadcast). Both the
+    * resolved/unresolved split and the fallback are joins in the SAME
+    * plan — no `.collect()` anywhere between scan and result, so the
+    * query side may be a full table at scale (the round-1 version
+    * rebuilt the frame driver-side per ring pass). At 100 TB the
+    * fallback would re-join at a density-derived wider ring instead of
+    * brute force; with a guard-true initRings both shapes are exact. */
   def knnJoinExact(spark: SparkSession, sfDir: String, k: Int = 5,
       level: Int = 4, initRings: Int = 2): DataFrame = {
-    import spark.implicits._
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
-    val maxRings = (1 << level) // whole grid
-    var rings = math.min(initRings, maxRings)
-    var unresolved = knnQueryPoints.map(_._1).toSet
-    var resolved = Seq.empty[(Int, Int, Long, Long)] // qid, rnk, doc_id, dist2
-    var lastPass = false
-
-    while (unresolved.nonEmpty && !lastPass) {
-      lastPass = rings >= maxRings
-      val wanted = unresolved
-      val result = knnJoin(spark, sfDir, k, rings, level)
-        .filter(col("qid").isin(wanted.toSeq: _*))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      val guard = rings.toLong * minDim
-      val byQ = result.groupBy(_._1)
-      val done = byQ.filter { case (_, rows) =>
-        rows.length >= k && rows.map(_._4).max <= guard * guard
-      }.keySet
-      // at maxRings the whole grid was searched — everything left is final
-      val exhausted = if (lastPass) byQ.keySet -- done else Set.empty[Int]
-      resolved ++= result.filter(r => done(r._1) || exhausted(r._1))
-      unresolved = unresolved -- done -- exhausted
-      rings = math.min(maxRings, math.max(1, rings * 2))
-    }
-    resolved.toDF("qid", "rnk", "doc_id", "dist2").orderBy(col("qid"), col("rnk"))
+    val guard = initRings.toLong * minDim
+    val candidates = knnJoin(spark, sfDir, k, initRings, level)
+    val resolvedQ = candidates.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
+      .filter(col("n") === k && col("kth") < guard * guard)
+      .select(col("qid"))
+    val ringRows = candidates.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
+    val unresolvedQ = knnQueries(spark)
+      .join(broadcast(resolvedQ), Seq("qid"), "left_anti")
+    val pages = Pages.fromDocuments(spark, sfDir).select("doc_id", "ilat", "ilon")
+    val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
+      (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
+    val bruteRows = broadcast(unresolvedQ).crossJoin(pages)
+      .withColumn("dist2", dist.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+    ringRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+      .unionByName(bruteRows)
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** 20 fixed query points (deterministic arithmetic, shared with the

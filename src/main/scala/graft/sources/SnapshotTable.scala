@@ -87,9 +87,26 @@ object SnapshotTable {
   }
 
   def currentSnapshot(root: String): Option[Snapshot] =
-    currentSeq(root).map { seq =>
-      parseSnapshot(Files.readString(Paths.get(root, "meta", s"snap-$seq.json")))
-    }
+    currentSeq(root).flatMap(snapshotAt(root, _))
+
+  /** Time travel: any committed snapshot stays readable by seq (snapshots
+    * are immutable; data files are attempt-versioned and never rewritten
+    * once referenced — see IngestJob). */
+  def snapshotAt(root: String, seq: Long): Option[Snapshot] = {
+    val p = Paths.get(root, "meta", s"snap-$seq.json")
+    if (!Files.exists(p)) None else Some(parseSnapshot(Files.readString(p)))
+  }
+
+  /** All committed snapshot seqs, ascending. */
+  def snapshotSeqs(root: String): Seq[Long] = {
+    val meta = Paths.get(root, "meta")
+    if (!Files.exists(meta)) Seq.empty
+    else Files.list(meta).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
+      .toSeq.sorted
+  }
 
   /** Write snap-<seq>.json and atomically flip CURRENT to it. */
   def commitSnapshot(root: String, snap: Snapshot): Unit = {
@@ -120,9 +137,18 @@ object SnapshotTable {
 
   /** Resolve CURRENT, prune partitions by stats, read only matching files.
     * Returns (dataframe, partitionsRead, partitionsTotal). */
-  def read(spark: SparkSession, root: String, p: Pruning = Pruning()): (DataFrame, Int, Int) = {
-    val snap = currentSnapshot(root).getOrElse(
-      throw new IllegalStateException(s"no CURRENT snapshot under $root"))
+  def read(spark: SparkSession, root: String, p: Pruning = Pruning()): (DataFrame, Int, Int) =
+    readSnapshot(spark, currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $root")), p)
+
+  /** Time-travel read of snapshot `seq` with the same pruning surface. */
+  def readAt(spark: SparkSession, root: String, seq: Long,
+      p: Pruning = Pruning()): (DataFrame, Int, Int) =
+    readSnapshot(spark, snapshotAt(root, seq).getOrElse(
+      throw new IllegalStateException(s"no snapshot $seq under $root")), p)
+
+  private def readSnapshot(spark: SparkSession, snap: Snapshot,
+      p: Pruning): (DataFrame, Int, Int) = {
     val keep = prunedParts(snap, p)
     val df =
       if (snap.parts.isEmpty) {
@@ -142,8 +168,12 @@ object SnapshotTable {
 
   // ---- lineage -------------------------------------------------------------
 
+  /** `dataPath` is the bucket's durable data directory: lineage records
+    * WHERE a bucket landed (attempt-versioned, see IngestJob) as well as
+    * what produced it, so a resume can reference prior attempts' files
+    * without ever rewriting a path a committed snapshot points at. */
   final case class Lineage(jobId: String, pCell: Long, rows: Long, wallMs: Long,
-      inputFingerprint: String)
+      inputFingerprint: String, dataPath: String = "")
 
   def lineagePath(root: String, jobId: String, pCell: Long): Path =
     Paths.get(root, "lineage", jobId, s"cell-$pCell.json")
@@ -154,7 +184,7 @@ object SnapshotTable {
     val m = Map[String, Object](
       "job_id" -> l.jobId, "p_cell" -> java.lang.Long.valueOf(l.pCell),
       "rows" -> java.lang.Long.valueOf(l.rows), "wall_ms" -> java.lang.Long.valueOf(l.wallMs),
-      "input_fingerprint" -> l.inputFingerprint).asJava
+      "input_fingerprint" -> l.inputFingerprint, "data_path" -> l.dataPath).asJava
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
     Files.writeString(tmp, mapper.writeValueAsString(m))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -167,7 +197,8 @@ object SnapshotTable {
       val n = mapper.readTree(Files.readString(p))
       Some(Lineage(n.get("job_id").asText(), n.get("p_cell").asLong(),
         n.get("rows").asLong(), n.get("wall_ms").asLong(),
-        n.get("input_fingerprint").asText()))
+        n.get("input_fingerprint").asText(),
+        Option(n.get("data_path")).map(_.asText()).getOrElse("")))
     }
   }
 

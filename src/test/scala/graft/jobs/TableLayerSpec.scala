@@ -82,6 +82,49 @@ class TableLayerSpec extends SparkTestBase {
     assert(sa.parts.map(p => p.copy(path = "")) === sb.parts.map(p => p.copy(path = "")))
   }
 
+  test("ingest runs a constant number of jobs, independent of bucket count") {
+    val root = tmpRoot("scans")
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try IngestJob.run(spark, sf0001, root, "jobS")
+    finally {
+      // listener bus is async — let queued job-start events land
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(l)
+    }
+    // one stats aggregation + one partitionBy write (each may spawn a
+    // couple of AQE sub-jobs). The round-1 implementation ran one filtered
+    // write PER bucket: ~20 jobs at 16 buckets, growing with bucket count.
+    assert(counter.get() <= 8, s"ingest spawned ${counter.get()} jobs")
+  }
+
+  test("time travel: committed snapshots stay readable after a changed-input rerun") {
+    val root = tmpRoot("tt")
+    IngestJob.run(spark, sf0001, root, "jobT")
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("html_md5", md5(col("html"))).drop("html")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val v1 = digest(SnapshotTable.read(spark, root)._1)
+    // same jobId, different input (same doc_ids, different text): every
+    // bucket fingerprint changes -> full rewrite under a NEW attempt dir
+    val r2 = IngestJob.run(spark, sf001, root, "jobT")
+    assert(r2.partitionsSkipped === 0 && r2.partitionsWritten > 0)
+    assert(SnapshotTable.currentSeq(root) === Some(2L))
+    // snapshot 1 still serves its original bytes (paths never rewritten)
+    assert(digest(SnapshotTable.readAt(spark, root, 1)._1) === v1)
+    // snapshot 2 == a fresh ingest of the new input
+    val rootB = tmpRoot("ttB")
+    IngestJob.run(spark, sf001, rootB, "jobTB")
+    assert(digest(SnapshotTable.readAt(spark, root, 2)._1) ===
+      digest(SnapshotTable.read(spark, rootB)._1))
+    assert(SnapshotTable.snapshotSeqs(root) === Seq(1L, 2L))
+  }
+
   test("snapshot json round-trips") {
     val root = tmpRoot("json")
     IngestJob.run(spark, sf0001, root, "job1")

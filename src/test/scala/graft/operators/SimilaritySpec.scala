@@ -38,7 +38,8 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.forall { case (q, s) => s.contains(q) })
     val recalls = brute.map { case (q, t) => (t & ivf.getOrElse(q, Set())).size.toDouble / t.size }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean recall $mean") // random-vector worst case, 4/16 lists probed
+    // trained sqrt(n) centroids: measured 0.96 at sf0.01 (fixed-16 was 0.74)
+    assert(mean >= 0.85, s"mean recall $mean")
   }
 
   test("banded LSH: bounded buckets (max share < 5%), refinement splits oversized bands") {
