@@ -68,6 +68,8 @@ object SparkEntry {
     "q46_ann_ivf" -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
     "q47_winnow" -> ((s, d) => TextQueries.winnowFingerprints(s, d)),
     "q48_snapshot_union" -> ((s, d) => RelationalQueries.snapshotUnion(s, d)),
+    "q49_coverage_frac" -> ((s, d) => GeoQueries.coverageInventory(s, d)),
+    "q50_snapshot_diff" -> ((s, d) => graft.jobs.IngestJob.snapshotDiff(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -129,5 +131,33 @@ object SparkEntry {
       (s"$P SELECT ${cell(2)} AS cell2, count(*) AS n_pages, " +
         s"count(DISTINCT ${cell(6)}) AS n_subcells FROM pages p " +
         s"GROUP BY ${cell(2)} ORDER BY cell2"),
+    "q49_coverage_frac" -> {
+      // integer twin of the JTS coverage fraction: cells at level L are the
+      // SNAPPED half-open regions [ceil(c*G/p), ceil((c+1)*G/p)) in
+      // deci-degree units (CellIndex.boundary), footprint boxes are
+      // [ilon0, ilon1+1) x [ilat0, ilat1+1); box-box intersection areas
+      // are exact integers, the fraction one IEEE double division.
+      val L = GeoQueries.JoinLevel
+      val p = 1L << L
+      s"$P, cells AS (SELECT CAST(rm.range AS BIGINT) AS cell, " +
+        s"((rm.range % $p) * 3600 + ${p - 1}) // $p - 1800 AS xlo, " +
+        s"(((rm.range % $p) + 1) * 3600 + ${p - 1}) // $p - 1800 AS xhi, " +
+        s"((rm.range // $p) * 1800 + ${p - 1}) // $p - 900 AS ylo, " +
+        s"(((rm.range // $p) + 1) * 1800 + ${p - 1}) // $p - 900 AS yhi " +
+        s"FROM range(0, ${p * p}) rm), " +
+        s"cov AS (SELECT fp.fp_id AS fp_id, c.cell AS cell, " +
+        "CAST(floor((CAST(greatest(0, least(fp.ilon1 + 1, c.xhi) - greatest(fp.ilon0, c.xlo)) * " +
+        "greatest(0, least(fp.ilat1 + 1, c.yhi) - greatest(fp.ilat0, c.ylo)) AS DOUBLE) / " +
+        "CAST((c.xhi - c.xlo) * (c.yhi - c.ylo) AS DOUBLE)) * 1000) AS BIGINT) AS cov_m " +
+        s"FROM $FP CROSS JOIN cells c " +
+        "WHERE least(fp.ilon1 + 1, c.xhi) > greatest(fp.ilon0, c.xlo) " +
+        "AND least(fp.ilat1 + 1, c.yhi) > greatest(fp.ilat0, c.ylo)) " +
+        s"SELECT cov.fp_id AS fp_id, cov.cell AS cell, cov.cov_m AS cov_m, count(*) AS n_pages " +
+        s"FROM cov JOIN pages p ON ${cell(L)} = cov.cell " +
+        "GROUP BY cov.fp_id, cov.cell, cov.cov_m ORDER BY fp_id, cell"
+    },
+    "q50_snapshot_diff" ->
+      (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++ Tiling.oracle
 }

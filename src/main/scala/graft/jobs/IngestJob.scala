@@ -93,7 +93,10 @@ object IngestJob {
       }
       .sortBy(_._1)
 
-    val seq = SnapshotTable.currentSeq(root).getOrElse(0L) + 1
+    // next seq from the committed-manifest list, not CURRENT: a crash
+    // between the manifest CAS and the CURRENT flip must not make the
+    // next run re-claim an already-taken seq
+    val seq = SnapshotTable.snapshotSeqs(root).lastOption.getOrElse(0L) + 1
     val attemptDir = s"$root/data/$jobId/a$seq"
 
     val priorLineage: Map[Long, Lineage] = byCell.flatMap { case (cell, _, _) =>
@@ -164,6 +167,37 @@ object IngestJob {
       .partitionBy("p_cell", "p_date")
       .parquet(s"$root/data")
     spark.read.parquet(s"$root/data").count()
+  }
+
+  /** A2/G-diff — snapshot diff ("what's new since"): builds a two-snapshot
+    * table (snapshot 1 = an earlier partial crawl, snapshot 2 = the full
+    * crawl) through the REAL commit + time-travel machinery, then
+    * anti-joins the two reads — the most common archive question over an
+    * Iceberg-style table, oracle-gated end to end. The anti join is an
+    * equi-join on doc_id: at scale both sides shuffle once on the id (or
+    * co-locate via the shared table layout). */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-snapdiff").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
+    def commit(seq: Long, df: DataFrame): Unit = {
+      val path = s"$root/data/s$seq"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+        min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
+      SnapshotTable.commitSnapshot(root, Snapshot(seq, 1,
+        IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
+          st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
+          st.getLong(5), st.getLong(6))), df.schema.toDDL))
+    }
+    commit(1, pages.filter(col("doc_id") % 3 =!= 0))
+    commit(2, pages)
+    val (snap1, _, _) = SnapshotTable.readAt(spark, root, 1)
+    val (snap2, _, _) = SnapshotTable.readAt(spark, root, 2)
+    snap2.join(snap1.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
   }
 
   /** Pruned inventory over the committed table: partitions overlapping the

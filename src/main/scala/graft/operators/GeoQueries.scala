@@ -301,6 +301,30 @@ object GeoQueries {
       .orderBy(col("cell4"))
   }
 
+  /** C6 — coverage-weighted cell inventory (the vector2tiles %-coverage
+    * output, oracle-gated): every (footprint, covering cell) pair at
+    * `level` with the exact intersection-area fraction in permille, joined
+    * to per-cell page counts. Axis-aligned box footprints over the snapped
+    * integer cell regions make the area math exactly SQL-expressible, so
+    * the JTS-computed fraction is gated against pure integer arithmetic
+    * in DuckDB (closes the one §2 operator that had no DuckDB twin). */
+  def coverageInventory(spark: SparkSession, sfDir: String,
+      level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val fpCov = Footprints.boxesWktDf(spark)
+      .withColumn("mcell", explode(cell_cover(col("wkt"), lit(level))))
+      .withColumn("frac", coverage_frac(col("mcell"), col("wkt")))
+      .filter(col("frac") > 0) // drop boundary-touch cells (zero area)
+      .select(col("fp_id"), cell_rowmajor(col("mcell")).as("cell"),
+        floor(col("frac") * lit(1000.0)).cast("long").as("cov_m"))
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+    pages.join(broadcast(fpCov), Seq("cell"))
+      .groupBy(col("fp_id"), col("cell"), col("cov_m"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("fp_id"), col("cell"))
+  }
+
   /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
     * via cell_parent, reported as row-major surrogates at both levels. */
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {

@@ -108,15 +108,55 @@ object SnapshotTable {
       .toSeq.sorted
   }
 
-  /** Write snap-<seq>.json and atomically flip CURRENT to it. */
+  /** Two writers raced a commit to the same seq; retry with a fresh seq. */
+  final class SnapshotConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Write snap-<seq>.json (CAS: fails if that seq is already committed)
+    * and atomically flip CURRENT to it. The hard-link publish is the
+    * compare-and-swap: two concurrent writers computing the same next seq
+    * can both write their temp manifest, but only one link lands — the
+    * loser gets SnapshotConflictException instead of silently overwriting
+    * (ADVICE r1: the commit path was an unlocked read-modify-write).
+    * CURRENT only ever advances. */
   def commitSnapshot(root: String, snap: Snapshot): Unit = {
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
-    Files.writeString(meta.resolve(s"snap-${snap.seq}.json"), snapshotJson(snap))
-    val tmp = meta.resolve(s".CURRENT.tmp-${snap.seq}")
-    Files.writeString(tmp, s"snap-${snap.seq}.json")
-    Files.move(tmp, meta.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val target = meta.resolve(s"snap-${snap.seq}.json")
+    val tmp = meta.resolve(s".snap-${snap.seq}.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, snapshotJson(snap))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new SnapshotConflictException(
+          s"snapshot ${snap.seq} already committed under $root")
+    }
+    Files.deleteIfExists(tmp)
+    if (!currentSeq(root).exists(_ > snap.seq)) {
+      val cur = meta.resolve(s".CURRENT.tmp-${snap.seq}")
+      Files.writeString(cur, s"snap-${snap.seq}.json")
+      Files.move(cur, meta.resolve("CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Retry loop for contended tables: re-resolve the latest committed seq,
+    * rebuild the snapshot through `build` (which must re-merge against the
+    * now-current state), and commit — the standard optimistic-concurrency
+    * pattern over the CAS above. */
+  def commitWithRetry(root: String, maxRetries: Int = 10)(build: Long => Snapshot): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
+      val snap = build(seq)
+      try { commitSnapshot(root, snap); return snap }
+      catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- pruned read ---------------------------------------------------------
@@ -135,20 +175,35 @@ object SnapshotTable {
       p.dates.forall(ds => ds.contains(e.pDate))
     }
 
+  /** Reader-side schema evolution: step functions keyed by the schema
+    * version they migrate FROM. A snapshot written at schema_ver v is
+    * migrated v -> v+1 -> ... while steps are registered — old snapshots
+    * stay readable through schema changes without rewriting their files
+    * (the Iceberg read-schema-evolution model). */
+  type Migrations = Map[Int, DataFrame => DataFrame]
+
+  def migrate(df: DataFrame, fromVer: Int, migrations: Migrations): DataFrame = {
+    var out = df
+    var v = fromVer
+    while (migrations.contains(v)) { out = migrations(v)(out); v += 1 }
+    out
+  }
+
   /** Resolve CURRENT, prune partitions by stats, read only matching files.
     * Returns (dataframe, partitionsRead, partitionsTotal). */
-  def read(spark: SparkSession, root: String, p: Pruning = Pruning()): (DataFrame, Int, Int) =
+  def read(spark: SparkSession, root: String, p: Pruning = Pruning(),
+      migrations: Migrations = Map.empty): (DataFrame, Int, Int) =
     readSnapshot(spark, currentSnapshot(root).getOrElse(
-      throw new IllegalStateException(s"no CURRENT snapshot under $root")), p)
+      throw new IllegalStateException(s"no CURRENT snapshot under $root")), p, migrations)
 
   /** Time-travel read of snapshot `seq` with the same pruning surface. */
   def readAt(spark: SparkSession, root: String, seq: Long,
-      p: Pruning = Pruning()): (DataFrame, Int, Int) =
+      p: Pruning = Pruning(), migrations: Migrations = Map.empty): (DataFrame, Int, Int) =
     readSnapshot(spark, snapshotAt(root, seq).getOrElse(
-      throw new IllegalStateException(s"no snapshot $seq under $root")), p)
+      throw new IllegalStateException(s"no snapshot $seq under $root")), p, migrations)
 
   private def readSnapshot(spark: SparkSession, snap: Snapshot,
-      p: Pruning): (DataFrame, Int, Int) = {
+      p: Pruning, migrations: Migrations = Map.empty): (DataFrame, Int, Int) = {
     val keep = prunedParts(snap, p)
     val df =
       if (snap.parts.isEmpty) {
@@ -163,7 +218,62 @@ object SnapshotTable {
         // no matching partitions: empty frame with the table schema
         spark.read.parquet(snap.parts.head.path).limit(0)
       } else spark.read.parquet(keep.map(_.path): _*)
-    (df, keep.length, snap.parts.length)
+    (migrate(df, snap.schemaVer, migrations), keep.length, snap.parts.length)
+  }
+
+  // ---- maintenance: snapshot expiration + orphan GC ------------------------
+
+  /** Expire all but the `keep` most recent snapshots, then garbage-collect
+    * data directories no retained snapshot references and lineage records
+    * whose data is gone (a lineage entry pointing at deleted files would
+    * make a resume skip a bucket that no longer exists on disk). Returns
+    * (snapshotsDeleted, dataDirsDeleted). The CURRENT snapshot is always
+    * retained. */
+  def expire(root: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, "must retain at least one snapshot")
+    val seqs = snapshotSeqs(root)
+    val cur = currentSeq(root)
+    val retain = (seqs.takeRight(keep) ++ cur).toSet
+    val drop = seqs.filterNot(retain)
+    drop.foreach(s => Files.deleteIfExists(Paths.get(root, "meta", s"snap-$s.json")))
+
+    // referenced partition leaf dirs, normalized
+    val referenced: Set[Path] = retain.toSeq.flatMap(snapshotAt(root, _))
+      .flatMap(_.parts.map(e => Paths.get(e.path).normalize())).toSet
+    val dataRoot = Paths.get(root, "data")
+    var dirsDeleted = 0
+    if (Files.exists(dataRoot)) {
+      def recursiveDelete(p: Path): Unit = {
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      // a leaf dir = a directory containing data files directly; delete
+      // leaves no retained manifest points at, then prune empty parents
+      val all = Files.walk(dataRoot).iterator().asScala.toSeq
+      val leaves = all.filter(p => Files.isDirectory(p) &&
+        Files.list(p).iterator().asScala.exists(Files.isRegularFile(_)))
+      leaves.filterNot(l => referenced.contains(l.normalize())).foreach { l =>
+        recursiveDelete(l); dirsDeleted += 1
+      }
+      // sweep now-empty directories bottom-up (emptiness re-checked at
+      // deletion time so freshly-emptied parents fall in the same pass)
+      Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (p != dataRoot && Files.isDirectory(p) &&
+          !Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+      }
+    }
+
+    // drop lineage whose durable data was collected
+    val lineageRoot = Paths.get(root, "lineage")
+    if (Files.exists(lineageRoot)) {
+      Files.walk(lineageRoot).iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
+        .foreach { p =>
+          val n = mapper.readTree(Files.readString(p))
+          val dp = Option(n.get("data_path")).map(_.asText()).getOrElse("")
+          if (dp.nonEmpty && !Files.exists(Paths.get(dp))) Files.deleteIfExists(p)
+        }
+    }
+    (drop.length, dirsDeleted)
   }
 
   // ---- lineage -------------------------------------------------------------

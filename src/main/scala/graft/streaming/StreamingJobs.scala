@@ -77,13 +77,17 @@ object StreamingJobs {
           val entry = PartitionEntry(batchId, "stream", path, st.getLong(0),
             st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
             st.getLong(5), st.getLong(6))
-          val prev = SnapshotTable.currentSnapshot(root)
-          val seq = prev.map(_.seq).getOrElse(0L) + 1
-          // idempotent under foreachBatch retries: a re-run batchId
-          // replaces its previous entry (same path) instead of duplicating
-          val kept = prev.map(_.parts).getOrElse(Seq.empty).filterNot(_.path == path)
-          SnapshotTable.commitSnapshot(root,
-            Snapshot(seq, 1, kept :+ entry, cached.schema.toDDL))
+          // optimistic-concurrency commit: the kept-parts merge is rebuilt
+          // against the latest committed snapshot inside the retry loop, so
+          // a concurrent writer's partitions are never dropped. Idempotent
+          // under foreachBatch retries: a re-run batchId replaces its
+          // previous entry (same path) instead of duplicating.
+          SnapshotTable.commitWithRetry(root) { seq =>
+            val prev = if (seq > 1) SnapshotTable.snapshotAt(root, seq - 1) else None
+            val kept = prev.map(_.parts).getOrElse(Seq.empty).filterNot(_.path == path)
+            Snapshot(seq, 1, kept :+ entry, cached.schema.toDDL)
+          }
+          ()
         }
         cached.unpersist(false)
         ()

@@ -125,6 +125,56 @@ class TableLayerSpec extends SparkTestBase {
     assert(SnapshotTable.snapshotSeqs(root) === Seq(1L, 2L))
   }
 
+  test("concurrent commit: second writer on the same seq gets a conflict, retry merges") {
+    val root = tmpRoot("cas")
+    IngestJob.run(spark, sf0001, root, "jobC") // seq 1
+    val base = SnapshotTable.currentSnapshot(root).get
+    // both "writers" computed seq 2; the second CAS must fail, not overwrite
+    SnapshotTable.commitSnapshot(root, base.copy(seq = 2))
+    intercept[SnapshotTable.SnapshotConflictException] {
+      SnapshotTable.commitSnapshot(root, base.copy(seq = 2, parts = Seq.empty))
+    }
+    assert(SnapshotTable.snapshotAt(root, 2).get.parts === base.parts) // winner intact
+    // the loser's retry lands on the next seq with its own parts merged
+    val merged = SnapshotTable.commitWithRetry(root) { seq =>
+      val prev = SnapshotTable.snapshotAt(root, seq - 1).get
+      prev.copy(seq = seq)
+    }
+    assert(merged.seq === 3L)
+    assert(SnapshotTable.currentSeq(root) === Some(3L))
+  }
+
+  test("schema evolution: old snapshots readable through registered migrations") {
+    val root = tmpRoot("evo")
+    IngestJob.run(spark, sf0001, root, "jobE") // written at schema_ver 1
+    // reader is at schema v2: v1 -> v2 adds a fetch_status column
+    val migrations: SnapshotTable.Migrations =
+      Map(1 -> (df => df.withColumn("fetch_status", lit(200))))
+    val (df, _, _) = SnapshotTable.read(spark, root, Pruning(), migrations)
+    assert(df.columns.contains("fetch_status"))
+    assert(df.filter(col("fetch_status") =!= 200).count() === 0)
+    val rows = SnapshotTable.read(spark, root)._1.count()
+    assert(df.count() === rows) // migration is column-only, row-preserving
+  }
+
+  test("expire: old snapshots + unreferenced data GC'd, current stays readable") {
+    val root = tmpRoot("expire")
+    IngestJob.run(spark, sf0001, root, "jobX")          // seq 1 -> attempt a1
+    val rows1 = SnapshotTable.read(spark, root)._1.count()
+    IngestJob.run(spark, sf001, root, "jobX")           // changed input: seq 2 -> a2
+    val rows2 = SnapshotTable.read(spark, root)._1.count()
+    assert(Files.exists(Paths.get(root, "data", "jobX", "a1")))
+    val (snapsDeleted, dirsDeleted) = SnapshotTable.expire(root, keep = 1)
+    assert(snapsDeleted === 1 && dirsDeleted > 0)
+    assert(SnapshotTable.snapshotAt(root, 1).isEmpty)
+    assert(!Files.exists(Paths.get(root, "data", "jobX", "a1"))) // orphaned attempt GC'd
+    assert(SnapshotTable.read(spark, root)._1.count() === rows2) // CURRENT intact
+    assert(rows1 === rows2) // same doc count either way (content differs)
+    // lineage still matches the retained attempt: rerun skips everything
+    val r3 = IngestJob.run(spark, sf001, root, "jobX")
+    assert(r3.partitionsWritten === 0 && r3.partitionsSkipped > 0)
+  }
+
   test("snapshot json round-trips") {
     val root = tmpRoot("json")
     IngestJob.run(spark, sf0001, root, "job1")
