@@ -70,6 +70,9 @@ object SparkEntry {
     "q48_snapshot_union" -> ((s, d) => RelationalQueries.snapshotUnion(s, d)),
     "q49_coverage_frac" -> ((s, d) => GeoQueries.coverageInventory(s, d)),
     "q50_snapshot_diff" -> ((s, d) => graft.jobs.IngestJob.snapshotDiff(s, d)),
+    // no oracle twin (sketch internals are engine-specific): the driver
+    // records a rows-only check; ±5% vs exact is gated in MetricsSpec
+    "q51_hll_distincts" -> ((s, d) => RelationalQueries.cellDistinctsApprox(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -218,6 +218,21 @@ object RelationalQueries {
       .orderBy(col("lang"))
   }
 
+  /** E2-approx — HLL-sketch distincts per level-2 cell: the batch
+    * approx_count_distinct surface. Sketch internals are engine-specific,
+    * so there is no DuckDB hash twin (driver records a rows-only check);
+    * the ±5%-vs-exact tolerance is gated in ScalaTest instead. At scale
+    * this replaces the exact shuffle-heavy countDistinct in q18: the
+    * sketch merges map-side, one pass, bounded memory per group. */
+  def cellDistinctsApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell2", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .groupBy(col("cell2"))
+      .agg(count(lit(1)).as("n_pages"),
+        approx_count_distinct(col("url"), 0.02).as("n_urls_approx"),
+        approx_count_distinct(col("source"), 0.02).as("n_sources_approx"))
+      .orderBy(col("cell2"))
+
   /** B6 — string functions: levenshtein / case / substring over sources. */
   def stringFns(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)

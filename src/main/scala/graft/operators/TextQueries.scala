@@ -95,15 +95,21 @@ object TextQueries {
         j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
   }
 
-  private val NumSigs = 4
+  /** 8 signatures -> 4 bands x 2 rows. The banding s-curve at the 0.2
+    * Jaccard verify threshold: P(candidate | j) = 1 - (1 - j^2)^4, i.e.
+    * 0.59 at j=0.45 and 0.92 at j=0.7 (round 1 shipped 2 bands x 2 rows —
+    * demo-grade 0.36/0.76; more bands sharpen recall at the cost of one
+    * extra shuffle row per band per doc). */
+  private val NumSigs = 8
+  final val NumBands = NumSigs / 2
   /** Universal-hash MinHash families over ONE base md5 hash per shingle:
     * h_i(x) = (A(i) * (h0(x) mod P) + B(i)) mod P. One md5 per shingle
     * total (not per family) — the md5 is the cost driver at scale. */
   private val P = 1000000007L
-  private val HashA = Array(131L, 137L, 139L, 149L)
-  private val HashB = Array(17L, 19L, 23L, 29L)
+  private val HashA = Array(131L, 137L, 139L, 149L, 163L, 167L, 173L, 179L)
+  private val HashB = Array(17L, 19L, 23L, 29L, 41L, 43L, 47L, 53L)
 
-  /** MinHash signatures (4 hash families) over 3-gram shingles. */
+  /** MinHash signatures (8 hash families) over 3-gram shingles. */
   def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
     minhashSigsUnsorted(spark, sfDir).orderBy(col("doc_id"))
 
@@ -115,20 +121,21 @@ object TextQueries {
     base.select(col("doc_id") +: sigs: _*)
   }
 
-  /** MinHash + LSH banding (2 bands x 2 rows) -> candidate pairs ->
+  /** MinHash + LSH banding (4 bands x 2 rows) -> candidate pairs ->
     * exact Jaccard verification over shingle sets. The full near-dup
     * pipeline: at scale the band self-join is an equi-join on the band
     * hash (shuffle on band key), never an all-pairs product. */
   def lshNearDupPairs(spark: SparkSession, sfDir: String, minJacM: Int = 200): DataFrame = {
-    // sig and shingle frames are reused in multiple plan branches (two
+    // sig and shingle frames are reused in multiple plan branches (four
     // bands, two pair sides) — persist so the shingle+hash pipeline runs
     // once, not once per branch.
-    val sig = minhashSigsUnsorted(spark, sfDir)
-      .withColumn("b0", md5(concat(col("s0").cast("string"), lit(":"), col("s1").cast("string"))))
-      .withColumn("b1", md5(concat(col("s2").cast("string"), lit(":"), col("s3").cast("string"))))
-      .persist()
-    val bands = sig.select(col("doc_id"), col("b0").as("band"), lit(0).as("bi"))
-      .unionByName(sig.select(col("doc_id"), col("b1").as("band"), lit(1).as("bi")))
+    val sig = (0 until NumBands).foldLeft(minhashSigsUnsorted(spark, sfDir)) { (df, b) =>
+      df.withColumn(s"b$b", md5(concat(
+        col(s"s${2 * b}").cast("string"), lit(":"), col(s"s${2 * b + 1}").cast("string"))))
+    }.persist()
+    val bands = (0 until NumBands).map(b =>
+      sig.select(col("doc_id"), col(s"b$b").as("band"), lit(b).as("bi")))
+      .reduce(_.unionByName(_))
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bi") === col("y.bi") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -296,8 +303,9 @@ object TextQueries {
     "q29_lsh_neardup" ->
       (s"WITH $shCte, m AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${sqlTokHash("x")})) AS shd, " +
         s"${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
-        "b AS (SELECT doc_id, md5(CAST(s0 AS VARCHAR) || ':' || CAST(s1 AS VARCHAR)) AS band, 0 AS bi FROM m " +
-        "UNION ALL SELECT doc_id, md5(CAST(s2 AS VARCHAR) || ':' || CAST(s3 AS VARCHAR)), 1 FROM m), " +
+        "b AS (" + (0 until NumBands).map(b =>
+          s"SELECT doc_id, md5(CAST(s${2 * b} AS VARCHAR) || ':' || CAST(s${2 * b + 1} AS VARCHAR)) AS band, $b AS bi FROM m")
+          .mkString(" UNION ALL ") + "), " +
         "pairs AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2 FROM b b1 " +
         "JOIN b b2 ON b1.band = b2.band AND b1.bi = b2.bi AND b1.doc_id < b2.doc_id), " +
         "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / " +

@@ -68,4 +68,39 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan.take(1500))
   }
+
+  test("banded near-dup: candidate join is an equi-join on (table, key), never all-pairs") {
+    val plan = SimilarityQueries.nearDupPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+
+  test("band-blocked Jaccard: self-join keyed on the band hash, never all-pairs") {
+    val plan = graft.operators.TextQueries.blockedJaccard(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+  }
+
+  test("exact kNN plan is fully distributed: no collect between scan and result") {
+    // the two-phase plan must be a single lazy DataFrame; building it must
+    // not run any Spark job (the round-1 version collected per ring pass)
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val df = try {
+      val d = GeoQueries.knnJoinExact(spark, sf0001, k = 25, initRings = 1)
+      Thread.sleep(500) // listener bus drain
+      d
+    } finally spark.sparkContext.removeSparkListener(l)
+    // spark.read.parquet runs footer/schema-listing jobs (metadata, not
+    // data); the round-1 ring loop ran full compute+collect jobs per pass
+    assert(counter.get() <= 4, s"plan construction ran ${counter.get()} jobs")
+    assert(df.collect().nonEmpty)
+  }
 }

@@ -43,4 +43,21 @@ class MetricsSpec extends SparkTestBase {
     val (exact, approx) = (r.getLong(0), r.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
   }
+
+  test("q51 grouped HLL (rsd 0.02) within 5% of exact per cell at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    val approx = graft.operators.RelationalQueries.cellDistinctsApprox(spark, sf01)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.sources.Pages.fromDocuments(spark, sf01)
+      .withColumn("cell2", graft.sources.Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .groupBy(col("cell2"))
+      .agg(countDistinct(col("url")).as("u"), countDistinct(col("source")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((cell, (u, s)) <- exact) {
+      val (au, as_) = approx(cell)
+      assert(math.abs(au - u).toDouble / math.max(u, 1) < 0.05, s"cell $cell urls $au vs $u")
+      assert(math.abs(as_ - s).toDouble / math.max(s, 1) < 0.05, s"cell $cell sources $as_ vs $s")
+    }
+  }
 }

@@ -13,7 +13,7 @@ class TextOpsSpec extends SparkTestBase {
     val joined = sigs.join(docs.select("doc_id", "h"), "doc_id")
     // group by content hash: every group must have exactly 1 distinct sig tuple
     val bad = joined.groupBy("h")
-      .agg(countDistinct(struct($"s0", $"s1", $"s2", $"s3")).as("nsig"))
+      .agg(countDistinct(struct((0 until 8).map(i => col(s"s$i")): _*)).as("nsig"))
       .filter($"nsig" > 1).count()
     assert(bad === 0)
   }
