@@ -194,6 +194,50 @@ object expressions {
       copy(first = f, second = s, third = t)
   }
 
+  /** l2_dist(a array<long>, b array<long>) -> long — squared L2 distance
+    * with REAL whole-stage codegen (`doGenCode` emits a tight primitive
+    * loop). The zip_with/aggregate lambda chain it replaces is interpreted
+    * — ~64 boxed higher-order evals per pair, the dominant cost of every
+    * ANN / embedding-near-dup operator once candidate counts grow. This is
+    * the one custom expression that DOES sit on a big side (vector pairs),
+    * so it is the one that earns hand-written codegen (SURVEY.md §4). */
+  case class L2DistExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "l2_dist"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1 }
+      s
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $x.getLong($i) - $y.getLong($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -226,6 +270,7 @@ object GraftFunctions {
     "coverage_frac" -> (e => CoverageFracExpr(e(0), e(1))),
     "contains_point" -> (e => ContainsPointExpr(e(0), e(1), e(2))),
     "extract_text" -> (e => ExtractTextExpr(e(0))),
+    "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
   )
 
   def register(spark: SparkSession): Unit =
@@ -251,4 +296,5 @@ object GraftFunctions {
   def contains_point(wkt: Column, ilat: Column, ilon: Column): Column =
     call_function("contains_point", wkt, ilat, ilon)
   def extract_text(html: Column): Column = call_function("extract_text", html)
+  def l2_dist(a: Column, b: Column): Column = call_function("l2_dist", a, b)
 }

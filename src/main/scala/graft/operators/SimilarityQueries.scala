@@ -27,15 +27,20 @@ object SimilarityQueries {
     * the LSH worst case. More planes only pay off when vectors cluster. */
   final val NumPlanes = 4
 
-  private def emb(spark: SparkSession, sfDir: String) =
+  private def emb(spark: SparkSession, sfDir: String) = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
+  }
 
   /** floor(1000 * x) per element, as BIGINT. */
   private def quantize(v: Column): Column =
     transform(v, e => floor(e.cast("double") * 1000).cast("long"))
 
+  /** Squared L2 over quantized vectors — the codegen'd L2DistExpr (a
+    * zip_with/aggregate lambda chain here is interpreted and dominated
+    * every ANN operator's profile). */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2_dist(a, b)
 
   /** Deterministic integer hyperplane component b,i -> ((i*31 + b*17) % 7) - 3. */
   private def planeDot(qv: Column, b: Int): Column =
@@ -115,27 +120,36 @@ object SimilarityQueries {
     * cycle mod 7) — fine for its 4 planes, useless for 8 tables. The i·b
     * cross term here breaks that cyclic structure; coefficients span
     * [-48, 48]. All indices are >= 100 so the two families never alias. */
-  private def planeDot2(qv: Column, b: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(Dims - 1)),
-        i => element_at(qv, i + lit(1)) *
-          ((i * 73 + lit(b * 151) + i * lit(b * 37)) % 97 - 48)),
-      lit(0L), (acc, x) => acc + x)
+  private val bandPlaneIdx: Seq[Int] =
+    for (t <- 0 until NumTables; i <- 0 until BandPlanes) yield 100 + t * BandPlanes + i
+  private val subPlaneIdx: Seq[Int] =
+    for (t <- 0 until NumTables; i <- 0 until RefinePlanes) yield 1000 + t * RefinePlanes + i
 
-  private def signBits(qv: Column, planeBase: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map(i =>
-      when(planeDot2(qv, planeBase + i) >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-
-  private def bandOf(qv: Column, t: Int): Column = signBits(qv, 100 + t * BandPlanes, BandPlanes)
-  private def subOf(qv: Column, t: Int): Column = signBits(qv, 1000 + t * RefinePlanes, RefinePlanes)
-
-  /** (vec_id, tbl, band, sub, cnt, key) — one row per (vector, table); all
-    * NumTables signatures are computed in a single scan and exploded. */
+  /** (vec_id, tbl, band, sub, cnt, key) — one row per (vector, table).
+    *
+    * Shape note: the obvious per-plane `aggregate(transform(...))` lambda
+    * computes 80 interpreted higher-order evals of 64 elements per vector
+    * (measured ~4s/2k vectors). Instead the vector is posexploded ONCE and
+    * every plane dot becomes a wide codegen'd integer column summed by one
+    * map-side-combinable aggregation (elements of a vector are co-located
+    * after posexplode, so partial agg compresses 64:1 BEFORE any shuffle —
+    * at n vectors the exchange carries ~n rows, not 64n). */
   private def bandedKeys(e: DataFrame): DataFrame = {
+    def coeff(b: Int): Column =
+      (col("pos") * 73 + lit(b * 151) + col("pos") * lit(b * 37)) % 97 - 48
+    val dotCols = (bandPlaneIdx ++ subPlaneIdx).map(b =>
+      sum(col("v") * coeff(b)).as(s"p$b"))
+    val dots = e.select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("vec_id"))
+      .agg(dotCols.head, dotCols.tail: _*)
+    def bits(base: Int, n: Int): Column = (0 until n).map(i =>
+      when(col(s"p${base + i}") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     val tb = explode(array((0 until NumTables).map(t =>
-      struct(lit(t).as("tbl"), bandOf(col("qv"), t).as("band"), subOf(col("qv"), t).as("sub"))): _*))
+      struct(lit(t).as("tbl"),
+        bits(100 + t * BandPlanes, BandPlanes).as("band"),
+        bits(1000 + t * RefinePlanes, RefinePlanes).as("sub"))): _*))
     val wB = Window.partitionBy(col("tbl"), col("band"))
-    e.withColumn("tb", tb)
+    dots.withColumn("tb", tb)
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.band").as("band"), col("tb.sub").as("sub"))
       .withColumn("cnt", count(lit(1)).over(wB))
       .withColumn("key", col("band") * KeyStride +
@@ -148,19 +162,28 @@ object SimilarityQueries {
     * with per-bucket work bounded by BucketCap — the all-pairs term is
     * linear in the corpus, not quadratic. */
   def nearDupPairs(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    // the quantized frame feeds 4 plan branches (both self-join sides, two
+    // verify joins) and the keyed frame feeds 2 — persist so the 80-plane
+    // signature computation runs once per vector, not once per branch
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val keyed = bandedKeys(e).select("vec_id", "tbl", "key")
+      .persist()
+    val keyed = bandedKeys(e).select("vec_id", "tbl", "key").persist()
     val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
       .distinct()
-    pairs
+    val out = pairs
       .join(e.select(col("vec_id").as("v1"), col("qv").as("xq")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("qv").as("yq")), Seq("v2"))
       .select(col("v1"), col("v2"), l2(col("xq"), col("yq")).as("dist"))
       .orderBy(col("dist"), col("v1"), col("v2"))
       .limit(topK)
+      .persist()
+    out.count() // materialize the tiny result, then drop the big caches
+    keyed.unpersist(false)
+    e.unpersist(false)
+    out
   }
 
   /** Banded-table bucket diagnostics (ST gate: max bucket share, refinement
@@ -227,10 +250,14 @@ object SimilarityQueries {
     * partitions. Recall@5 vs brute force: 0.94-0.96 across sfs (the
     * round-1 fixed-16-centroid variant measured 0.74). */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // e feeds k-means, assignment AND the query probes; cents feeds
+    // assignment AND probes — persist both so training runs once, not
+    // once per downstream branch (cents is sqrt(n) rows — metadata-sized)
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist()
     // corpus size: parquet-footer count, metadata not data
     val c = ivfCentroidCount(emb(spark, sfDir).count())
-    val cents = kmeansCentroids(e, c, IvfIters)
+    val cents = kmeansCentroids(e, c, IvfIters).persist()
     // inverted-list assignment: nearest trained centroid per vector
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cd", l2(col("qv"), col("cv")))
@@ -248,12 +275,17 @@ object SimilarityQueries {
       .select(col("qid"), col("qvec"), col("cid"))
     // candidates from probed lists, exact re-rank
     val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    probes.join(assigned, Seq("cid"))
+    val out = probes.join(assigned, Seq("cid"))
       .withColumn("dist", l2(col("qvec"), col("qv")))
       .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
       .orderBy(col("qid"), col("rnk"))
+      .persist()
+    out.count() // materialize the tiny result, then drop the big caches
+    cents.unpersist(false)
+    e.unpersist(false)
+    out
   }
 
   /** Bucket histogram — distribution diagnostics for the LSH index. */
