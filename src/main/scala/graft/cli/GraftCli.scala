@@ -59,6 +59,21 @@ object GraftCli {
             }
           }
       }
+    case "read-at" :: root :: seq :: Nil =>
+      // time travel: any committed snapshot stays readable by seq
+      val (df, kept, total) = SnapshotTable.readAt(spark, root, seq.toLong)
+      println(s"snapshot $seq: ${df.count()} rows from $kept/$total partitions")
+    case "diff" :: root :: a :: b :: Nil =>
+      // inventory diff ("what changed between snapshots") keyed on doc_id
+      val (da, _, _) = SnapshotTable.readAt(spark, root, a.toLong)
+      val (db, _, _) = SnapshotTable.readAt(spark, root, b.toLong)
+      val added = db.join(da.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      val removed = da.join(db.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      println(s"diff $a -> $b: +$added rows, -$removed rows")
+    case "expire" :: root :: keep :: Nil =>
+      // snapshot maintenance: drop old manifests, GC unreferenced data
+      val (snaps, dirs) = SnapshotTable.expire(root, keep.toInt)
+      println(s"expire: deleted $snaps snapshots, $dirs data dirs")
     case _ =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${args.mkString(" ")}")
@@ -70,5 +85,8 @@ object GraftCli {
       |  ingest    <sfDir> <root> <jobId> archive pages into the snapshot table (resumable)
       |  project   <sfDir> <outDir>       rasterize + mosaic tiles, export parquet
       |  stats     <sfDir>                per-tile zonal statistics
-      |  snapshots <root>                 list committed table snapshots""".stripMargin
+      |  snapshots <root>                 list committed table snapshots
+      |  read-at   <root> <seq>           time-travel read of snapshot <seq>
+      |  diff      <root> <seqA> <seqB>   row diff between two snapshots
+      |  expire    <root> <keep>          drop old snapshots + GC unreferenced data""".stripMargin
 }

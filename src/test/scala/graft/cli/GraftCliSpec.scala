@@ -30,6 +30,17 @@ class GraftCliSpec extends SparkTestBase {
     }
   }
 
+  test("read-at / diff / expire commands run end to end") {
+    val root = Files.createTempDirectory("graft-cli-tt").toString
+    GraftCli.run(spark, Array("ingest", sf0001, root, "m1"))
+    GraftCli.run(spark, Array("ingest", sf001, root, "m1")) // changed input -> seq 2
+    GraftCli.run(spark, Array("read-at", root, "1"))
+    GraftCli.run(spark, Array("diff", root, "1", "2"))
+    GraftCli.run(spark, Array("expire", root, "1"))
+    assert(SnapshotTable.snapshotAt(root, 1).isEmpty)
+    GraftCli.run(spark, Array("read-at", root, "2")) // CURRENT still readable
+  }
+
   test("snapshot time travel: snapshots own disjoint files and snap-1 survives job 2") {
     val root = Files.createTempDirectory("graft-tt").toString
     GraftCli.run(spark, Array("ingest", sf0001, root, "t1"))
