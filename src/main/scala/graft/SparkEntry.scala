@@ -73,6 +73,8 @@ object SparkEntry {
     // no oracle twin (sketch internals are engine-specific): the driver
     // records a rows-only check; ±5% vs exact is gated in MetricsSpec
     "q51_hll_distincts" -> ((s, d) => RelationalQueries.cellDistinctsApprox(s, d)),
+    "q52_band_math" -> ((s, d) => Tiling.bandMathLong(s, d)),
+    "q53_pyramid" -> ((s, d) => Tiling.pyramidLong(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

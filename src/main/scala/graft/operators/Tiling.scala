@@ -178,6 +178,47 @@ object Tiling {
       .orderBy(col("tile"), col("py"), col("px"))
   }
 
+  /** Band math (the gips products analog — NDVI-style per-pixel arithmetic
+    * between two co-registered bands): band 1 = all pages, band 2 = English
+    * pages, output = per-pixel density ratio in permille. ONE conditional
+    * aggregation pass builds both bands (no self-join of two rasters), so
+    * the shuffle carries one row per non-empty pixel. */
+  def bandMathLong(spark: SparkSession, sfDir: String): DataFrame =
+    pixelized(spark, sfDir)
+      .groupBy(col("tile"), col("pxy"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .withColumn("ratio_m", floor(col("n_en") * 1000 / col("n_all")).cast("long"))
+      .select(col("tile"), (col("pxy") % W).cast("int").as("px"),
+        (col("pxy") / W).cast("int").as("py"), col("n_all"), col("n_en"), col("ratio_m"))
+      .orderBy(col("tile"), col("py"), col("px"))
+
+  /** Pyramid / overview build (gips tile-pyramid analog): the level-4
+    * raster downsampled one level — 2x2 child tiles collapse into one
+    * parent tile at the same W x H resolution (each parent pixel sums a
+    * 2x2 child-pixel block). Built FROM the sparse raster, not raw pages:
+    * the input is already <= W*H rows per tile, so overview levels cost a
+    * fraction of the base rasterization no matter the corpus size. */
+  def pyramidLong(spark: SparkSession, sfDir: String): DataFrame =
+    pyramidLongOn(spark, Pages.fromDocuments(spark, sfDir))
+
+  def pyramidLongOn(spark: SparkSession, pages: DataFrame): DataFrame = {
+    val p = 1 << TileLevel
+    val cx = col("tile") % p
+    val cy = floor(col("tile") / p).cast("long")
+    val px = (col("pxy") % W).cast("int")
+    val py = (col("pxy") / W).cast("int")
+    sparseCounts(spark, pages)
+      .select(
+        (floor(cy / 2).cast("long") * (p / 2) + floor(cx / 2).cast("long")).as("ptile"),
+        floor(((cx % 2).cast("int") * W + px) / 2).cast("int").as("px"),
+        floor(((cy % 2).cast("int") * H + py) / 2).cast("int").as("py"),
+        col("n"))
+      .groupBy(col("ptile"), col("px"), col("py"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("ptile"), col("py"), col("px"))
+  }
+
   /** Zonal stats over rasters (gips_stats analog): per tile, pixel-count
     * distribution summary — exercises the raster -> stats path. */
   def tileStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -207,6 +248,11 @@ object Tiling {
       "CAST(floor((gy - ylo) * 16.0 / (yhi - ylo)) AS INT) AS py FROM pb)"
   }
 
+  /** pixelCte variant that also carries `lang` (band-math twin). */
+  private val pixelCteLang: String =
+    pixelCte.replace("pix AS (SELECT tile, doc_id, ts_sec, ",
+      "pix AS (SELECT tile, doc_id, ts_sec, lang, ")
+
   val oracle: Map[String, String] = Map(
     "q34_rasterize" ->
       (s"WITH pages AS (${Pages.oracleCte}), $pixelCte " +
@@ -224,5 +270,20 @@ object Tiling {
         "r AS (SELECT tile, px, py, count(*) AS n FROM pix GROUP BY tile, px, py) " +
         "SELECT tile, count(*) AS n_pixels, CAST(sum(n) AS BIGINT) AS n_pages, " +
         "max(n) AS max_pixel, min(n) AS min_pixel FROM r GROUP BY tile ORDER BY tile"),
+    "q52_band_math" ->
+      (s"WITH pages AS (${Pages.oracleCte}), $pixelCteLang, " +
+        "b AS (SELECT tile, px, py, count(*) AS n_all, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en " +
+        "FROM pix GROUP BY tile, px, py) " +
+        "SELECT tile, px, py, n_all, n_en, CAST(floor(1000.0 * n_en / n_all) AS BIGINT) AS ratio_m " +
+        "FROM b ORDER BY tile, py, px"),
+    "q53_pyramid" ->
+      (s"WITH pages AS (${Pages.oracleCte}), $pixelCte, " +
+        "r AS (SELECT tile, px, py, count(*) AS n FROM pix GROUP BY tile, px, py), " +
+        "u AS (SELECT CAST((tile // 16) // 2 AS BIGINT) * 8 + (tile % 16) // 2 AS ptile, " +
+        "CAST(((tile % 16) % 2 * 16 + px) // 2 AS INT) AS px, " +
+        "CAST(((tile // 16) % 2 * 16 + py) // 2 AS INT) AS py, n FROM r) " +
+        "SELECT ptile, px, py, CAST(sum(n) AS BIGINT) AS n FROM u " +
+        "GROUP BY ptile, px, py ORDER BY ptile, py, px"),
   )
 }

@@ -247,12 +247,17 @@ object SnapshotTable {
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
       // a leaf dir = a directory containing data files directly; delete
-      // leaves no retained manifest points at, then prune empty parents
+      // leaves no retained manifest points at. A dir can hold data files
+      // AND referenced subdirs (Spark writes _SUCCESS at the write root,
+      // so an attempt dir looks like a leaf) — never delete an ANCESTOR
+      // of a referenced path, only its unreferenced marker files.
       val all = Files.walk(dataRoot).iterator().asScala.toSeq
       val leaves = all.filter(p => Files.isDirectory(p) &&
         Files.list(p).iterator().asScala.exists(Files.isRegularFile(_)))
       leaves.filterNot(l => referenced.contains(l.normalize())).foreach { l =>
-        recursiveDelete(l); dirsDeleted += 1
+        if (!referenced.exists(_.startsWith(l.normalize()))) {
+          recursiveDelete(l); dirsDeleted += 1
+        }
       }
       // sweep now-empty directories bottom-up (emptiness re-checked at
       // deletion time so freshly-emptied parents fall in the same pass)

@@ -175,6 +175,24 @@ class TableLayerSpec extends SparkTestBase {
     assert(r3.partitionsWritten === 0 && r3.partitionsSkipped > 0)
   }
 
+  test("expire keeps referenced partitions when a snapshot spans attempts") {
+    val root = tmpRoot("expire-mixed")
+    IngestJob.run(spark, sf0001, root, "jobM") // seq 1, all buckets in a1
+    // force ONE bucket stale (drop its lineage) -> rerun rewrites just it
+    // under a2 while snapshot 2 keeps referencing the other a1 buckets
+    val lineageDir = Paths.get(root, "lineage", "jobM")
+    val one = Files.list(lineageDir).iterator().next()
+    Files.delete(one)
+    val r2 = IngestJob.run(spark, sf0001, root, "jobM")
+    assert(r2.partitionsWritten === 1 && r2.partitionsSkipped > 0)
+    val before = SnapshotTable.read(spark, root)._1.count()
+    val (snaps, _) = SnapshotTable.expire(root, keep = 1)
+    assert(snaps === 1)
+    // the a1 attempt root holds _SUCCESS (a "leaf" to the walker) AND the
+    // still-referenced bucket dirs — expire must not recurse through it
+    assert(SnapshotTable.read(spark, root)._1.count() === before)
+  }
+
   test("snapshot json round-trips") {
     val root = tmpRoot("json")
     IngestJob.run(spark, sf0001, root, "job1")

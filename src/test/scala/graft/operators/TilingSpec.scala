@@ -60,6 +60,37 @@ class TilingSpec extends SparkTestBase {
     assert(out(3) === 0)
   }
 
+  test("pyramid: 2x2 child-pixel blocks sum into one parent pixel") {
+    import spark.implicits._
+    // the fixture geotag is a Weyl lattice (maximally spread — zero 2x2
+    // collisions at every sf), so the merge path needs crafted points:
+    // two pages in ADJACENT child pixels of the same block, one elsewhere.
+    // Level-4 tile (cx=8, cy=8) spans ilon [0,225) x ilat ~[0,112); pixel
+    // width is 225/16 ~ 14 -> ilon 0 and 15 land in px 0 and 1, both
+    // halving to parent px 0. cy=8 is even and px 0,1 share a block.
+    val pages = Seq((1L, 0, 0), (2L, 0, 15), (3L, 0, 100))
+      .toDF("doc_id", "ilat", "ilon")
+    val out = Tiling.pyramidLongOn(spark, pages)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // docs 1+2 merge (n=2); doc 3 is a separate parent pixel
+    assert(out.count(_._4 == 2L) === 1, out.mkString(", "))
+    assert(out.map(_._4).sum === 3L)
+    // totals preserved vs the base raster on the real fixture too
+    val base = Tiling.rasterizeLong(spark, sf001).agg(sum("n")).collect()(0).getLong(0)
+    val pyr = Tiling.pyramidLong(spark, sf001).agg(sum("n")).collect()(0).getLong(0)
+    assert(base === pyr)
+  }
+
+  test("band math: ratio bounded and bands consistent") {
+    val rows = Tiling.bandMathLong(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (all, en, ratio) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(en <= all && ratio >= 0 && ratio <= 1000)
+      assert(ratio === math.floor(1000.0 * en / all).toLong)
+    }
+  }
+
   test("tile stats: page totals match the raw table") {
     val total = Tiling.tileStats(spark, sf001).agg(sum(col("n_pages"))).collect()(0).getLong(0)
     val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
