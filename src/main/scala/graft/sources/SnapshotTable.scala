@@ -97,15 +97,26 @@ object SnapshotTable {
     if (!Files.exists(p)) None else Some(parseSnapshot(Files.readString(p)))
   }
 
+  /** Run `f` over a closed-afterwards directory stream (Files.list/walk
+    * leak one fd each until GC otherwise — a maintenance pass over tens of
+    * thousands of partition dirs would hit EMFILE). */
+  private def withList[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def withWalk[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** All committed snapshot seqs, ascending. */
   def snapshotSeqs(root: String): Seq[Long] = {
     val meta = Paths.get(root, "meta")
     if (!Files.exists(meta)) Seq.empty
-    else Files.list(meta).iterator().asScala
-      .map(_.getFileName.toString)
+    else withList(meta)(_.map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
       .map(_.stripPrefix("snap-").stripSuffix(".json").toLong)
-      .toSeq.sorted
+      .toSeq).sorted
   }
 
   /** Two writers raced a commit to the same seq; retry with a fresh seq. */
@@ -132,12 +143,22 @@ object SnapshotTable {
           s"snapshot ${snap.seq} already committed under $root")
     }
     Files.deleteIfExists(tmp)
-    if (!currentSeq(root).exists(_ > snap.seq)) {
-      val cur = meta.resolve(s".CURRENT.tmp-${snap.seq}")
-      Files.writeString(cur, s"snap-${snap.seq}.json")
-      Files.move(cur, meta.resolve("CURRENT"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
+    // CURRENT advance under a file lock: the naked check-then-move was a
+    // race (two CAS winners on different seqs could flip CURRENT backwards)
+    val lockPath = meta.resolve(".CURRENT.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (!currentSeq(root).exists(_ > snap.seq)) {
+          val cur = meta.resolve(s".CURRENT.tmp-${snap.seq}")
+          Files.writeString(cur, s"snap-${snap.seq}.json")
+          Files.move(cur, meta.resolve("CURRENT"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Retry loop for contended tables: re-resolve the latest committed seq,
@@ -228,8 +249,15 @@ object SnapshotTable {
     * whose data is gone (a lineage entry pointing at deleted files would
     * make a resume skip a bucket that no longer exists on disk). Returns
     * (snapshotsDeleted, dataDirsDeleted). The CURRENT snapshot is always
-    * retained. */
-  def expire(root: String, keep: Int): (Int, Int) = {
+    * retained.
+    *
+    * `olderThanMs`: only collect directories last modified at least this
+    * long ago — the orphan-GC grace window (Iceberg's remove_orphan_files
+    * olderThan). An in-flight ingest's freshly written but not-yet-
+    * committed attempt is unreferenced by ANY manifest; without the grace
+    * window a concurrent expire would delete it out from under the commit.
+    * Pass 0 only when no writer can be active. */
+  def expire(root: String, keep: Int, olderThanMs: Long = 0L): (Int, Int) = {
     require(keep >= 1, "must retain at least one snapshot")
     val seqs = snapshotSeqs(root)
     val cur = currentSeq(root)
@@ -240,37 +268,39 @@ object SnapshotTable {
     // referenced partition leaf dirs, normalized
     val referenced: Set[Path] = retain.toSeq.flatMap(snapshotAt(root, _))
       .flatMap(_.parts.map(e => Paths.get(e.path).normalize())).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val dataRoot = Paths.get(root, "data")
     var dirsDeleted = 0
     if (Files.exists(dataRoot)) {
-      def recursiveDelete(p: Path): Unit = {
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
+      def recursiveDelete(p: Path): Unit =
+        withWalk(p)(_.toSeq.reverse.foreach(Files.deleteIfExists(_)))
       // a leaf dir = a directory containing data files directly; delete
-      // leaves no retained manifest points at. A dir can hold data files
-      // AND referenced subdirs (Spark writes _SUCCESS at the write root,
-      // so an attempt dir looks like a leaf) — never delete an ANCESTOR
-      // of a referenced path, only its unreferenced marker files.
-      val all = Files.walk(dataRoot).iterator().asScala.toSeq
-      val leaves = all.filter(p => Files.isDirectory(p) &&
-        Files.list(p).iterator().asScala.exists(Files.isRegularFile(_)))
+      // leaves no retained manifest points at. Two guards: (a) a dir can
+      // hold data files AND referenced subdirs (Spark writes _SUCCESS at
+      // the write root, so an attempt dir looks like a leaf) — never
+      // delete an ANCESTOR of a referenced path; (b) an earlier deletion
+      // may have removed a descendant leaf already — re-check existence
+      // at deletion time (Files.walk on a deleted path throws).
+      val leaves = withWalk(dataRoot)(_.toSeq).filter(p => Files.isDirectory(p) &&
+        withList(p)(_.exists(Files.isRegularFile(_))))
       leaves.filterNot(l => referenced.contains(l.normalize())).foreach { l =>
-        if (!referenced.exists(_.startsWith(l.normalize()))) {
+        if (Files.exists(l) && !referenced.exists(_.startsWith(l.normalize())) &&
+          Files.getLastModifiedTime(l).toMillis <= cutoff) {
           recursiveDelete(l); dirsDeleted += 1
         }
       }
       // sweep now-empty directories bottom-up (emptiness re-checked at
       // deletion time so freshly-emptied parents fall in the same pass)
-      Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
-        if (p != dataRoot && Files.isDirectory(p) &&
-          !Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+      withWalk(dataRoot)(_.toSeq).reverse.foreach { p =>
+        if (p != dataRoot && Files.exists(p) && Files.isDirectory(p) &&
+          withList(p)(!_.hasNext)) Files.deleteIfExists(p)
       }
     }
 
     // drop lineage whose durable data was collected
     val lineageRoot = Paths.get(root, "lineage")
     if (Files.exists(lineageRoot)) {
-      Files.walk(lineageRoot).iterator().asScala.toSeq
+      withWalk(lineageRoot)(_.toSeq)
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
         .foreach { p =>
           val n = mapper.readTree(Files.readString(p))
