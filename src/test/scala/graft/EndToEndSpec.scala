@@ -32,6 +32,48 @@ class EndToEndSpec extends SparkTestBase {
     assert(tiles(fromTable) === tiles(direct))
   }
 
+  test("table lifecycle: ingest -> stream append -> time travel -> expire -> reread") {
+    val root = Files.createTempDirectory("graft-e2e-life").toString
+    // 1. batch ingest commits snapshot 1
+    IngestJob.run(spark, sf0001, root, "life")
+    val batchRows = SnapshotTable.read(spark, root)._1.count()
+    // 2. a streaming micro-batch appends through the SAME table format
+    val streamIn = Files.createTempDirectory("graft-e2e-stream").toString
+    graft.sources.Pages.fromDocuments(spark, sf001).limit(40)
+      .write.mode("overwrite").parquet(streamIn)
+    val q = graft.streaming.StreamingJobs.sinkToSnapshotTable(
+      graft.streaming.StreamingJobs.pagesStream(spark, streamIn), root).start()
+    graft.streaming.StreamingJobs.runToCompletion(q)
+    val curSeq = SnapshotTable.currentSeq(root).get
+    assert(curSeq >= 2L)
+    val merged = SnapshotTable.read(spark, root)._1.count()
+    assert(merged === batchRows + 40)
+    // 3. time travel still serves the pre-stream state
+    assert(SnapshotTable.readAt(spark, root, 1)._1.count() === batchRows)
+    // 4. expire old snapshots; CURRENT keeps the merged view
+    SnapshotTable.expire(root, keep = 1)
+    assert(SnapshotTable.read(spark, root)._1.count() === merged)
+  }
+
+  test("concurrent commits: every writer lands on a distinct seq, CURRENT is the max") {
+    val root = Files.createTempDirectory("graft-e2e-cas").toString
+    IngestJob.run(spark, sf0001, root, "cas")
+    val base = SnapshotTable.currentSnapshot(root).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            SnapshotTable.commitWithRetry(root)(seq => base.copy(seq = seq)).seq
+        })
+      }
+      val seqs = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(seqs.toSet.size === 8, s"duplicate seqs: $seqs") // no lost commit
+      assert(SnapshotTable.currentSeq(root) === Some(seqs.max))
+      assert(SnapshotTable.snapshotSeqs(root) === (1L to 9L))
+    } finally pool.shutdownNow()
+  }
+
   test("pruned snapshot scan feeds the join with identical filtered results") {
     val root = Files.createTempDirectory("graft-e2e2").toString
     IngestJob.run(spark, sf0001, root, "e2e2")
