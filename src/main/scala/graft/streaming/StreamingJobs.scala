@@ -43,6 +43,26 @@ object StreamingJobs {
   def dedupedPages(pages: DataFrame): DataFrame =
     pages.dropDuplicates("url")
 
+  /** H2-geo — streaming PIP inventory: the stream side is keyed by the
+    * same codegen'd cell arithmetic as the batch join and hash-joined
+    * against the BROADCAST footprint covers, then windowed per footprint.
+    * Stream-static broadcast joins need no state store for the static
+    * side — the exact batch D1 shape lifted onto a stream. */
+  def streamingPipInventory(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    val fpCells = graft.operators.GeoQueries.footprintCells(spark)
+    pages
+      .withColumn("cell", Pages.cellCol(col("ilat"), col("ilon"),
+        graft.operators.GeoQueries.JoinLevel))
+      .join(org.apache.spark.sql.functions.broadcast(fpCells), Seq("cell"))
+      .filter(col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+      .groupBy(window(col("warc_ts"), "6 hours"), col("fp_id"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("w_start"), col("fp_id"), col("n_pages"))
+  }
+
   /** H4 — sink: micro-batches appended as parquet via foreachBatch (the
     * same pattern would call IngestJob/SnapshotTable.commit per batch). */
   def sinkToParquet(pages: DataFrame, outDir: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -83,6 +83,26 @@ class PlanShapeSpec extends SparkTestBase {
       plan.take(1500))
   }
 
+  test("suite-wide: no query plans an all-pairs join unless documented") {
+    // Queries ALLOWED a nested-loop/cartesian shape, each deliberate:
+    //  - q31: the brute-force ANN baseline (the re-rank primitive/oracle)
+    //  - q07/q42: kNN query points are a 20-row broadcast literal; the
+    //    brute-force fallback is phase B by design
+    //  - q46: IVF assignment cross-joins against the BROADCAST centroid
+    //    set (sqrt(n) rows — the standard IVF shape)
+    val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"all-pairs joins in: $offenders")
+  }
+
   test("exact kNN plan is fully distributed: no collect between scan and result") {
     // the two-phase plan must be a single lazy DataFrame; building it must
     // not run any Spark job (the round-1 version collected per ring pass)

@@ -3,7 +3,28 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Footprints
 
-class GeoSpec extends AnyFunSuite {
+class GeoSpec extends AnyFunSuite with graft.testutil.Checks {
+
+  test("coverage_frac == exact integer box overlap for arbitrary boxes and cells (property)") {
+    import org.scalacheck.Gen
+    // arbitrary box footprints and cells at any level: the JTS-computed
+    // fraction must equal the pure-integer overlap math the q49 oracle
+    // uses — same double division, bit-for-bit
+    forAll(Gen.choose(-900, 699), Gen.choose(-1800, 1599),
+      Gen.choose(0, 200), Gen.choose(0, 200), Gen.choose(0, 8)) { (la, lo, dh, dw, l) =>
+      val (la1, lo1) = (math.min(la + dh, 899), math.min(lo + dw, 1799))
+      val wkt = Footprints.Box(0, la, lo, la1, lo1, 0L, 0L).wkt
+      val cell = CellIndex.encode(la, lo, l) // a cell guaranteed to intersect
+      val (a0, o0, a1, o1) = CellIndex.boundary(cell)
+      val (cx0, cx1, cy0, cy1) = (o0.toLong, o1 + 1L, a0.toLong, a1 + 1L)
+      val (bx0, bx1, by0, by1) = (lo.toLong, lo1 + 1L, la.toLong, la1 + 1L)
+      val ix = math.max(0L, math.min(bx1, cx1) - math.max(bx0, cx0))
+      val iy = math.max(0L, math.min(by1, cy1) - math.max(by0, cy0))
+      val expected = (ix * iy).toDouble / ((cx1 - cx0) * (cy1 - cy0)).toDouble
+      val got = Geo.coverageFrac(cell, wkt)
+      assert(got == expected, s"cell=$cell box=($la,$lo)-($la1,$lo1) got=$got want=$expected")
+    }
+  }
 
   test("containsPoint: box semantics (half-open region)") {
     val b = Footprints.boxes.head // (400,-749)..(409,-740)

@@ -81,6 +81,28 @@ class TilingSpec extends SparkTestBase {
     assert(base === pyr)
   }
 
+  test("pyramid over random points: every parent pixel sums exactly its child block") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // one Spark run over a scalacheck-generated point batch: parent cell
+    // counts recomputed independently from the raw raster driver-side
+    val gen = Gen.zip(Gen.choose(-900, 899), Gen.choose(-1800, 1799))
+    val pts = (0 until 300).map { i =>
+      val (la, lo) = gen.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(i * 31L + 7))
+      (i.toLong, la, lo)
+    }
+    val df = pts.toDF("doc_id", "ilat", "ilon")
+    val base = Tiling.rasterizeLongOn(spark, df)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val want = base.groupBy { case (tile, px, py, _) =>
+      val (cx, cy) = (tile % 16, tile / 16)
+      ((cy / 2) * 8 + cx / 2, ((cx % 2).toInt * 16 + px) / 2, ((cy % 2).toInt * 16 + py) / 2)
+    }.map { case (k, rs) => (k._1, k._2, k._3, rs.map(_._4).sum) }.toSet
+    val got = Tiling.pyramidLongOn(spark, df)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("band math: ratio bounded and bands consistent") {
     val rows = Tiling.bandMathLong(spark, sf001).collect()
     assert(rows.nonEmpty)

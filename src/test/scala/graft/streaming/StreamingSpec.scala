@@ -34,6 +34,24 @@ class StreamingSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("streaming PIP inventory == batch PIP join windowed the same way") {
+    val dir = stageInput()
+    val q = StreamingJobs.streamingPipInventory(StreamingJobs.pagesStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("pipinv").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pipinv")
+      .orderBy("w_start", "fp_id").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2))).toSeq
+    val want = graft.operators.GeoQueries.pipJoin(spark, sf0001)
+      .groupBy(window(col("warc_ts"), "6 hours"), col("fp_id"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(col("window.start").as("w_start"), col("fp_id"), col("n_pages"))
+      .orderBy("w_start", "fp_id").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
   test("stream dedup: unique urls survive") {
     val dir = stageInput()
     val q = StreamingJobs.dedupedPages(StreamingJobs.pagesStream(spark, dir))
