@@ -82,6 +82,25 @@ class TableLayerSpec extends SparkTestBase {
     assert(sa.parts.map(p => p.copy(path = "")) === sb.parts.map(p => p.copy(path = "")))
   }
 
+  test("resume boundary cases: crash before any bucket and before the last bucket") {
+    val reference = tmpRoot("resume-ref")
+    IngestJob.run(spark, sf0001, reference, "jobRef")
+    def content(root: String) = SnapshotTable.read(spark, root)._1
+      .withColumn("hm", md5(col("html"))).drop("html")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = content(reference)
+    for (n <- Seq(0, 15)) {
+      val root = tmpRoot(s"resume-$n")
+      intercept[RuntimeException] {
+        IngestJob.run(spark, sf0001, root, "jobN", failAfter = Some(n))
+      }
+      assert(SnapshotTable.currentSeq(root).isEmpty)
+      val r = IngestJob.run(spark, sf0001, root, "jobN")
+      assert(r.partitionsSkipped === n && r.partitionsWritten === 16 - n)
+      assert(content(root) === want, s"failAfter=$n")
+    }
+  }
+
   test("ingest runs a constant number of jobs, independent of bucket count") {
     val root = tmpRoot("scans")
     val counter = new java.util.concurrent.atomic.AtomicInteger

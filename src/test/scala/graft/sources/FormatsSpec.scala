@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.testutil.SparkTestBase
+
+class FormatsSpec extends SparkTestBase {
+
+  private def digest(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("url"), col("ts_sec"),
+      md5(col("html")).as("hm"), col("text"), col("lang"), col("source"),
+      col("n_chars"), col("ilat"), col("ilon"))
+    .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+  test("jsonl round-trip preserves every column including html bytes") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val pages = Pages.fromDocuments(spark, sf0001)
+    Formats.writeJsonl(pages, dir)
+    assert(digest(Formats.readJsonl(spark, dir)) === digest(pages))
+  }
+
+  test("csv round-trip preserves every column including html bytes") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val pages = Pages.fromDocuments(spark, sf0001)
+    Formats.writeCsv(pages, dir)
+    assert(digest(Formats.readCsv(spark, dir)) === digest(pages))
+  }
+
+  test("warc-style records: payload bytes exact, text re-derived byte-identically") {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val pages = Pages.fromDocuments(spark, sf0001)
+    Formats.writeWarc(pages, dir)
+    val got = Formats.readWarc(spark, dir)
+    assert(got.count() === pages.count())
+    val want = pages
+      .select(col("doc_id"), col("url"), col("ts_sec"), md5(col("html")).as("hm"), col("text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gotRows = got
+      .select(col("doc_id"), col("url"), col("ts_sec"), md5(col("html")).as("hm"), col("text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // text equality here IS the extract_text(html) == text invariant (B3)
+    assert(gotRows === want)
+  }
+
+  test("a corrupt warc record degrades (dropped), not aborts") {
+    val dir = Files.createTempDirectory("graft-warc-bad").toString
+    val pages = Pages.fromDocuments(spark, sf0001).limit(5)
+    Formats.writeWarc(pages, dir)
+    // append a garbage record file alongside the good ones
+    Files.writeString(java.nio.file.Paths.get(dir, "part-junk.txt"),
+      "not a warc record at all" + Formats.WarcSep)
+    val got = Formats.readWarc(spark, dir)
+    assert(got.count() === 5)
+  }
+}
