@@ -149,10 +149,17 @@ object IngestJob {
 
     val schemaDdl = pages.drop("p_date").schema.toDDL
     // optimistic commit: if a concurrent writer (e.g. a streaming sink on
-    // the same root) claimed this seq, re-commit the same durable attempt
-    // paths at the next seq instead of dying after all the writes landed
+    // the same root) claimed this seq, re-commit at the next seq instead
+    // of dying after all the writes landed. The build closure RE-MERGES
+    // against the latest committed snapshot each attempt (commitWithRetry's
+    // contract): parts from other writers survive, while any prior version
+    // of this ingest's own (p_cell, p_date) partitions is superseded.
+    val ownKeys = stats.map(e => (e.pCell, e.pDate)).toSet
     val committed = SnapshotTable.commitWithRetry(root) { commitSeq =>
-      Snapshot(commitSeq, 1, stats.toIndexedSeq, schemaDdl)
+      val kept = (if (commitSeq > 1) SnapshotTable.snapshotAt(root, commitSeq - 1) else None)
+        .map(_.parts).getOrElse(Seq.empty)
+        .filterNot(p => ownKeys((p.pCell, p.pDate)))
+      Snapshot(commitSeq, 1, (kept ++ stats).toIndexedSeq, schemaDdl)
     }
     RunReport(jobId, committed.seq, stale.size, skipped, byCell.map(_._2).sum)
   }
@@ -182,35 +189,41 @@ object IngestJob {
     * equi-join on doc_id: at scale both sides shuffle once on the id (or
     * co-locate via the shared table layout). */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    // one table per sfDir, built once and reused: the content is a pure
-    // function of the input, so repeated invocations (bench passes, tests)
-    // must not re-write it — or grow the temp dir without bound
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
+    // one table per input CONTENT, built once and reused: repeated
+    // invocations (bench passes, tests) must not re-write it — and a
+    // regenerated fixture at the same path must not serve a stale cache,
+    // so the cache key is a content fingerprint, not the path
+    val fp = pages.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).collect()(0)
+    val key = s"${fp.getLong(0)}-${fp.getLong(1)}-${fp.getLong(2)}"
     val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-snapdiff-${math.abs(sfDir.hashCode)}").toString
+      sys.props("java.io.tmpdir"), s"graft-snapdiff-$key").toString
     if (SnapshotTable.currentSeq(root) != Some(2L)) {
-      // a half-built table (crash between the two commits) can't be
-      // resumed through the CAS (seq 1 is taken) — rebuild from scratch
-      val rootPath = Paths.get(root)
-      if (Files.exists(rootPath)) {
-        val walk = Files.walk(rootPath)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      val pages = Pages.fromDocuments(spark, sfDir)
-        .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
+      // build under a process-unique staging dir, publish by atomic dir
+      // rename: two fresh JVMs racing the build can't see (or delete) each
+      // other's half-built table — the loser keeps the winner's
+      val stage = Files.createTempDirectory("graft-snapdiff-stage").toString
       def commit(seq: Long, df: DataFrame): Unit = {
-        val path = s"$root/data/s$seq"
-        df.write.mode(SaveMode.Overwrite).parquet(path)
+        val path = s"$root/data/s$seq" // final path recorded in the manifest
+        df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
         val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
           min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
-        SnapshotTable.commitSnapshot(root, Snapshot(seq, 1,
+        SnapshotTable.commitSnapshot(stage, Snapshot(seq, 1,
           IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
             st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
             st.getLong(5), st.getLong(6))), df.schema.toDDL))
       }
       commit(1, pages.filter(col("doc_id") % 3 =!= 0))
       commit(2, pages)
+      try Files.move(Paths.get(stage), Paths.get(root),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          SnapshotTable.recursiveDelete(Paths.get(stage)) // another JVM won
+      }
     }
     val (snap1, _, _) = SnapshotTable.readAt(spark, root, 1)
     val (snap2, _, _) = SnapshotTable.readAt(spark, root, 2)

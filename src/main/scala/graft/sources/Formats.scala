@@ -65,6 +65,9 @@ object Formats {
   def readCsv(spark: SparkSession, dir: String): DataFrame =
     decode(spark.read.schema(textSchema)
       .option("header", "true").option("escape", "\"")
+      // the writer quotes embedded newlines in text; without multiLine
+      // the reader would split such rows mid-field
+      .option("multiLine", "true")
       .csv(dir))
 
   // ---- WARC-style records --------------------------------------------------
@@ -89,12 +92,19 @@ object Formats {
       .write.mode("overwrite").option("lineSep", WarcSep).text(dir)
 
   def readWarc(spark: SparkSession, dir: String): DataFrame = {
-    // structural validity gate BEFORE any cast: ANSI mode (Spark 4
+    // FULL-structure validity gate BEFORE any cast: ANSI mode (Spark 4
     // default) turns a cast of a non-match ("") into a job abort, and the
-    // contract here is corrupt records DROP, they don't kill the scan
+    // contract here is corrupt records DROP, they don't kill the scan — a
+    // first-line-only gate would still let a torn record reach the
+    // WARC-Date cast. The gate also rejects header-injection (a url
+    // carrying "\nContent: ..." adds lines and fails the structure).
     val rec = spark.read.option("lineSep", WarcSep).text(dir)
-      .filter(col("value").rlike("^WARC-Record-ID: [0-9]+\n"))
-    def field(name: String) = regexp_extract(col("value"), s"$name: ([^\n]*)", 1)
+      .filter(col("value").rlike(
+        "^WARC-Record-ID: [0-9]+\nWARC-Target-URI: [^\n]*\n" +
+          "WARC-Date: [0-9]+\nContent: [0-9A-F]*$"))
+    // (?m)^ anchors each field to its line start — a first-match-anywhere
+    // pattern could otherwise be spoofed by "Name: x" inside the url
+    def field(name: String) = regexp_extract(col("value"), s"(?m)^$name: ([^\n]*)", 1)
     val parsed = rec.select(
       field("WARC-Record-ID").cast("long").as("doc_id"),
       field("WARC-Target-URI").as("url"),

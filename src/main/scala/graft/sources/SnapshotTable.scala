@@ -97,6 +97,11 @@ object SnapshotTable {
     if (!Files.exists(p)) None else Some(parseSnapshot(Files.readString(p)))
   }
 
+  /** Bottom-up recursive delete with closed streams — the ONE copy of the
+    * walk-reverse-delete idiom (expire, snapshotDiff rebuilds). */
+  def recursiveDelete(p: Path): Unit =
+    withWalk(p)(_.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+
   /** Run `f` over a closed-afterwards directory stream (Files.list/walk
     * leak one fd each until GC otherwise — a maintenance pass over tens of
     * thousands of partition dirs would hit EMFILE). */
@@ -143,23 +148,34 @@ object SnapshotTable {
           s"snapshot ${snap.seq} already committed under $root")
     }
     Files.deleteIfExists(tmp)
-    // CURRENT advance under a file lock: the naked check-then-move was a
-    // race (two CAS winners on different seqs could flip CURRENT backwards)
-    val lockPath = meta.resolve(".CURRENT.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
+    // CURRENT advance under a per-root JVM monitor + an OS file lock: the
+    // naked check-then-move was a race (two CAS winners on different seqs
+    // could flip CURRENT backwards). The monitor serializes same-JVM
+    // writers — FileChannel.lock THROWS OverlappingFileLockException
+    // rather than blocking when another thread of this JVM holds the OS
+    // lock; the file lock covers cross-process writers.
+    val mon = currentAdvanceLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    mon.synchronized {
+      val lockPath = meta.resolve(".CURRENT.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
-        if (!currentSeq(root).exists(_ > snap.seq)) {
-          val cur = meta.resolve(s".CURRENT.tmp-${snap.seq}")
-          Files.writeString(cur, s"snap-${snap.seq}.json")
-          Files.move(cur, meta.resolve("CURRENT"),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally lock.release()
-    } finally ch.close()
+        val lock = ch.lock()
+        try {
+          if (!currentSeq(root).exists(_ > snap.seq)) {
+            val cur = meta.resolve(s".CURRENT.tmp-${snap.seq}")
+            Files.writeString(cur, s"snap-${snap.seq}.json")
+            Files.move(cur, meta.resolve("CURRENT"),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
+
+  private val currentAdvanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Retry loop for contended tables: re-resolve the latest committed seq,
     * rebuild the snapshot through `build` (which must re-merge against the
@@ -272,8 +288,6 @@ object SnapshotTable {
     val dataRoot = Paths.get(root, "data")
     var dirsDeleted = 0
     if (Files.exists(dataRoot)) {
-      def recursiveDelete(p: Path): Unit =
-        withWalk(p)(_.toSeq.reverse.foreach(Files.deleteIfExists(_)))
       // a leaf dir = a directory containing data files directly; delete
       // leaves no retained manifest points at. Two guards: (a) a dir can
       // hold data files AND referenced subdirs (Spark writes _SUCCESS at

@@ -53,6 +53,11 @@ class EndToEndSpec extends SparkTestBase {
     // 4. expire old snapshots; CURRENT keeps the merged view
     SnapshotTable.expire(root, keep = 1)
     assert(SnapshotTable.read(spark, root)._1.count() === merged)
+    // 5. a LATER batch ingest on the same root must keep the streamed
+    // partitions in its snapshot (ingest re-merges against the current
+    // state; before round 2's fix it silently dropped other writers)
+    IngestJob.run(spark, sf0001, root, "life2")
+    assert(SnapshotTable.read(spark, root)._1.count() === merged)
   }
 
   test("concurrent commits: every writer lands on a distinct seq, CURRENT is the max") {

@@ -43,14 +43,30 @@ class FormatsSpec extends SparkTestBase {
     assert(gotRows === want)
   }
 
-  test("a corrupt warc record degrades (dropped), not aborts") {
+  test("corrupt warc records degrade (dropped), not abort — including torn records") {
     val dir = Files.createTempDirectory("graft-warc-bad").toString
     val pages = Pages.fromDocuments(spark, sf0001).limit(5)
     Formats.writeWarc(pages, dir)
-    // append a garbage record file alongside the good ones
+    // garbage, a TORN record (valid first line, missing the rest — would
+    // reach cast('') and abort under ANSI without the full-structure
+    // gate), and a header-injection attempt inside the URI line
     Files.writeString(java.nio.file.Paths.get(dir, "part-junk.txt"),
-      "not a warc record at all" + Formats.WarcSep)
+      "not a warc record at all" + Formats.WarcSep +
+        "WARC-Record-ID: 99\njunk" + Formats.WarcSep +
+        "WARC-Record-ID: 98\nWARC-Target-URI: http://x/WARC-Date: 1\njunk" + Formats.WarcSep)
     val got = Formats.readWarc(spark, dir)
     assert(got.count() === 5)
+  }
+
+  test("csv round-trip survives newlines and quotes embedded in text") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-csv-nl").toString
+    val tricky = Seq(
+      (1L, "https://a/1", 100L, Array[Byte](1, 2), "line one\nline two", "en", "s0", 17L, 5, 6),
+      (2L, "https://a/2", 200L, Array[Byte](3), "quote \" comma , end", "de", "s1", 19L, 7, 8))
+      .toDF("doc_id", "url", "ts_sec", "html", "text", "lang", "source", "n_chars", "ilat", "ilon")
+      .withColumn("warc_ts", timestamp_seconds(col("ts_sec")))
+    Formats.writeCsv(tricky, dir)
+    assert(digest(Formats.readCsv(spark, dir)) === digest(tricky))
   }
 }
