@@ -74,6 +74,12 @@ object GraftCli {
       // snapshot maintenance: drop old manifests, GC unreferenced data
       val (snaps, dirs) = SnapshotTable.expire(root, keep.toInt)
       println(s"expire: deleted $snaps snapshots, $dirs data dirs")
+    case "compact" :: root :: Nil =>
+      // merge streaming micro-batch partitions into one dir
+      SnapshotTable.compact(spark, root)(_.pDate == "stream") match {
+        case Some(s) => println(s"compact: snapshot ${s.seq}, ${s.parts.length} partitions")
+        case None => println("compact: nothing to merge")
+      }
     case _ =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${args.mkString(" ")}")
@@ -88,5 +94,6 @@ object GraftCli {
       |  snapshots <root>                 list committed table snapshots
       |  read-at   <root> <seq>           time-travel read of snapshot <seq>
       |  diff      <root> <seqA> <seqB>   row diff between two snapshots
-      |  expire    <root> <keep>          drop old snapshots + GC unreferenced data""".stripMargin
+      |  expire    <root> <keep>          drop old snapshots + GC unreferenced data
+      |  compact   <root>                 merge streaming micro-batch partitions""".stripMargin
 }

@@ -325,6 +325,40 @@ object SnapshotTable {
     (drop.length, dirsDeleted)
   }
 
+  /** Compaction (the Iceberg rewrite-data-files analog): merge the
+    * partitions selected by `pick` into ONE new partition dir and commit a
+    * snapshot where the merged entry replaces them. Streaming sinks land
+    * one small dir per micro-batch — compaction keeps read amplification
+    * bounded no matter how long the stream runs. Old snapshots still
+    * reference the original dirs (time travel intact) until `expire`
+    * collects them. Returns the new snapshot, or None if fewer than two
+    * partitions matched. */
+  def compact(spark: SparkSession, root: String)
+      (pick: PartitionEntry => Boolean): Option[Snapshot] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $root"))
+    val (merge, keep) = snap.parts.partition(pick)
+    if (merge.length < 2) return None
+    val df = spark.read.parquet(merge.map(_.path): _*)
+    val outPath = s"$root/data/compact-${snap.seq + 1}"
+    df.coalesce(math.max(1, (merge.map(_.rows).sum / 1000000L).toInt))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
+    val entry = PartitionEntry(
+      merge.map(_.pCell).min, merge.map(_.pDate).min, outPath,
+      merge.map(_.rows).sum,
+      merge.map(_.minIlat).min, merge.map(_.maxIlat).max,
+      merge.map(_.minIlon).min, merge.map(_.maxIlon).max,
+      merge.map(_.minTs).min, merge.map(_.maxTs).max)
+    Some(commitWithRetry(root) { seq =>
+      // re-merge against the latest state: partitions committed by other
+      // writers since we read `snap` survive; the merged set is replaced
+      val latest = snapshotAt(root, seq - 1).map(_.parts).getOrElse(Seq.empty)
+      val mergedPaths = merge.map(_.path).toSet
+      Snapshot(seq, snap.schemaVer,
+        latest.filterNot(p => mergedPaths(p.path)) :+ entry, snap.schemaDdl)
+    })
+  }
+
   // ---- lineage -------------------------------------------------------------
 
   /** `dataPath` is the bucket's durable data directory: lineage records

@@ -78,6 +78,26 @@ class StreamingSpec extends SparkTestBase {
     assert(df.count() === 500)
   }
 
+  test("compaction merges streaming micro-batch partitions; history stays readable") {
+    // 12 input files at maxFilesPerTrigger=4 -> 3 micro-batches -> 3
+    // stream partitions in the snapshot table
+    val dir = Files.createTempDirectory("graft-compact-in").toString
+    Pages.fromDocuments(spark, sf0001).repartition(12)
+      .write.mode("overwrite").parquet(dir)
+    val root = Files.createTempDirectory("graft-compact").toString
+    val q = StreamingJobs.sinkToSnapshotTable(
+      StreamingJobs.pagesStream(spark, dir), root).start()
+    StreamingJobs.runToCompletion(q)
+    val before = graft.sources.SnapshotTable.currentSnapshot(root).get
+    val rows = graft.sources.SnapshotTable.read(spark, root)._1.count()
+    assert(before.parts.length >= 2, s"got ${before.parts.length} stream partitions")
+    val after = graft.sources.SnapshotTable.compact(spark, root)(_.pDate == "stream").get
+    assert(after.parts.length === 1)
+    assert(graft.sources.SnapshotTable.read(spark, root)._1.count() === rows)
+    // pre-compaction snapshot still time-travels to the same rows
+    assert(graft.sources.SnapshotTable.readAt(spark, root, before.seq)._1.count() === rows)
+  }
+
   test("stateful recrawl cadence (mapGroupsWithState) matches batch recompute") {
     val dir = stageInput()
     val q = StreamingJobs.sourceCadence(StreamingJobs.pagesStream(spark, dir))
