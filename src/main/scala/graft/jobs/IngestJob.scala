@@ -193,36 +193,54 @@ object IngestJob {
       .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
     // one table per input CONTENT, built once and reused: repeated
     // invocations (bench passes, tests) must not re-write it — and a
-    // regenerated fixture at the same path must not serve a stale cache,
-    // so the cache key is a content fingerprint, not the path
-    val fp = pages.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).collect()(0)
-    val key = s"${fp.getLong(0)}-${fp.getLong(1)}-${fp.getLong(2)}"
+    // regenerated fixture at the same path must not serve a stale cache.
+    // The cache key is a DRIVER-SIDE fingerprint of the source file
+    // listing (names + sizes + mtimes): detecting regeneration costs a
+    // directory walk, not a Spark scan per invocation.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val src = Paths.get(sfDir, "documents.parquet")
+    val listing = {
+      val walk = Files.walk(src)
+      try walk.iterator().asScala.toSeq.filter(Files.isRegularFile(_)).sortBy(_.toString)
+        .map(p => s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .mkString("\n")
+      finally walk.close()
+    }
+    val key = digest.digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-snapdiff-$key").toString
     if (SnapshotTable.currentSeq(root) != Some(2L)) {
       // build under a process-unique staging dir, publish by atomic dir
       // rename: two fresh JVMs racing the build can't see (or delete) each
-      // other's half-built table — the loser keeps the winner's
+      // other's half-built table — the loser keeps the winner's. A failed
+      // build cleans its stage up instead of accumulating in the tmp dir.
       val stage = Files.createTempDirectory("graft-snapdiff-stage").toString
-      def commit(seq: Long, df: DataFrame): Unit = {
-        val path = s"$root/data/s$seq" // final path recorded in the manifest
-        df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
-        val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
-          min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
-        SnapshotTable.commitSnapshot(stage, Snapshot(seq, 1,
-          IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
-            st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
-            st.getLong(5), st.getLong(6))), df.schema.toDDL))
-      }
-      commit(1, pages.filter(col("doc_id") % 3 =!= 0))
-      commit(2, pages)
-      try Files.move(Paths.get(stage), Paths.get(root),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          SnapshotTable.recursiveDelete(Paths.get(stage)) // another JVM won
+      try {
+        def commit(seq: Long, df: DataFrame): Unit = {
+          val path = s"$root/data/s$seq" // final path recorded in the manifest
+          df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
+          val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+            min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
+          SnapshotTable.commitSnapshot(stage, Snapshot(seq, 1,
+            IndexedSeq(PartitionEntry(seq, "all", path, st.getLong(0),
+              st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
+              st.getLong(5), st.getLong(6))), df.schema.toDDL))
+        }
+        commit(1, pages.filter(col("doc_id") % 3 =!= 0))
+        commit(2, pages)
+        try Files.move(Paths.get(stage), Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            SnapshotTable.recursiveDelete(Paths.get(stage)) // another JVM won
+        }
+      } catch {
+        case t: Throwable =>
+          if (Files.exists(Paths.get(stage)))
+            SnapshotTable.recursiveDelete(Paths.get(stage))
+          throw t
       }
     }
     val (snap1, _, _) = SnapshotTable.readAt(spark, root, 1)

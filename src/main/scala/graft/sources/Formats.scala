@@ -98,10 +98,14 @@ object Formats {
     // first-line-only gate would still let a torn record reach the
     // WARC-Date cast. The gate also rejects header-injection (a url
     // carrying "\nContent: ..." adds lines and fails the structure).
+    // digit counts are BOUNDED to 18 (always fits a long) — an unbounded
+    // [0-9]+ would pass a 20-digit id through to cast(long), which under
+    // ANSI aborts on overflow; WARC-Date admits a sign (pre-epoch ts_sec
+    // values are legal and must round-trip)
     val rec = spark.read.option("lineSep", WarcSep).text(dir)
       .filter(col("value").rlike(
-        "^WARC-Record-ID: [0-9]+\nWARC-Target-URI: [^\n]*\n" +
-          "WARC-Date: [0-9]+\nContent: [0-9A-F]*$"))
+        "^WARC-Record-ID: [0-9]{1,18}\nWARC-Target-URI: [^\n]*\n" +
+          "WARC-Date: -?[0-9]{1,18}\nContent: [0-9A-F]*$"))
     // (?m)^ anchors each field to its line start — a first-match-anywhere
     // pattern could otherwise be spoofed by "Name: x" inside the url
     def field(name: String) = regexp_extract(col("value"), s"(?m)^$name: ([^\n]*)", 1)

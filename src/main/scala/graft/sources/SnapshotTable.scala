@@ -326,37 +326,59 @@ object SnapshotTable {
   }
 
   /** Compaction (the Iceberg rewrite-data-files analog): merge the
-    * partitions selected by `pick` into ONE new partition dir and commit a
-    * snapshot where the merged entry replaces them. Streaming sinks land
-    * one small dir per micro-batch — compaction keeps read amplification
-    * bounded no matter how long the stream runs. Old snapshots still
-    * reference the original dirs (time travel intact) until `expire`
-    * collects them. Returns the new snapshot, or None if fewer than two
-    * partitions matched. */
+    * partitions selected by `pick` — one rewritten dir PER pDate group, so
+    * date-pruning semantics survive — and commit a snapshot where the
+    * merged entries replace them. Streaming sinks land one small dir per
+    * micro-batch; compaction keeps read amplification bounded no matter
+    * how long the stream runs. Old snapshots still reference the original
+    * dirs (time travel intact) until `expire` collects them. Returns the
+    * new snapshot; None if fewer than two partitions matched or another
+    * writer rewrote part of the selected set first (the losing rewrite is
+    * cleaned up, nothing double-commits).
+    *
+    * Operational constraint (same as Iceberg's rewrite): run only when no
+    * writer may RETRY into the merged set — a foreachBatch retry of an
+    * already-compacted batch id would re-append that batch's rows, since
+    * its idempotency key is the original partition path. */
   def compact(spark: SparkSession, root: String)
       (pick: PartitionEntry => Boolean): Option[Snapshot] = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no CURRENT snapshot under $root"))
-    val (merge, keep) = snap.parts.partition(pick)
+    val merge = snap.parts.filter(pick)
     if (merge.length < 2) return None
-    val df = spark.read.parquet(merge.map(_.path): _*)
-    val outPath = s"$root/data/compact-${snap.seq + 1}"
-    df.coalesce(math.max(1, (merge.map(_.rows).sum / 1000000L).toInt))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
-    val entry = PartitionEntry(
-      merge.map(_.pCell).min, merge.map(_.pDate).min, outPath,
-      merge.map(_.rows).sum,
-      merge.map(_.minIlat).min, merge.map(_.maxIlat).max,
-      merge.map(_.minIlon).min, merge.map(_.maxIlon).max,
-      merge.map(_.minTs).min, merge.map(_.maxTs).max)
-    Some(commitWithRetry(root) { seq =>
-      // re-merge against the latest state: partitions committed by other
-      // writers since we read `snap` survive; the merged set is replaced
-      val latest = snapshotAt(root, seq - 1).map(_.parts).getOrElse(Seq.empty)
-      val mergedPaths = merge.map(_.path).toSet
-      Snapshot(seq, snap.schemaVer,
-        latest.filterNot(p => mergedPaths(p.path)) :+ entry, snap.schemaDdl)
-    })
+    val mergedPaths = merge.map(_.path).toSet
+    // unique rewrite paths: concurrent compacts can never overwrite each
+    // other's output (and a committed compact dir is never rewritten)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val entries = merge.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (date, g) =>
+      val outPath = s"$root/data/compact-$token/p_date=$date"
+      spark.read.parquet(g.map(_.path): _*)
+        .coalesce(math.max(1, (g.map(_.rows).sum / 1000000L).toInt))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
+      PartitionEntry(g.map(_.pCell).min, date, outPath, g.map(_.rows).sum,
+        g.map(_.minIlat).min, g.map(_.maxIlat).max,
+        g.map(_.minIlon).min, g.map(_.maxIlon).max,
+        g.map(_.minTs).min, g.map(_.maxTs).max)
+    }
+    var attempt = 0
+    while (attempt <= 10) {
+      val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
+      val latest = snapshotAt(root, seq - 1).getOrElse(snap)
+      // abort (and clean up our orphaned rewrite) if a concurrent writer
+      // already replaced part of the selected set — committing on top
+      // would double-count those rows
+      if (!mergedPaths.subsetOf(latest.parts.map(_.path).toSet)) {
+        recursiveDelete(Paths.get(s"$root/data/compact-$token"))
+        return None
+      }
+      // schemaVer/Ddl from the LATEST snapshot, not the stale entry read:
+      // a racing schema-evolving writer must not be reverted by a retry
+      val next = Snapshot(seq, latest.schemaVer,
+        latest.parts.filterNot(p => mergedPaths(p.path)) ++ entries, latest.schemaDdl)
+      try { commitSnapshot(root, next); return Some(next) }
+      catch { case _: SnapshotConflictException => attempt += 1 }
+    }
+    throw new IllegalStateException(s"compact lost $attempt commit races under $root")
   }
 
   // ---- lineage -------------------------------------------------------------

@@ -58,6 +58,17 @@ class FormatsSpec extends SparkTestBase {
     assert(got.count() === 5)
   }
 
+  test("warc round-trips pre-epoch (negative) timestamps") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-warc-neg").toString
+    val rows = Seq((7L, "https://a/7", -5L, Array[Byte](1), "x", "en", "s0", 1L, 0, 0))
+      .toDF("doc_id", "url", "ts_sec", "html", "text", "lang", "source", "n_chars", "ilat", "ilon")
+      .withColumn("warc_ts", timestamp_seconds(col("ts_sec")))
+    Formats.writeWarc(rows, dir)
+    val got = Formats.readWarc(spark, dir).select("doc_id", "ts_sec").collect()
+    assert(got.length === 1 && got(0).getLong(1) === -5L)
+  }
+
   test("csv round-trip survives newlines and quotes embedded in text") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-csv-nl").toString
