@@ -181,6 +181,26 @@ object IngestJob {
     spark.read.parquet(s"$root/data").count()
   }
 
+  /** G1b — bucketed archive: persist pages as a BUCKETED table on the
+    * level-6 cell key (hash-bucketed + sorted within buckets). Spark's
+    * bucketing metadata makes every later equi-join/aggregation on the
+    * cell key read pre-shuffled data — ZERO exchange at query time
+    * (plan-gated in PlanShapeSpec). At 100 TB this is the difference
+    * between shuffling the corpus once at WRITE time and shuffling it on
+    * every join: the layout the brief's "bucketing for co-located joins"
+    * names. Uses the session catalog (saveAsTable) because file-based
+    * parquet carries no bucketing metadata. */
+  def bulkArchiveBucketed(spark: SparkSession, sfDir: String, table: String,
+      buckets: Int = 16): Long = {
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", Pages.cellCol(col("ilat"), col("ilon"), 6))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(table)
+    spark.table(table).count()
+  }
+
   /** A2/G-diff — snapshot diff ("what's new since"): builds a two-snapshot
     * table (snapshot 1 = an earlier partial crawl, snapshot 2 = the full
     * crawl) through the REAL commit + time-travel machinery, then

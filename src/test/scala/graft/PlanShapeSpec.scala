@@ -83,6 +83,24 @@ class PlanShapeSpec extends SparkTestBase {
       plan.take(1500))
   }
 
+  test("bucketed archive: cell-key join and aggregation plan ZERO exchanges") {
+    val n = graft.jobs.IngestJob.bulkArchiveBucketed(spark, sf0001, "pages_b16")
+    try {
+      assert(n > 0)
+      val t = spark.table("pages_b16").select("cell", "doc_id", "lang")
+      // self-join on the bucket key: both sides read pre-shuffled buckets
+      val joined = t.as("a").join(t.as("b"),
+        col("a.cell") === col("b.cell") && col("a.doc_id") < col("b.doc_id"))
+      val aggd = t.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      for (df <- Seq(joined, aggd)) {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(shuffles === 0, s"bucketed plan shuffled:\n${plan.take(1500)}")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS pages_b16")
+  }
+
   test("suite-wide: no query plans an all-pairs join unless documented") {
     // Queries ALLOWED a nested-loop/cartesian shape, each deliberate:
     //  - q31: the brute-force ANN baseline (the re-rank primitive/oracle)
