@@ -75,6 +75,9 @@ object SparkEntry {
     "q51_hll_distincts" -> ((s, d) => RelationalQueries.cellDistinctsApprox(s, d)),
     "q52_band_math" -> ((s, d) => Tiling.bandMathLong(s, d)),
     "q53_pyramid" -> ((s, d) => Tiling.pyramidLong(s, d)),
+    "q54_sessionize" -> ((s, d) => RelationalQueries.sessionize(s, d)),
+    "q55_event_pivot" -> ((s, d) => RelationalQueries.eventPivot(s, d)),
+    "q56_stratified_sample" -> ((s, d) => RelationalQueries.stratifiedSample(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -243,6 +243,62 @@ object RelationalQueries {
         sum(length(substring(col("text"), 1, 10))).as("sum_sub10"))
       .orderBy(col("lang"))
 
+  /** F5 — sessionization: split each user's event stream into sessions at
+    * >30-minute gaps (lag + cumulative boundary sum — the standard two-window
+    * idiom; no driver loop). Scale shape: both windows partition on user_id,
+    * so the whole query is ONE shuffle on user_id; the session aggregation
+    * reuses that clustering. Crawl analog: recrawl bursts per host. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    events(spark, sfDir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("value_c", cents(col("value")))
+      .withColumn("is_new",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > 1800 ||
+          lag(col("ts_sec"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("dur_sec"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** E8 — pivot: event counts + value cents per type, one column set per
+    * event_type (explicit value list, so the plan is a single hash aggregate
+    * with conditional partials — no per-value scan, no second shuffle). */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = events(spark, sfDir).withColumn("value_c", cents(col("value")))
+    val aggs = types.flatMap { t =>
+      Seq(sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"),
+        sum(when(col("event_type") === t, col("value_c")).otherwise(0L)).as(s"v_$t"))
+    }
+    e.groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("user_id") < 50)
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic stratified sampling: per-language hash-threshold sample
+    * (md5(url) permille < per-stratum rate). At 100 TB this is the shape you
+    * want — a pure map-side filter with NO shuffle and NO RNG state; the
+    * sample is reproducible across runs, engines and partitionings, and the
+    * rate is tunable per stratum without re-shuffling. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val permille = conv(substring(md5(col("url")), 1, 15), 16, 10).cast("long") % 1000
+    val rate = when(col("lang") === "en", 100L).when(col("lang") === "de", 250L)
+      .when(col("lang") === "fr", 500L).otherwise(1000L)
+    Pages.fromDocuments(spark, sfDir)
+      .filter(permille < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -328,6 +384,30 @@ object RelationalQueries {
       (s"WITH pages AS (${Pages.oracleCte}), " +
         "u AS (SELECT * FROM pages WHERE doc_id % 3 <> 0 UNION ALL SELECT * FROM pages WHERE doc_id % 2 = 0) " +
         "SELECT lang, count(*) AS n_rows, count(DISTINCT url) AS n_urls FROM u GROUP BY lang ORDER BY lang"),
+    "q54_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+        "CAST(round(value*100) AS BIGINT) AS value_c FROM events), " +
+        "g AS (SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800 " +
+        "OR lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL THEN 1 ELSE 0 END AS is_new FROM e), " +
+        "s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, min(ts_sec) AS t0, max(ts_sec) AS t1, " +
+        "max(ts_sec) - min(ts_sec) AS dur_sec, CAST(sum(value_c) AS BIGINT) AS sum_value_c " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "q55_event_pivot" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events) " +
+        "SELECT user_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map { t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t, " +
+            s"CAST(sum(CASE WHEN event_type = '$t' THEN value_c ELSE 0 END) AS BIGINT) AS v_$t"
+        }.mkString(", ") +
+        " FROM e GROUP BY user_id HAVING user_id < 50 ORDER BY user_id"),
+    "q56_stratified_sample" ->
+      (s"WITH pages AS (${Pages.oracleCte}) SELECT p.lang AS lang, count(*) AS n_sampled, " +
+        "CAST(sum(p.n_chars) AS BIGINT) AS sum_chars, count(DISTINCT p.source) AS n_sources " +
+        "FROM pages p WHERE CAST(('0x' || substr(md5(p.url), 1, 15)) AS BIGINT) % 1000 < " +
+        "CASE WHEN p.lang = 'en' THEN 100 WHEN p.lang = 'de' THEN 250 WHEN p.lang = 'fr' THEN 500 ELSE 1000 END " +
+        "GROUP BY p.lang ORDER BY lang"),
     "q43_string_fns" ->
       ("SELECT lang, CAST(sum(levenshtein(source, 'src0')) AS BIGINT) AS sum_lev, " +
         "count(DISTINCT upper(source)) AS n_sources, " +

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.testutil.SparkTestBase
+
+/** Semantic invariants for the round-2 relational additions (sessionize,
+  * pivot, stratified sample) beyond the DuckDB hash gate. */
+class RelationalOpsSpec extends SparkTestBase {
+
+  test("sessionize: events partition into sessions exactly (counts conserve)") {
+    val sess = RelationalQueries.sessionize(spark, sf0001)
+    val nFromSessions = sess.agg(sum(col("n_events"))).head.getLong(0)
+    val nEvents = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(nFromSessions === nEvents)
+  }
+
+  test("sessionize: no intra-session gap exceeds 30 minutes") {
+    // Rebuild per-event session assignment and check the defining property:
+    // consecutive events in one session are <= 1800s apart, and the first
+    // event of session k+1 is > 1800s after the last event of session k.
+    val sess = RelationalQueries.sessionize(spark, sf0001)
+      .select(col("user_id"), col("session_idx"), col("t0"), col("t1"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    for ((_, rows) <- sess; Array(a, b) <- rows.toArray.sliding(2)) {
+      assert(b.getLong(2) - a.getLong(3) > 1800,
+        s"sessions ${a.getLong(1)} and ${b.getLong(1)} should have been merged")
+    }
+  }
+
+  test("pivot: per-type counts sum to plain groupBy totals") {
+    val piv = RelationalQueries.eventPivot(spark, sf0001)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivTotal = piv.agg(sum(types.map(t => col(s"n_$t")).reduce(_ + _))).head.getLong(0)
+    val plain = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("user_id") < 50).count()
+    assert(pivTotal === plain)
+  }
+
+  test("stratified sample: observed rates stay near target permille") {
+    val tot = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val samp = RelationalQueries.stratifiedSample(spark, sf0001)
+    val joined = samp.join(tot, "lang")
+      .select(col("lang"), col("n_sampled"), col("n_total")).collect()
+    val target = Map("en" -> 0.10, "de" -> 0.25, "fr" -> 0.50)
+    for (r <- joined) {
+      val rate = r.getLong(1).toDouble / r.getLong(2)
+      val want = target.getOrElse(r.getString(0), 1.0)
+      // md5 permille is uniform; at sf0.001 strata are ~200 docs, allow wide
+      // tolerance (binomial sd ~ 3%); rate=1.0 strata must be exact.
+      assert(math.abs(rate - want) < 0.12, s"${r.getString(0)}: $rate vs $want")
+    }
+  }
+
+  test("stratified sample is a map-side filter: no shuffle before aggregate") {
+    val plan = RelationalQueries.stratifiedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // one exchange for the final groupBy(lang) (+1 for orderBy) is fine; the
+    // sampling itself must not add one — assert filter sits below any exchange
+    assert(plan.contains("Filter"), plan.take(1500))
+    val firstExchange = plan.indexOf("Exchange")
+    val scanIdx = plan.lastIndexOf("Scan")
+    assert(scanIdx > firstExchange, "sample filter should be scan-adjacent")
+  }
+}
