@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GeoQueries, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{GeoQueries, GraphQueries, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -78,6 +78,11 @@ object SparkEntry {
     "q54_sessionize" -> ((s, d) => RelationalQueries.sessionize(s, d)),
     "q55_event_pivot" -> ((s, d) => RelationalQueries.eventPivot(s, d)),
     "q56_stratified_sample" -> ((s, d) => RelationalQueries.stratifiedSample(s, d)),
+    "q57_tfidf" -> ((s, d) => TextQueries.tfidfTopTerms(s, d)),
+    "q58_neardup_components" -> ((s, d) => GraphQueries.nearDupComponents(s, d)),
+    "q59_footprint_overlap" -> ((s, d) => GeoQueries.footprintOverlap(s, d)),
+    "q60_compact" -> ((s, d) => GeoQueries.compactCells(s, d)),
+    "q61_merge_upsert" -> ((s, d) => graft.jobs.IngestJob.mergeUpsert(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -167,5 +172,33 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
-  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++ Tiling.oracle
+    "q59_footprint_overlap" ->
+      (s"$P, pr AS (SELECT a.fp_id AS fp_a, b.fp_id AS fp_b, " +
+        "greatest(a.ilon0, b.ilon0) AS x0, least(a.ilon1, b.ilon1) AS x1, " +
+        "greatest(a.ilat0, b.ilat0) AS y0, least(a.ilat1, b.ilat1) AS y1 " +
+        s"FROM ${Footprints.sqlValuesAs("a")} JOIN ${Footprints.sqlValuesAs("b")} " +
+        "ON a.fp_id < b.fp_id AND least(a.ilon1, b.ilon1) >= greatest(a.ilon0, b.ilon0) " +
+        "AND least(a.ilat1, b.ilat1) >= greatest(a.ilat0, b.ilat0)) " +
+        "SELECT pr.fp_a AS fp_a, pr.fp_b AS fp_b, " +
+        "CAST((x1 - x0 + 1) AS BIGINT) * (y1 - y0 + 1) AS area, count(p.url) AS n_pages " +
+        "FROM pr LEFT JOIN pages p ON p.ilon BETWEEN x0 AND x1 AND p.ilat BETWEEN y0 AND y1 " +
+        "GROUP BY pr.fp_a, pr.fp_b, area ORDER BY fp_a, fp_b"),
+    "q61_merge_upsert" ->
+      (s"$P, b AS (SELECT doc_id, lang, n_chars FROM pages WHERE doc_id % 3 <> 0), " +
+        "up AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM pages WHERE doc_id % 2 = 0), " +
+        "m AS (SELECT * FROM up UNION ALL SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM up)) " +
+        "SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_keys, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM m GROUP BY lang ORDER BY lang"),
+    "q60_compact" -> {
+      def c(l: Int) = Pages.sqlCell("p.ilat", "p.ilon", l)
+      s"$P, c AS (SELECT DISTINCT ${c(6)} AS c6, ${c(5)} AS c5, ${c(4)} AS c4 FROM pages p), " +
+        "f5 AS (SELECT c5, min(c4) AS c4 FROM c GROUP BY c5 HAVING count(*) = 4), " +
+        "f4 AS (SELECT c4 FROM f5 GROUP BY c4 HAVING count(*) = 4), " +
+        "k AS (SELECT CAST(6 AS INT) AS level, c6 AS cell_rm FROM c WHERE c5 NOT IN (SELECT c5 FROM f5) " +
+        "UNION ALL SELECT CAST(5 AS INT), c5 FROM f5 WHERE c4 NOT IN (SELECT c4 FROM f4) " +
+        "UNION ALL SELECT CAST(4 AS INT), c4 FROM f4) " +
+        "SELECT level, cell_rm FROM k ORDER BY level, cell_rm"
+    },
+  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
+    Tiling.oracle ++ GraphQueries.oracle
 }

@@ -325,6 +325,92 @@ object GeoQueries {
       .orderBy(col("fp_id"), col("cell"))
   }
 
+  /** D9 — polygon-overlap join (vector x vector): overlapping footprint
+    * pairs discovered through SHARED COVER CELLS (spatial bucketing — the
+    * scale shape: each side explodes to covering cells, the pair search is
+    * an equi-join on the cell key, never an all-pairs product), exact
+    * integer box-intersection area, then page counts inside each pairwise
+    * intersection via a second broadcast cell join. Two overlapping boxes
+    * always share every cell covering their (non-empty) intersection, so
+    * the cell-bucketed candidate set is complete. */
+  def footprintOverlap(spark: SparkSession, sfDir: String,
+      level: Int = JoinLevel): DataFrame = {
+    GraftFunctions.register(spark)
+    val fc = footprintCells(spark, level)
+    def side(tag: String) = fc.select(col("fp_id").as(s"fp_$tag"),
+      col("ilat0").as(s"${tag}_lat0"), col("ilat1").as(s"${tag}_lat1"),
+      col("ilon0").as(s"${tag}_lon0"), col("ilon1").as(s"${tag}_lon1"), col("cell"))
+    val inter = side("a").join(side("b"), Seq("cell"))
+      .filter(col("fp_a") < col("fp_b"))
+      .drop("cell").distinct()
+      .withColumn("x0", greatest(col("a_lon0"), col("b_lon0")))
+      .withColumn("x1", least(col("a_lon1"), col("b_lon1")))
+      .withColumn("y0", greatest(col("a_lat0"), col("b_lat0")))
+      .withColumn("y1", least(col("a_lat1"), col("b_lat1")))
+      .filter(col("x1") >= col("x0") && col("y1") >= col("y0"))
+      .withColumn("area",
+        (col("x1") - col("x0") + 1).cast("long") * (col("y1") - col("y0") + 1))
+      .select(col("fp_a"), col("fp_b"), col("x0"), col("x1"), col("y0"),
+        col("y1"), col("area"))
+    // intersection boxes as footprints of their own: cover-cell explode
+    // (half-open WKT, same convention as Footprints.Box.wkt) + broadcast
+    // join against page cells + exact refine
+    val interCells = inter
+      .withColumn("wkt", format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        col("x0"), col("y0"), col("x1") + 1, col("y0"), col("x1") + 1,
+        col("y1") + 1, col("x0"), col("y1") + 1, col("x0"), col("y0")))
+      .withColumn("mcell", explode(cell_cover(col("wkt"), lit(level))))
+      .select(col("fp_a"), col("fp_b"), col("x0"), col("x1"), col("y0"),
+        col("y1"), cell_rowmajor(col("mcell")).as("cell"))
+    val pages = Pages.fromDocuments(spark, sfDir).withColumn("cell", pageCell(level))
+    val counts = pages.join(broadcast(interCells), Seq("cell"))
+      .filter(col("ilat").between(col("y0"), col("y1")) &&
+        col("ilon").between(col("x0"), col("x1")))
+      .groupBy(col("fp_a"), col("fp_b")).agg(count(lit(1)).as("n_pages"))
+    inter.join(counts, Seq("fp_a", "fp_b"), "left")
+      .select(col("fp_a"), col("fp_b"), col("area"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"))
+      .orderBy(col("fp_a"), col("fp_b"))
+  }
+
+  /** C2+ — cell compaction (H3 `compact` analog): the distinct occupied
+    * cells at `fromLevel` with every COMPLETE sibling quad recursively
+    * replaced by its parent, down to `toLevel` — the canonical way to
+    * shrink a cover/inventory set before broadcasting it. Each of the
+    * (fromLevel - toLevel) rounds is one groupBy on the parent key over a
+    * set that only shrinks — no driver-side data, fixed round count. */
+  def compactCells(spark: SparkSession, sfDir: String, fromLevel: Int = 6,
+      toLevel: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    compactSet(
+      Pages.fromDocuments(spark, sfDir)
+        .select(cell_id(col("ilat"), col("ilon"), lit(fromLevel)).as("cell"))
+        .distinct(),
+      fromLevel, toLevel)
+  }
+
+  /** Set-level compaction core: `cells` is a distinct set of Morton cell
+    * ids at `fromLevel` (column `cell`). */
+  def compactSet(cells: DataFrame, fromLevel: Int, toLevel: Int): DataFrame = {
+    var cur = cells
+    var out: Option[DataFrame] = None
+    for (l <- fromLevel until toLevel by -1) {
+      val withPar = cur.withColumn("par", cell_parent(col("cell"), lit(l - 1)))
+      val full = withPar.groupBy(col("par"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 4)
+        .select(col("par"))
+      val kept = withPar.join(full, Seq("par"), "left_anti")
+        .select(lit(l).as("level"), col("cell"))
+      out = Some(out.fold(kept)(_.unionByName(kept)))
+      cur = full.select(col("par").as("cell"))
+    }
+    val last = cur.select(lit(toLevel).as("level"), col("cell"))
+    out.fold(last)(_.unionByName(last))
+      .select(col("level"), cell_rowmajor(col("cell")).as("cell_rm"))
+      .orderBy(col("level"), col("cell_rm"))
+  }
+
   /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
     * via cell_parent, reported as row-major surrogates at both levels. */
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {

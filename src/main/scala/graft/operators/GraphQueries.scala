@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over dedup candidate pairs — the step after near-dup
+  * pair generation in a training-data pipeline: pairs are only edges; the
+  * deliverable is CLUSTERS (keep one representative per component).
+  *
+  * Connected components run as distributed min-label propagation: every
+  * node starts labeled with its own id, each round takes the min of its
+  * own and its neighbors' labels, until no label changes. Rounds =
+  * O(graph diameter); near-dup graphs are unions of small cliques, so 2-3
+  * rounds converge. Per round: one shuffle (join on node) + one shuffle
+  * (groupBy node) — the same shape GraphFrames/GraphX use, no driver-side
+  * data, only a scalar convergence count crosses to the driver.
+  * `localCheckpoint` truncates the per-iteration lineage so plans don't
+  * grow superlinearly with rounds.
+  */
+object GraphQueries {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns src, dst; one row per edge, either orientation). Returns
+    * (node, comp) where comp = min node id in the component. Nodes are
+    * edge endpoints — isolated nodes don't appear (join the node universe
+    * afterwards if singletons matter). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // each node's new label: min over (own label, neighbors' labels)
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("n")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("node") === col("n"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("a")
+        .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
+        .filter(col("comp") =!= col("old")).count() // scalar only
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: connected components over the verified LSH
+    * near-dup pairs (q29), reported per component. The full
+    * pair-to-cluster dedup pipeline, oracle-gated against a DuckDB
+    * recursive-CTE transitive closure. */
+  def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = TextQueries.lshNearDupPairs(spark, sfDir)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .orderBy(col("comp"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q58_neardup_components" ->
+      (s"WITH RECURSIVE ${TextQueries.lshPairsCte}, " +
+        "p2 AS (SELECT d1, d2 FROM j WHERE jac_m >= 200), " +
+        "e AS (SELECT d1 AS u, d2 AS v FROM p2 UNION ALL SELECT d2, d1 FROM p2), " +
+        "n AS (SELECT DISTINCT u FROM e), " +
+        "reach(u, v) AS (SELECT u, u FROM n UNION SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u), " +
+        "lab AS (SELECT u, min(v) AS comp FROM reach GROUP BY u) " +
+        "SELECT comp, count(*) AS n_docs, max(u) AS max_doc FROM lab " +
+        "GROUP BY comp ORDER BY comp"),
+  )
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline surface: token stats, quality scoring,
@@ -264,6 +265,30 @@ object TextQueries {
         sum(col("n_ws")).as("sum_ws_tok"))
       .orderBy(col("lang"))
 
+  /** TF-IDF term ranking in pure integer arithmetic: tf = in-doc term
+    * count, df = corpus document frequency, score = tf*1e6 div df (integer
+    * division — both engines floor). The df aggregation is the classic
+    * two-level shape: the token-grouped side shrinks to vocabulary size
+    * (broadcastable for real corpora's ~1e6-term vocabularies), the tf
+    * side shuffles once on token for the join. The doc filter applies
+    * AFTER df so idf reflects the whole corpus. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .filter(col("doc_id") < 50)
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score_ppm"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   private val shCte =
@@ -273,6 +298,21 @@ object TextQueries {
 
   private def sqlSig(i: Int): String =
     s"list_min(list_transform(sh, x -> ((${sqlTokHash("x")} % $P) * ${HashA(i)} + ${HashB(i)}) % $P)) AS s$i"
+
+  /** Shared CTE chain producing the verified near-dup pair table `j`
+    * (d1, d2, jac_m) — the oracle twin of `lshNearDupPairs`, reused by
+    * q29 and by the connected-components oracle (GraphQueries). */
+  private[operators] val lshPairsCte: String =
+    s"$shCte, m AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${sqlTokHash("x")})) AS shd, " +
+      s"${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
+      "b AS (" + (0 until NumBands).map(b =>
+        s"SELECT doc_id, md5(CAST(s${2 * b} AS VARCHAR) || ':' || CAST(s${2 * b + 1} AS VARCHAR)) AS band, $b AS bi FROM m")
+        .mkString(" UNION ALL ") + "), " +
+      "pairs AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2 FROM b b1 " +
+      "JOIN b b2 ON b1.band = b2.band AND b1.bi = b2.bi AND b1.doc_id < b2.doc_id), " +
+      "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / " +
+      "(len(m1.shd) + len(m2.shd) - len(list_intersect(m1.shd, m2.shd)))) AS BIGINT) AS jac_m " +
+      "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2)"
 
   val oracle: Map[String, String] = Map(
     "q23_token_stats" ->
@@ -301,17 +341,7 @@ object TextQueries {
       (s"WITH $shCte SELECT doc_id, ${(0 until NumSigs).map(sqlSig).mkString(", ")} " +
         "FROM s ORDER BY doc_id"),
     "q29_lsh_neardup" ->
-      (s"WITH $shCte, m AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${sqlTokHash("x")})) AS shd, " +
-        s"${(0 until NumSigs).map(sqlSig).mkString(", ")} FROM s), " +
-        "b AS (" + (0 until NumBands).map(b =>
-          s"SELECT doc_id, md5(CAST(s${2 * b} AS VARCHAR) || ':' || CAST(s${2 * b + 1} AS VARCHAR)) AS band, $b AS bi FROM m")
-          .mkString(" UNION ALL ") + "), " +
-        "pairs AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2 FROM b b1 " +
-        "JOIN b b2 ON b1.band = b2.band AND b1.bi = b2.bi AND b1.doc_id < b2.doc_id), " +
-        "j AS (SELECT d1, d2, CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / " +
-        "(len(m1.shd) + len(m2.shd) - len(list_intersect(m1.shd, m2.shd)))) AS BIGINT) AS jac_m " +
-        "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2) " +
-        "SELECT d1, d2, jac_m FROM j WHERE jac_m >= 200 ORDER BY d1, d2"),
+      (s"WITH $lshPairsCte SELECT d1, d2, jac_m FROM j WHERE jac_m >= 200 ORDER BY d1, d2"),
     "q30_simhash" ->
       (s"WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n_tok, " +
         s"list_transform(string_split(text,' '), t -> ${sqlTokHash("t")}) AS th FROM documents) " +
@@ -341,6 +371,16 @@ object TextQueries {
         s"i -> list_min(list_slice(h, i + 1, i + $WinnowWindow))))) AS prnt FROM s WHERE len(h) >= $WinnowWindow) " +
         "SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_prints, " +
         "count(DISTINCT prnt) AS n_distinct_prints FROM p GROUP BY lang ORDER BY lang"),
+    "q57_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token), " +
+        "s AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df, " +
+        "CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_ppm " +
+        "FROM tf JOIN df ON tf.token = df.token WHERE tf.doc_id < 50), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS rnk FROM s) " +
+        "SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score_ppm " +
+        "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"),
     "q45_regex_tokens" ->
       ("SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re_tok, " +

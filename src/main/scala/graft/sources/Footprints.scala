@@ -66,11 +66,12 @@ object Footprints {
       .toDF("fp_id", "ilat0", "ilon0", "ilat1", "ilon1", "tfrom", "tto", "wkt")
   }
 
-  /** DuckDB twin: `(VALUES ...) AS fp(fp_id, ilat0, ilon0, ilat1, ilon1,
-    * tfrom, tto)` — generated from the same Seq. */
-  val sqlValues: String = boxes
+  /** DuckDB twin: `(VALUES ...) AS <alias>(fp_id, ilat0, ilon0, ilat1,
+    * ilon1, tfrom, tto)` — generated from the same Seq. */
+  def sqlValuesAs(alias: String): String = boxes
     .map(b => s"(${b.fpId}, ${b.ilat0}, ${b.ilon0}, ${b.ilat1}, ${b.ilon1}, ${b.tfrom}, ${b.tto})")
-    .mkString("(VALUES ", ", ", ") AS fp(fp_id, ilat0, ilon0, ilat1, ilon1, tfrom, tto)")
+    .mkString("(VALUES ", ", ", s") AS $alias(fp_id, ilat0, ilon0, ilat1, ilon1, tfrom, tto)")
+  val sqlValues: String = sqlValuesAs("fp")
 
   /** Non-convex WKT polygons for the JTS-only paths (ScalaTest layer). */
   val polys: Seq[(Int, String)] = Seq(

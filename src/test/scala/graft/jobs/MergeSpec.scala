@@ -1,0 +1,72 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+import graft.testutil.SparkTestBase
+
+/** MERGE INTO (copy-on-write) invariants: only touched partitions are
+  * rewritten, untouched files carry forward by reference, and history
+  * stays time-travelable. */
+class MergeSpec extends SparkTestBase {
+
+  private def freshRoot() = Files.createTempDirectory("graft-merge-spec").toString
+
+  test("mergeInto rewrites only touched partitions; untouched paths carry forward") {
+    val root = freshRoot()
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val snap1 = SnapshotTable.currentSnapshot(root).get
+
+    // update every doc in ONE spatial bucket only
+    val someCell = snap1.parts.head.pCell
+    val updates = base.filter(col("p_cell") === someCell)
+      .withColumn("n_chars", col("n_chars") + 7L)
+    val snap2 = IngestJob.mergeInto(spark, root, updates, "m1")
+
+    assert(snap2.seq === snap1.seq + 1)
+    val p1 = snap1.parts.map(e => (e.pCell, e.pDate) -> e.path).toMap
+    val p2 = snap2.parts.map(e => (e.pCell, e.pDate) -> e.path).toMap
+    assert(p1.keySet === p2.keySet, "partition-stable merge keeps the key set")
+    for ((k, path1) <- p1) {
+      if (k._1 == someCell) assert(p2(k) !== path1, s"touched $k must be rewritten")
+      else assert(p2(k) === path1, s"untouched $k must carry forward by reference")
+    }
+
+    // data: updated bucket rows changed, row count conserved, others intact
+    val (before, _, _) = SnapshotTable.readAt(spark, root, snap1.seq)
+    val (after, _, _) = SnapshotTable.readAt(spark, root, snap2.seq)
+    assert(after.count() === before.count())
+    val deltaSum = after.agg(sum(col("n_chars"))).head.getLong(0) -
+      before.agg(sum(col("n_chars"))).head.getLong(0)
+    val nUpdated = before.filter(col("p_cell") === someCell).count()
+    assert(deltaSum === 7L * nUpdated)
+    // time travel: snapshot 1 still reads the pre-merge values
+    assert(before.filter(col("p_cell") === someCell)
+      .agg(sum(col("n_chars"))).head.getLong(0) ===
+      after.filter(col("p_cell") === someCell)
+        .agg(sum(col("n_chars"))).head.getLong(0) - 7L * nUpdated)
+  }
+
+  test("mergeInto inserts new keys and updates matched keys in one pass") {
+    val root = freshRoot()
+    val pages = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, pages.filter(col("doc_id") % 3 =!= 0), root, "base")
+    val nBase = SnapshotTable.read(spark, root)._1.count()
+
+    val ups = pages.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+    IngestJob.mergeInto(spark, root, ups, "m1")
+    val (merged, _, _) = SnapshotTable.read(spark, root)
+
+    val nInserted = pages.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0).count()
+    assert(merged.count() === nBase + nInserted)
+    assert(merged.groupBy(col("doc_id")).count().filter(col("count") > 1).count() === 0,
+      "merge must never duplicate a key")
+    // every updated row carries the new payload
+    val nStale = merged.join(ups.select(col("doc_id"), col("n_chars").as("want")), "doc_id")
+      .filter(col("n_chars") =!= col("want")).count()
+    assert(nStale === 0)
+  }
+}

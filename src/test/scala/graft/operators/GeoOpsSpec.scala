@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.CellIndex
+import graft.sources.{Footprints, Pages}
+import graft.testutil.SparkTestBase
+
+/** Semantic invariants for the round-2 geo additions (footprint overlap,
+  * cell compaction) beyond the DuckDB hash gate. */
+class GeoOpsSpec extends SparkTestBase {
+
+  test("footprintOverlap: pair set matches brute-force box intersection") {
+    val want = (for {
+      a <- Footprints.boxes; b <- Footprints.boxes
+      if a.fpId < b.fpId
+      if math.min(a.ilon1, b.ilon1) >= math.max(a.ilon0, b.ilon0)
+      if math.min(a.ilat1, b.ilat1) >= math.max(a.ilat0, b.ilat0)
+    } yield {
+      val area = (math.min(a.ilon1, b.ilon1) - math.max(a.ilon0, b.ilon0) + 1).toLong *
+        (math.min(a.ilat1, b.ilat1) - math.max(a.ilat0, b.ilat0) + 1)
+      ((a.fpId, b.fpId), area)
+    }).toMap
+    val got = GeoQueries.footprintOverlap(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
+  test("compactCells: expanding the compacted set back to level 6 recovers the input set") {
+    val occupied = Pages.fromDocuments(spark, sf0001)
+      .select(graft.functions.GraftFunctions.cell_id(col("ilat"), col("ilon"), lit(6)).as("c"))
+      .distinct().collect().map(r => CellIndex.rowMajor(r.getLong(0))).toSet
+    val compacted = GeoQueries.compactCells(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // no duplicate cells, levels within [4, 6]
+    assert(compacted.map(_._2).toSet.size === compacted.length ||
+      compacted.groupBy(identity).forall(_._2.length == 1))
+    assert(compacted.forall { case (l, _) => l >= 4 && l <= 6 })
+    // expand every compacted cell to its level-6 descendants (row-major ids)
+    def expand(level: Int, rm: Long): Seq[Long] = {
+      val side = 1L << level
+      val (cy, cx) = (rm / side, rm % side)
+      val f = 1L << (6 - level)
+      for (dy <- 0L until f; dx <- 0L until f)
+        yield (cy * f + dy) * (1L << 6) + (cx * f + dx)
+    }
+    val expanded = compacted.flatMap { case (l, rm) => expand(l, rm) }
+    assert(expanded.length === expanded.toSet.size, "compacted cells overlap")
+    assert(expanded.toSet === occupied)
+  }
+
+  test("compactSet: full 4x4 block compacts to one level-4 cell; partial quads stay") {
+    import spark.implicits._
+    // all 16 level-6 descendants of one level-4 cell (cx=cy=0) + one stray
+    val full = for (y <- 0 until 4; x <- 0 until 4)
+      yield CellIndex.fromXY(x, y, 6)
+    val stray = CellIndex.fromXY(9, 9, 6)
+    val in = (full :+ stray).toDF("cell")
+    val got = GeoQueries.compactSet(in, 6, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (4, CellIndex.rowMajor(CellIndex.fromXY(0, 0, 4))),
+      (6, CellIndex.rowMajor(stray))))
+  }
+
+  test("compactSet: three of four siblings do NOT compact") {
+    import spark.implicits._
+    val cells = Seq(CellIndex.fromXY(0, 0, 6), CellIndex.fromXY(1, 0, 6),
+      CellIndex.fromXY(0, 1, 6)).toDF("cell")
+    val got = GeoQueries.compactSet(cells, 6, 4).collect()
+    assert(got.length === 3 && got.forall(_.getInt(0) == 6))
+  }
+}
