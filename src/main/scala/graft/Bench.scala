@@ -44,7 +44,11 @@ object Bench {
 
     // 1. query suite — failures are NAMED in the JSON (a silently dropped
     // query would over-report health), and excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q41,q61 restricts the suite (iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val (sec, _) = try secsOf(fn(spark, sfDir).count()) catch { case _: Throwable => (-1.0, -1L) }
       name -> sec
     }

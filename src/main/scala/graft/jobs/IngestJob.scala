@@ -325,9 +325,11 @@ object IngestJob {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val touched = current.parts.filter(p => touchedKeys((p.pCell, p.pDate)))
     // old rows of rewritten partitions; p_date is a directory key in the
-    // layout, re-attach it from the manifest entry
-    val oldRows = touched.map { e =>
-      spark.read.parquet(e.path).withColumn("p_date", lit(e.pDate))
+    // layout, re-attach it from the manifest entry. One multi-path scan
+    // per DATE (not per partition): a merge touching thousands of buckets
+    // must not plan thousands of single-file scans.
+    val oldRows = touched.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+      spark.read.parquet(es.map(_.path): _*).withColumn("p_date", lit(d))
     }.reduceOption(_.unionByName(_))
     val updCols = updates.columns.toSeq
     val merged = (oldRows match {
@@ -375,13 +377,15 @@ object IngestJob {
     * aggregate. n_keys == n_docs in the output is the no-duplicate
     * invariant crossing the oracle gate. */
   def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    // partition granularity is the CALLER's choice: this table merges by
+    // spatial bucket only (p_date collapsed), so the build is 16 buckets,
+    // not a (bucket x date) grid — the oracle math is date-independent
+    def prepared = pagesWithPartitions(spark, sfDir)
+      .withColumn("p_date", lit("all"))
     val root = cachedTable("graft-merge", sfDir, 2L) { (stage, _) =>
-      runPages(spark,
-        pagesWithPartitions(spark, sfDir).filter(col("doc_id") % 3 =!= 0),
-        stage, "base")
+      runPages(spark, prepared.filter(col("doc_id") % 3 =!= 0), stage, "base")
       mergeInto(spark, stage,
-        pagesWithPartitions(spark, sfDir)
-          .filter(col("doc_id") % 2 === 0)
+        prepared.filter(col("doc_id") % 2 === 0)
           .withColumn("n_chars", col("n_chars") + 1000L),
         "merge")
     }

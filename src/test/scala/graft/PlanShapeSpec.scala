@@ -121,6 +121,42 @@ class PlanShapeSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"all-pairs joins in: $offenders")
   }
 
+  test("footprint overlap: page-side join is broadcast, pages never shuffle") {
+    val df = GeoQueries.footprintOverlap(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // exchanges may appear for the tiny footprint-pair side and the final
+    // agg/sort, but the pages scan must feed a broadcast join directly:
+    // no hashpartitioning exchange between the pages Scan and the join
+    val pagesScanToJoin = plan.split("BroadcastHashJoin").last
+    assert(!"Exchange hashpartitioning".r.findAllIn(pagesScanToJoin)
+      .exists(_ => pagesScanToJoin.contains("Scan parquet") &&
+        pagesScanToJoin.indexOf("Exchange hashpartitioning") <
+          pagesScanToJoin.indexOf("Scan parquet")),
+      s"pages side shuffled before the broadcast join:\n${plan.take(2000)}")
+  }
+
+  test("sessionize: one shuffle serves both windows AND the session aggregate") {
+    // pre-execution plan: the AQE executedPlan string repeats the initial
+    // plan section and would double-count exchanges
+    val plan = graft.operators.RelationalQueries.sessionize(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // both windows partition on user_id and hashpartitioning(user_id)
+    // satisfies the (user_id, session_idx) aggregate's distribution — a
+    // second exchange means the clustering reuse regressed
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n${plan.take(2000)}")
+  }
+
+  test("event pivot: conditional aggregation plans ONE exchange with map-side partials") {
+    val plan = graft.operators.RelationalQueries.eventPivot(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected 1 shuffle:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "no map-side partial agg")
+  }
+
   test("exact kNN plan is fully distributed: no collect between scan and result") {
     // the two-phase plan must be a single lazy DataFrame; building it must
     // not run any Spark job (the round-1 version collected per ring pass)
