@@ -83,6 +83,11 @@ object SparkEntry {
     "q59_footprint_overlap" -> ((s, d) => GeoQueries.footprintOverlap(s, d)),
     "q60_compact" -> ((s, d) => GeoQueries.compactCells(s, d)),
     "q61_merge_upsert" -> ((s, d) => graft.jobs.IngestJob.mergeUpsert(s, d)),
+    "q62_clean_corpus" -> ((s, d) => TextQueries.cleanCorpus(s, d)),
+    // no oracle twin (per-subspace k-means codebooks are impractical as
+    // iterated SQL): driver records a rows-only check; recall-vs-brute-
+    // force is gated in SimilaritySpec like every ANN recall property
+    "q63_ann_pq" -> ((s, d) => SimilarityQueries.pqTopK(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

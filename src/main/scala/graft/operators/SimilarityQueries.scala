@@ -288,6 +288,80 @@ object SimilarityQueries {
     out
   }
 
+  final val PqSubspaces = 4
+  final val PqCodes = 16
+  final val PqSubDim = Dims / PqSubspaces
+  final val PqRerank = 4 // re-rank the top Rerank*k ADC candidates exactly
+
+  /** IVF-PQ-style product quantization ANN: 64 dims -> 4 subspaces x 16
+    * dims, each with a 16-entry codebook trained by the same deterministic
+    * k-means used for IVF (per subspace); vectors compress to 4 one-byte
+    * codes. Queries precompute a 64-entry asymmetric-distance table
+    * (subspace x code), so the corpus scan costs 4 ARRAY LOOKUPS per
+    * vector instead of a 64-dim L2 — the memory-bandwidth shape that makes
+    * billion-vector scans feasible. The ADC top (PqRerank*k) candidates
+    * are re-ranked exactly. Codes + codebooks are deterministic, but the
+    * per-subspace k-means makes a SQL twin impractical — gated by the
+    * recall ST vs brute force (like every ANN recall property) and a
+    * rows-only driver check. */
+  def pqTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist()
+    // per-subspace codebooks: deterministic k-means on the 16-dim slices;
+    // cid is the code, cv the codeword. Tiny (PqSubspaces*PqCodes rows).
+    val books = (0 until PqSubspaces).map { m =>
+      kmeansCentroids(
+        e.select(col("vec_id"), slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv")),
+        PqCodes, IvfIters)
+        .withColumn("m", lit(m))
+    }.reduce(_.unionByName(_)).persist()
+    books.count()
+    // encode: nearest codeword per (vector, subspace) -> 4 codes assembled
+    // into one array; the join is a broadcast of the 64-row codebook union
+    val subs = e.select(col("vec_id"), posexplode(
+      transform(sequence(lit(0), lit(PqSubspaces - 1)),
+        m => slice(col("qv"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sv")))
+    val codes = subs.join(broadcast(books), Seq("m"))
+      .withColumn("cd", l2(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("cd"), col("cid"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    // queries: 64-entry ADC table (index m*PqCodes + code), flat array
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"))
+    val dtab = queries.crossJoin(broadcast(books))
+      .withColumn("d", l2(slice(col("qvec"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cv")))
+      .groupBy(col("qid"), col("qvec"))
+      .agg(transform(array_sort(collect_list(struct(
+        (col("m") * PqCodes + col("cid")).as("i"), col("d")))),
+        x => x.getField("d")).as("dtab"))
+    // ADC scan: approx dist = sum of 4 table lookups; broadcast the tiny
+    // query side, corpus never shuffles before the top-k
+    val lookups = (0 until PqSubspaces).map(m =>
+      element_at(col("dtab"), (lit(m * PqCodes) + element_at(col("codes"), m + 1) + 1).cast("int")))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+    val cands = codes.crossJoin(broadcast(dtab))
+      .withColumn("approx", lookups.reduce(_ + _))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= PqRerank * k)
+      .select(col("qid"), col("qvec"), col("vec_id"))
+    // exact re-rank of the ADC survivors
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val out = cands.join(e, Seq("vec_id"))
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+      .persist()
+    out.count()
+    books.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
   /** Bucket histogram — distribution diagnostics for the LSH index. */
   def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
     emb(spark, sfDir)

@@ -289,6 +289,39 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** The composed corpus-cleaning pipeline — what a training-data run
+    * actually ships: length/quality gate -> language allowlist -> exact
+    * dedup (keep the smallest doc_id per content hash) -> deterministic
+    * hash sample -> per-(lang, source) inventory of the surviving corpus.
+    * Every stage is a narrow transformation or one aggregation; the only
+    * shuffles are the dedup groupBy (on the content hash — uniform) and
+    * the final inventory agg. All stages reuse the engine's primitives
+    * (token counts, md5 content hash, md5-permille sampling), and the
+    * whole chain is mirrored in one DuckDB CTE pipeline. */
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      // quality gate: degenerate docs out (token count + char bounds)
+      .filter(col("n_tok") >= 5 && col("n_tok") <= 10000 && col("n_chars") < 100000)
+      // language allowlist
+      .filter(col("lang").isin("en", "de", "fr"))
+    // exact dedup: keep the smallest doc_id per content hash
+    val deduped = d
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.source").as("source"), col("r.n_chars").as("n_chars"))
+    // deterministic 80% sample on the doc-id hash (reproducible, map-side)
+    deduped
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000 < 800)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   private val shCte =
@@ -371,6 +404,17 @@ object TextQueries {
         s"i -> list_min(list_slice(h, i + 1, i + $WinnowWindow))))) AS prnt FROM s WHERE len(h) >= $WinnowWindow) " +
         "SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_prints, " +
         "count(DISTINCT prnt) AS n_distinct_prints FROM p GROUP BY lang ORDER BY lang"),
+    "q62_clean_corpus" ->
+      ("WITH g AS (SELECT doc_id, lang, source, n_chars, text FROM documents " +
+        "WHERE len(string_split(text, ' ')) BETWEEN 5 AND 10000 AND n_chars < 100000 " +
+        "AND lang IN ('en', 'de', 'fr')), " +
+        "dd AS (SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, " +
+        "arg_min(source, doc_id) AS source, arg_min(n_chars, doc_id) AS n_chars " +
+        "FROM g GROUP BY md5(text)), " +
+        "s AS (SELECT * FROM dd WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 800) " +
+        "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM s GROUP BY lang, source ORDER BY lang, source"),
     "q57_tfidf" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), " +

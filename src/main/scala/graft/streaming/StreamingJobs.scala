@@ -22,13 +22,18 @@ object StreamingJobs {
   val pageSchema: StructType =
     org.apache.spark.sql.Encoders.product[graft.sources.Page].schema
 
-  /** H1 — streaming ingest: parquet file source + 1h event-time watermark. */
-  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+  /** Raw parquet file-source stream (no watermark — for operators that
+    * place their own, e.g. the stream-stream join's per-side watermarks;
+    * a watermark set here could not be redefined downstream). */
+  def pagesStreamRaw(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(pageSchema)
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)
-      .withWatermark("warc_ts", "1 hour")
+
+  /** H1 — streaming ingest: parquet file source + 1h event-time watermark. */
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    pagesStreamRaw(spark, dir).withWatermark("warc_ts", "1 hour")
 
   /** H2 — windowed inventory: tumbling 6h counts per level-2 cell. */
   def windowedInventory(pages: DataFrame): DataFrame =
@@ -61,6 +66,36 @@ object StreamingJobs {
       .groupBy(window(col("warc_ts"), "6 hours"), col("fp_id"))
       .agg(count(lit(1)).as("n_pages"))
       .select(col("window.start").as("w_start"), col("fp_id"), col("n_pages"))
+  }
+
+  /** H-session — streaming SESSION windows: gap-based sessions per source
+    * via the built-in session_window (adjacent windows merge in the state
+    * store while the watermark keeps state bounded) — the streaming twin
+    * of the batch sessionize operator (q54). */
+  def sessionInventory(pages: DataFrame, gap: String = "30 minutes"): DataFrame =
+    pages
+      .groupBy(col("source"), session_window(col("warc_ts"), gap))
+      .agg(count(lit(1)).as("n_pages"),
+        min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
+      .select(col("source"), col("session_window.start").as("s_start"),
+        col("n_pages"), col("t0"), col("t1"))
+
+  /** H-ss-join — stream-stream interval join: crawls joined to re-crawl
+    * observations on url, the re-crawl required within (0, 2h] after the
+    * crawl. Both sides carry watermarks so the join state is bounded —
+    * the event-time range condition is what lets Spark evict: a crawl row
+    * can be dropped once the re-crawl watermark passes its upper bound.
+    * Takes RAW streams (`pagesStreamRaw`) — each side's watermark is set
+    * here, on its own event-time column. */
+  def recrawlJoin(crawl: DataFrame, recrawl: DataFrame): DataFrame = {
+    val l = crawl.select(col("doc_id"), col("url"), col("warc_ts").as("l_ts"))
+      .withWatermark("l_ts", "1 hour")
+    val r = recrawl.select(col("url").as("r_url"), col("warc_ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r, col("url") === col("r_url") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("interval 2 hours"))
+      .select(col("doc_id"), col("url"), col("l_ts"), col("r_ts"))
   }
 
   /** H4 — sink: micro-batches appended as parquet via foreachBatch (the

@@ -108,7 +108,11 @@ class PlanShapeSpec extends SparkTestBase {
     //    brute-force fallback is phase B by design
     //  - q46: IVF assignment cross-joins against the BROADCAST centroid
     //    set (sqrt(n) rows — the standard IVF shape)
-    val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf")
+    //  - q63: the PQ ADC scan cross-joins the corpus codes against the
+    //    BROADCAST per-query distance tables (nQueries rows) — the
+    //    standard ADC shape; per-row work is 4 array lookups
+    val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
+      "q63_ann_pq")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

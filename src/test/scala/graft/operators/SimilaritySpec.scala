@@ -69,6 +69,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.45, s"recall@20 $recall")
   }
 
+  test("PQ ADC recall@5 vs brute force; self always survives re-rank") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = topSets(SimilarityQueries.l2TopK(spark, sf001))
+    val pq = topSets(SimilarityQueries.pqTopK(spark, sf001))
+    // the query's own codes give ADC distance == sum of its own quantization
+    // errors — minimal, so self survives the 4k ADC cut and re-ranks to #1
+    assert(pq.forall { case (q, s) => s.contains(q) })
+    val recalls = brute.map { case (q, t) => (t & pq.getOrElse(q, Set())).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    // 4x16-dim codebooks on uniform-random vectors (PQ worst case):
+    // deterministic per sf; assert with a safety margin under measured
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("PQ exact re-rank: reported dist equals true quantized L2") {
+    val pq = SimilarityQueries.pqTopK(spark, sf001).collect()
+    val brute = SimilarityQueries.l2TopK(spark, sf001, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for (r <- pq)
+      assert(r.getLong(3) === brute((r.getLong(0), r.getLong(2))),
+        s"re-ranked dist mismatch for ${(r.getLong(0), r.getLong(2))}")
+  }
+
   test("synthetic pages generator is partitioning-invariant") {
     import org.apache.spark.sql.functions._
     def digest(parts: Int) = graft.sources.Pages.synthetic(spark, 5000, parts)

@@ -117,6 +117,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("streaming session windows == batch session_window aggregate") {
+    val dir = stageInput()
+    val q = StreamingJobs.sessionInventory(StreamingJobs.pagesStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("sessinv").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3), r.getLong(4))
+    val got = spark.table("sessinv").collect().map(key).sorted.toSeq
+    val want = Pages.fromDocuments(spark, sf0001)
+      .groupBy(col("source"), session_window(col("warc_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_pages"), min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
+      .select(col("source"), col("session_window.start").as("s_start"),
+        col("n_pages"), col("t0"), col("t1"))
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got === want)
+    // sessions are genuine: every source has >1 session (ts stride 137s
+    // with gaps > 1800s between same-source docs at sf0.001)
+    val perSource = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perSource.values.exists(_ > 1))
+  }
+
+  test("stream-stream interval join: every crawl matches its +30min recrawl") {
+    val dir = stageInput()
+    val crawl = StreamingJobs.pagesStreamRaw(spark, dir)
+    // second stream: the same pages re-observed 30 minutes later
+    val recrawl = StreamingJobs.pagesStreamRaw(spark, dir)
+      .withColumn("warc_ts", col("warc_ts") + expr("interval 30 minutes"))
+    val q = StreamingJobs.recrawlJoin(crawl, recrawl)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+    // urls are unique per doc: each crawl row matches exactly its own
+    // +30min recrawl (within the (0, 2h] bound), nothing else
+    assert(got.count() === 500)
+    assert(got.filter(col("r_ts").cast("long") - col("l_ts").cast("long") =!= 1800L).count() === 0)
+  }
+
   test("foreachBatch sink lands all rows as parquet") {
     val dir = stageInput()
     val out = Files.createTempDirectory("graft-stream-out").toString
