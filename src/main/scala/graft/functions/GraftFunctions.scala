@@ -238,6 +238,160 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** plane_dots(vec array<long>, planes array<int>) -> array<long>: the
+    * dot product of `vec` against every deterministic integer hyperplane
+    * in `planes`, where coefficient(pos, b) = ((pos*73 + b*151 +
+    * pos*b*37) % 97) - 48 (the banded-LSH family of SimilarityQueries).
+    * One codegen'd expression instead of a posexplode + 80-column
+    * aggregate: the signature computation becomes a pure PROJECTION — no
+    * shuffle, and the generated code is one small nested loop instead of
+    * an 80-buffer hash aggregate (which cost ~6s of cold JIT per
+    * session). `planes` must be foldable (a literal array). */
+  case class PlaneDotsExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(IntegerType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "plane_dots"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val ps = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = x.numElements()
+      val out = new Array[Long](ps.numElements())
+      var p = 0
+      while (p < out.length) {
+        val pb = ps.getInt(p).toLong
+        var s = 0L
+        var i = 0
+        while (i < n) {
+          val c = (i * 73L + pb * 151L + i * pb * 37L) % 97L - 48L
+          s += x.getLong(i) * c
+          i += 1
+        }
+        out(p) = s
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, ps) => {
+        val i = ctx.freshName("i")
+        val p = ctx.freshName("p")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val pb = ctx.freshName("pb")
+        val c = ctx.freshName("c")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $x.numElements();
+           |long[] $out = new long[$ps.numElements()];
+           |for (int $p = 0; $p < $out.length; $p++) {
+           |  long $pb = (long) $ps.getInt($p);
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $c = ($i * 73L + $pb * 151L + $i * $pb * 37L) % 97L - 48L;
+           |    $s += $x.getLong($i) * $c;
+           |  }
+           |  $out[$p] = $s;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** band_signatures(vec array<long>, layout array<int>) -> array<long>:
+    * the banded-LSH bit signatures, fully packed inside one expression.
+    * `layout` = [numTables, bandPlanes, refinePlanes] (foldable). Output:
+    * 2*numTables longs — [band_0..band_{T-1}, sub_0..sub_{T-1}] where
+    * band_t packs the sign bits of the band-plane dots (plane index
+    * 100 + t*bandPlanes + i) and sub_t the refine-plane dots (index
+    * 1000 + t*refinePlanes + i), with the same coefficient family as
+    * `plane_dots`. Folding the sign/packing into the expression keeps the
+    * downstream projection to 2T element_at's — the 80-element_at
+    * when-chain this replaces dominated cold-JIT time. */
+  case class BandSigExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(IntegerType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_signatures"
+    @inline private def dot(x: org.apache.spark.sql.catalyst.util.ArrayData, b: Long): Long = {
+      val n = x.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += x.getLong(i) * ((i * 73L + b * 151L + i * b * 37L) % 97L - 48L)
+        i += 1
+      }
+      s
+    }
+    override protected def nullSafeEval(a: Any, l: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val lay = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val (nt, bp, rp) = (lay.getInt(0), lay.getInt(1), lay.getInt(2))
+      val out = new Array[Long](2 * nt)
+      var t = 0
+      while (t < nt) {
+        var band = 0L
+        var i = 0
+        while (i < bp) {
+          if (dot(x, 100L + t * bp + i) >= 0) band |= 1L << i
+          i += 1
+        }
+        var sub = 0L
+        i = 0
+        while (i < rp) {
+          if (dot(x, 1000L + t * rp + i) >= 0) sub |= 1L << i
+          i += 1
+        }
+        out(t) = band
+        out(nt + t) = sub
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, lay) => {
+        val f = Seq("nt", "bp", "rp", "out", "t", "i", "j", "s", "b", "band", "sub", "n")
+          .map(ctx.freshName).toArray
+        val Array(nt, bp, rp, out, t, i, j, s, b, band, sub, n) = f
+        s"""
+           |int $nt = $lay.getInt(0); int $bp = $lay.getInt(1); int $rp = $lay.getInt(2);
+           |int $n = $x.numElements();
+           |long[] $out = new long[2 * $nt];
+           |for (int $t = 0; $t < $nt; $t++) {
+           |  long $band = 0L;
+           |  for (int $i = 0; $i < $bp; $i++) {
+           |    long $b = 100L + (long) $t * $bp + $i;
+           |    long $s = 0L;
+           |    for (int $j = 0; $j < $n; $j++)
+           |      $s += $x.getLong($j) * (($j * 73L + $b * 151L + $j * $b * 37L) % 97L - 48L);
+           |    if ($s >= 0) $band |= 1L << $i;
+           |  }
+           |  long $sub = 0L;
+           |  for (int $i = 0; $i < $rp; $i++) {
+           |    long $b = 1000L + (long) $t * $rp + $i;
+           |    long $s = 0L;
+           |    for (int $j = 0; $j < $n; $j++)
+           |      $s += $x.getLong($j) * (($j * 73L + $b * 151L + $j * $b * 37L) % 97L - 48L);
+           |    if ($s >= 0) $sub |= 1L << $i;
+           |  }
+           |  $out[$t] = $band;
+           |  $out[$nt + $t] = $sub;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -271,6 +425,8 @@ object GraftFunctions {
     "contains_point" -> (e => ContainsPointExpr(e(0), e(1), e(2))),
     "extract_text" -> (e => ExtractTextExpr(e(0))),
     "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
+    "plane_dots" -> (e => PlaneDotsExpr(e(0), e(1))),
+    "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
   )
 
   def register(spark: SparkSession): Unit =
@@ -297,4 +453,7 @@ object GraftFunctions {
     call_function("contains_point", wkt, ilat, ilon)
   def extract_text(html: Column): Column = call_function("extract_text", html)
   def l2_dist(a: Column, b: Column): Column = call_function("l2_dist", a, b)
+  def plane_dots(v: Column, planes: Column): Column = call_function("plane_dots", v, planes)
+  def band_signatures(v: Column, layout: Column): Column =
+    call_function("band_signatures", v, layout)
 }

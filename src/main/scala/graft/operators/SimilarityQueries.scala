@@ -127,29 +127,26 @@ object SimilarityQueries {
 
   /** (vec_id, tbl, band, sub, cnt, key) — one row per (vector, table).
     *
-    * Shape note: the obvious per-plane `aggregate(transform(...))` lambda
-    * computes 80 interpreted higher-order evals of 64 elements per vector
-    * (measured ~4s/2k vectors). Instead the vector is posexploded ONCE and
-    * every plane dot becomes a wide codegen'd integer column summed by one
-    * map-side-combinable aggregation (elements of a vector are co-located
-    * after posexplode, so partial agg compresses 64:1 BEFORE any shuffle —
-    * at n vectors the exchange carries ~n rows, not 64n). */
+    * Shape note (evolution): a per-plane `aggregate(transform(...))`
+    * lambda is 80 interpreted higher-order evals per vector (~4s/2k
+    * vectors); round 2's first fix posexploded + wide-aggregated (fast
+    * warm, but one shuffle of n rows and ~6s of cold JIT for the
+    * 80-buffer aggregate). Final shape: ALL 80 dots come from ONE small
+    * codegen'd expression (`plane_dots`, a nested integer loop), so the
+    * signature computation is a pure projection — ZERO shuffle before the
+    * bucket-count window, and negligible codegen. */
   private def bandedKeys(e: DataFrame): DataFrame = {
-    def coeff(b: Int): Column =
-      (col("pos") * 73 + lit(b * 151) + col("pos") * lit(b * 37)) % 97 - 48
-    val dotCols = (bandPlaneIdx ++ subPlaneIdx).map(b =>
-      sum(col("v") * coeff(b)).as(s"p$b"))
-    val dots = e.select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy(col("vec_id"))
-      .agg(dotCols.head, dotCols.tail: _*)
-    def bits(base: Int, n: Int): Column = (0 until n).map(i =>
-      when(col(s"p${base + i}") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    import graft.functions.GraftFunctions.band_signatures
+    val sigs = e.select(col("vec_id"),
+      band_signatures(col("qv"),
+        lit(Array(NumTables, BandPlanes, RefinePlanes))).as("sig"))
+    // sig layout: [band_0..band_{T-1}, sub_0..sub_{T-1}]
     val tb = explode(array((0 until NumTables).map(t =>
       struct(lit(t).as("tbl"),
-        bits(100 + t * BandPlanes, BandPlanes).as("band"),
-        bits(1000 + t * RefinePlanes, RefinePlanes).as("sub"))): _*))
+        element_at(col("sig"), t + 1).as("band"),
+        element_at(col("sig"), NumTables + t + 1).as("sub"))): _*))
     val wB = Window.partitionBy(col("tbl"), col("band"))
-    dots.withColumn("tb", tb)
+    sigs.withColumn("tb", tb)
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.band").as("band"), col("tb.sub").as("sub"))
       .withColumn("cnt", count(lit(1)).over(wB))
       .withColumn("key", col("band") * KeyStride +
