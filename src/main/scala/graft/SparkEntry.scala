@@ -88,6 +88,9 @@ object SparkEntry {
     // iterated SQL): driver records a rows-only check; recall-vs-brute-
     // force is gated in SimilaritySpec like every ANN recall property
     "q63_ann_pq" -> ((s, d) => SimilarityQueries.pqTopK(s, d)),
+    // no oracle twin (sketch internals engine-specific — rows-only);
+    // ±1% rank error vs the exact q37 percentiles is gated in ScalaTest
+    "q64_percentiles_approx" -> ((s, d) => RelationalQueries.valuePercentilesApprox(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

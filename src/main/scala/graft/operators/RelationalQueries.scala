@@ -299,6 +299,20 @@ object RelationalQueries {
       .orderBy(col("lang"))
   }
 
+  /** E3-approx — sketch percentiles per event type: approx_percentile
+    * (GK/KLL-style) replaces the exact sort-based quantile at scale — one
+    * pass, mergeable bounded-size sketches, map-side combine. Sketch
+    * internals are engine-specific (no DuckDB hash twin — driver records
+    * rows-only); the ±1% rank-error-vs-exact property is ST-gated. */
+  def valuePercentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("value_c", cents(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value_c"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("value_c"), lit(0.9), lit(10000)).as("p90_approx"))
+      .orderBy(col("event_type"))
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(

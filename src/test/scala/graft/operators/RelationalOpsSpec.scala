@@ -52,6 +52,40 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentiles within 1% rank error of exact") {
+    val approx = RelationalQueries.valuePercentilesApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // exact rank window per event type (integer cents domain)
+    val e = spark.read.parquet(s"$sf001/events.parquet")
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+    val byType = e.select(col("event_type"), col("value_c")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    for ((t, vals) <- byType; (got, q) <- Seq((approx(t)._1, 0.5), (approx(t)._2, 0.9))) {
+      val rank = vals.indexWhere(_ >= got).toDouble / vals.length
+      assert(math.abs(rank - q) <= 0.011, s"$t q=$q: approx $got at rank $rank")
+    }
+  }
+
+  test("typed Dataset pipeline parity: latestPerSourceTyped == untyped q19") {
+    val typed = TypedQueries.latestPerSourceTyped(spark, sf0001).collect()
+      .map(r => (r.source, r.nDocs, r.latestDoc, r.latestTs)).toSeq
+    val untyped = RelationalQueries.latestPerSource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(typed === untyped)
+  }
+
+  test("typed mapGroups lang stats match the untyped aggregate") {
+    val typed = TypedQueries.langStatsTyped(spark, sf0001).collect()
+      .map(r => (r.lang, r.nDocs, r.sumChars)).toSeq
+    val untyped = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("n_chars") >= 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .orderBy(col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(typed === untyped)
+  }
+
   test("stratified sample is a map-side filter: no shuffle before aggregate") {
     val plan = RelationalQueries.stratifiedSample(spark, sf0001)
       .queryExecution.executedPlan.toString
