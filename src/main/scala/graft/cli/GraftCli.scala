@@ -80,6 +80,21 @@ object GraftCli {
         case Some(s) => println(s"compact: snapshot ${s.seq}, ${s.parts.length} partitions")
         case None => println("compact: nothing to merge")
       }
+    case "merge" :: sfDir :: root :: jobId :: Nil =>
+      // MERGE INTO: upsert this input's re-crawled docs (doc_id % 2 == 0)
+      // into the table with partition-level copy-on-write
+      val updates = IngestJob.pagesWithPartitions(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val s = IngestJob.mergeInto(spark, root, updates, jobId)
+      println(s"merge: snapshot ${s.seq}, ${s.parts.length} partitions, " +
+        s"${s.parts.map(_.rows).sum} rows")
+    case "compact-cells" :: sfDir :: Nil =>
+      // H3-style compaction of the occupied-cell inventory
+      val c = GeoQueries.compactCells(spark, sfDir)
+      c.groupBy("level").count().orderBy("level").show(10, truncate = false)
+    case "clean" :: sfDir :: Nil =>
+      // training-corpus cleaning pipeline inventory
+      graft.operators.TextQueries.cleanCorpus(spark, sfDir).show(100, truncate = false)
     case _ =>
       println(usage)
       throw new IllegalArgumentException(s"unknown command: ${args.mkString(" ")}")
@@ -95,5 +110,8 @@ object GraftCli {
       |  read-at   <root> <seq>           time-travel read of snapshot <seq>
       |  diff      <root> <seqA> <seqB>   row diff between two snapshots
       |  expire    <root> <keep>          drop old snapshots + GC unreferenced data
-      |  compact   <root>                 merge streaming micro-batch partitions""".stripMargin
+      |  compact   <root>                 merge streaming micro-batch partitions
+      |  merge     <sfDir> <root> <jobId> COW upsert of re-crawled docs into the table
+      |  compact-cells <sfDir>            H3-style occupied-cell compaction summary
+      |  clean     <sfDir>                corpus-cleaning pipeline inventory""".stripMargin
 }

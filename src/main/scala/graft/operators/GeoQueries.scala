@@ -393,6 +393,7 @@ object GeoQueries {
   /** Set-level compaction core: `cells` is a distinct set of Morton cell
     * ids at `fromLevel` (column `cell`). */
   def compactSet(cells: DataFrame, fromLevel: Int, toLevel: Int): DataFrame = {
+    GraftFunctions.register(cells.sparkSession)
     var cur = cells
     var out: Option[DataFrame] = None
     for (l <- fromLevel until toLevel by -1) {

@@ -24,6 +24,22 @@ class GraftCliSpec extends SparkTestBase {
     GraftCli.run(spark, Array("stats", sf0001))
   }
 
+  test("merge command upserts into an ingested table with a new snapshot") {
+    val root = Files.createTempDirectory("graft-cli-merge").toString
+    GraftCli.run(spark, Array("ingest", sf0001, root, "base"))
+    GraftCli.run(spark, Array("merge", sf0001, root, "m1"))
+    assert(SnapshotTable.currentSeq(root) === Some(2L))
+    // row count unchanged (every update key already existed in the table)
+    val n1 = SnapshotTable.readAt(spark, root, 1)._1.count()
+    val n2 = SnapshotTable.readAt(spark, root, 2)._1.count()
+    assert(n1 === n2)
+  }
+
+  test("compact-cells and clean commands run") {
+    GraftCli.run(spark, Array("compact-cells", sf0001))
+    GraftCli.run(spark, Array("clean", sf0001))
+  }
+
   test("unknown command fails loudly") {
     intercept[IllegalArgumentException] {
       GraftCli.run(spark, Array("frobnicate"))
