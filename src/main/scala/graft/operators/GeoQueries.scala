@@ -239,7 +239,10 @@ object GeoQueries {
       level: Int = 4, initRings: Int = 2): DataFrame = {
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
     val guard = initRings.toLong * minDim
-    val candidates = knnJoin(spark, sfDir, k, initRings, level)
+    // candidates feed BOTH the resolved-query aggregate and the kept-rows
+    // semi join — persist so the ring expansion + window run once, not
+    // twice (k * |queries| rows — tiny)
+    val candidates = knnJoin(spark, sfDir, k, initRings, level).persist()
     val resolvedQ = candidates.groupBy(col("qid"))
       .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
       .filter(col("n") === k && col("kth") < guard * guard)

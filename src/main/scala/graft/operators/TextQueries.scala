@@ -275,12 +275,16 @@ object TextQueries {
   def tfidfTopTerms(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // df stays CORPUS-wide; tf only needs the docs being ranked, so the
+    // doc filter pushes into the tf branch — the token join then carries
+    // |ranked docs| x tokens rows, not the whole corpus, and the hot
+    // stopword keys ("the" appears in every doc) can't skew the shuffle
+    val tf = tok.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("token"))
     tf.join(dfreq, Seq("token"))
-      .filter(col("doc_id") < 50)
       .withColumn("score_ppm", expr("tf * 1000000 div df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
