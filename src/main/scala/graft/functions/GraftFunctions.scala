@@ -429,11 +429,18 @@ object GraftFunctions {
     "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // install the optimizer rules for in-process sessions (idempotent);
+    // spark-submit users get the same via spark.sql.extensions =
+    // graft.plans.GraftExtensions
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RowMajorOfCellIdRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RowMajorOfCellIdRule
+  }
 
   // Column API (requires register(spark) on the active session first).
   def cell_id(ilat: Column, ilon: Column, level: Column): Column =
