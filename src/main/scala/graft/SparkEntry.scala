@@ -91,6 +91,8 @@ object SparkEntry {
     // no oracle twin (sketch internals engine-specific — rows-only);
     // ±1% rank error vs the exact q37 percentiles is gated in ScalaTest
     "q64_percentiles_approx" -> ((s, d) => RelationalQueries.valuePercentilesApprox(s, d)),
+    "q65_uncompact" -> ((s, d) => GeoQueries.uncompactInventory(s, d)),
+    "q66_event_unpivot" -> ((s, d) => RelationalQueries.eventUnpivot(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -197,6 +199,11 @@ object SparkEntry {
         "m AS (SELECT * FROM up UNION ALL SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM up)) " +
         "SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_keys, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM m GROUP BY lang ORDER BY lang"),
+    // round-trip law makes the oracle exact: uncompact(compact(occupied))
+    // == occupied, so the inventory equals the plain per-cell6 counts
+    "q65_uncompact" ->
+      (s"$P SELECT ${Pages.sqlCell("p.ilat", "p.ilon", 6)} AS cell6, count(*) AS n_pages " +
+        "FROM pages p GROUP BY 1 ORDER BY cell6"),
     "q60_compact" -> {
       def c(l: Int) = Pages.sqlCell("p.ilat", "p.ilon", l)
       s"$P, c AS (SELECT DISTINCT ${c(6)} AS c6, ${c(5)} AS c5, ${c(4)} AS c4 FROM pages p), " +

@@ -415,6 +415,46 @@ object GeoQueries {
       .orderBy(col("level"), col("cell_rm"))
   }
 
+  /** C2+/inverse of compaction — uncompact: expand the compacted occupied
+    * set back to uniform level-6 cells via cell_children explode, joined
+    * to per-cell page counts. Round-trips with compactCells (the ST law);
+    * here the expansion feeds a broadcast membership join so the pages
+    * side again never shuffles. */
+  def uncompactInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // the compacted occupied set, in Morton space (same loop as compactSet
+    // but keeping the Morton ids for children expansion)
+    val compacted = {
+      var c = Pages.fromDocuments(spark, sfDir)
+        .select(cell_id(col("ilat"), col("ilon"), lit(6)).as("cell")).distinct()
+      var out: Option[DataFrame] = None
+      for (l <- 6 until 4 by -1) {
+        val withPar = c.withColumn("par", cell_parent(col("cell"), lit(l - 1)))
+        val full = withPar.groupBy(col("par")).agg(count(lit(1)).as("n"))
+          .filter(col("n") === 4).select(col("par"))
+        val kept = withPar.join(full, Seq("par"), "left_anti").select(col("cell"))
+        out = Some(out.fold(kept)(_.unionByName(kept)))
+        c = full.select(col("par").as("cell"))
+      }
+      out.fold(c)(_.unionByName(c))
+    }
+    // uncompact: per round, cells below level 6 explode to their children,
+    // level-6 cells pass through as singletons (generator stays top-level)
+    var expanded = compacted
+    for (_ <- 0 until 2) {
+      expanded = expanded.select(explode(
+        when(cell_level(col("cell")) < 6, cell_children(col("cell")))
+          .otherwise(array(col("cell")))).as("cell"))
+    }
+    val level6 = expanded.select(cell_rowmajor(col("cell")).as("cell6")).distinct()
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell6", pageCell(6))
+    pages.join(broadcast(level6), Seq("cell6"))
+      .groupBy(col("cell6"))
+      .agg(count(lit(1)).as("n_pages"))
+      .orderBy(col("cell6"))
+  }
+
   /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
     * via cell_parent, reported as row-major surrogates at both levels. */
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {

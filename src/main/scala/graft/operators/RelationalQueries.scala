@@ -299,6 +299,18 @@ object RelationalQueries {
       .orderBy(col("lang"))
   }
 
+  /** E8-inverse — unpivot (wide -> long): melt the per-type pivot columns
+    * back to (etype, n) rows and re-aggregate — the MELT/UNPIVOT surface;
+    * round-trips with eventPivot (totals equal the plain groupBy). */
+  def eventUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    eventPivot(spark, sfDir)
+      .unpivot(Array(col("user_id")), types.map(t => col(s"n_$t")).toArray, "etype", "n")
+      .groupBy(col("etype"))
+      .agg(sum(col("n")).as("total"))
+      .orderBy(col("etype"))
+  }
+
   /** E3-approx — sketch percentiles per event type: approx_percentile
     * (GK/KLL-style) replaces the exact sort-based quantile at scale — one
     * pass, mergeable bounded-size sketches, map-side combine. Sketch
@@ -416,6 +428,9 @@ object RelationalQueries {
             s"CAST(sum(CASE WHEN event_type = '$t' THEN value_c ELSE 0 END) AS BIGINT) AS v_$t"
         }.mkString(", ") +
         " FROM e GROUP BY user_id HAVING user_id < 50 ORDER BY user_id"),
+    "q66_event_unpivot" ->
+      ("SELECT 'n_' || event_type AS etype, count(*) AS total FROM events " +
+        "WHERE user_id < 50 GROUP BY 1 ORDER BY etype"),
     "q56_stratified_sample" ->
       (s"WITH pages AS (${Pages.oracleCte}) SELECT p.lang AS lang, count(*) AS n_sampled, " +
         "CAST(sum(p.n_chars) AS BIGINT) AS sum_chars, count(DISTINCT p.source) AS n_sources " +
