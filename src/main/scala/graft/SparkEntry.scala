@@ -93,6 +93,7 @@ object SparkEntry {
     "q64_percentiles_approx" -> ((s, d) => RelationalQueries.valuePercentilesApprox(s, d)),
     "q65_uncompact" -> ((s, d) => GeoQueries.uncompactInventory(s, d)),
     "q66_event_unpivot" -> ((s, d) => RelationalQueries.eventUnpivot(s, d)),
+    "q67_knn_table" -> ((s, d) => GeoQueries.knnSelfJoin(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -146,6 +147,13 @@ object SparkEntry {
         s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
         s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
         s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 25 ORDER BY qid, rnk"),
+    "q67_knn_table" ->
+      (s"$P, q AS (SELECT doc_id AS qid, ilat AS qlat, ilon AS qlon FROM pages WHERE doc_id % 10 = 1), " +
+        "d AS (SELECT q.qid AS qid, p.doc_id AS doc_id, " +
+        "CAST((q.qlat - p.ilat) * (q.qlat - p.ilat) + (q.qlon - p.ilon) * (q.qlon - p.ilon) AS BIGINT) AS dist2 " +
+        "FROM q CROSS JOIN pages p), " +
+        "r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 3 ORDER BY qid, rnk"),
     "q08_uncovered" ->
       (s"$P SELECT ${cell(4)} AS cell4, count(*) AS n_pages FROM pages p " +
         s"WHERE NOT EXISTS (SELECT 1 FROM $FP WHERE $boxJoin) " +

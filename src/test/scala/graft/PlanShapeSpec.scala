@@ -111,8 +111,10 @@ class PlanShapeSpec extends SparkTestBase {
     //  - q63: the PQ ADC scan cross-joins the corpus codes against the
     //    BROADCAST per-query distance tables (nQueries rows) — the
     //    standard ADC shape; per-row work is 4 array lookups
+    //  - q67: same two-phase exact-kNN shape as q42 — the brute branch
+    //    only ever receives the guard-unresolved query subset
     val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
-      "q63_ann_pq")
+      "q63_ann_pq", "q67_knn_table")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
