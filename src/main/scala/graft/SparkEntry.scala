@@ -94,6 +94,7 @@ object SparkEntry {
     "q65_uncompact" -> ((s, d) => GeoQueries.uncompactInventory(s, d)),
     "q66_event_unpivot" -> ((s, d) => RelationalQueries.eventUnpivot(s, d)),
     "q67_knn_table" -> ((s, d) => GeoQueries.knnSelfJoin(s, d)),
+    "q68_crawl_drift" -> ((s, d) => GeoQueries.crawlDrift(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -147,6 +148,14 @@ object SparkEntry {
         s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
         s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
         s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 25 ORDER BY qid, rnk"),
+    "q68_crawl_drift" ->
+      (s"$P, l AS (SELECT source, ilat, ilon, " +
+        "lag(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plat, " +
+        "lag(ilon) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plon FROM pages), " +
+        "d AS (SELECT source, CAST((ilat - plat) * (ilat - plat) + (ilon - plon) * (ilon - plon) AS BIGINT) AS d2 " +
+        "FROM l WHERE plat IS NOT NULL) " +
+        "SELECT source, count(*) AS n_hops, CAST(sum(d2) AS BIGINT) AS sum_d2, max(d2) AS max_d2 " +
+        "FROM d GROUP BY source ORDER BY source"),
     "q67_knn_table" ->
       (s"$P, q AS (SELECT doc_id AS qid, ilat AS qlat, ilon AS qlon FROM pages WHERE doc_id % 10 = 1), " +
         "d AS (SELECT q.qid AS qid, p.doc_id AS doc_id, " +

@@ -270,6 +270,25 @@ object GeoQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** F+geo — crawl drift: per source, the squared distance between
+    * CONSECUTIVE crawls (ordered by ts), aggregated to drift stats — the
+    * "how far does each source's content move" trajectory question.
+    * Window + integer geo metric composed; one shuffle on source. */
+  def crawlDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("ts_sec"), col("doc_id"))
+    val dist = (col("ilat") - col("plat")) * (col("ilat") - col("plat")) +
+      (col("ilon") - col("plon")) * (col("ilon") - col("plon"))
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("plat", lag(col("ilat"), 1).over(w))
+      .withColumn("plon", lag(col("ilon"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .withColumn("d2", dist.cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hops"), sum(col("d2")).as("sum_d2"),
+        max(col("d2")).as("max_d2"))
+      .orderBy(col("source"))
+  }
+
   /** D6-table — kNN where the QUERY SIDE IS A TABLE: every 10th page
     * finds its k nearest pages (self-kNN — the "similar locations"
     * query). Exercises the two-phase exact shape with a DISTRIBUTED query

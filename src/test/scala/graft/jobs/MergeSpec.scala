@@ -49,6 +49,37 @@ class MergeSpec extends SparkTestBase {
         .agg(sum(col("n_chars"))).head.getLong(0) - 7L * nUpdated)
   }
 
+  test("mergeInto preserves a foreign writer's partitions in its commit") {
+    val root = freshRoot()
+    val pages = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, pages, root, "base")
+    val before = SnapshotTable.currentSnapshot(root).get
+
+    // another writer (e.g. a streaming sink) lands an unrelated partition
+    // between the base ingest and the merge — the merge's kept-parts
+    // computation (rebuilt against the LATEST snapshot inside the commit
+    // retry loop) must carry it forward, not resurrect the pre-intruder
+    // part list
+    val intruderPath = s"$root/data/intruder"
+    spark.range(1).selectExpr("id AS doc_id").write.parquet(intruderPath)
+    SnapshotTable.commitSnapshot(root,
+      SnapshotTable.Snapshot(before.seq + 1, before.schemaVer,
+        (before.parts :+ SnapshotTable.PartitionEntry(999L, "intruder", intruderPath,
+          1L, 0, 0, 0, 0, 0L, 0L)).toIndexedSeq, before.schemaDdl))
+
+    val someCell = before.parts.head.pCell
+    val updates = pages.filter(col("p_cell") === someCell)
+      .withColumn("n_chars", col("n_chars") + 1L)
+    val merged = IngestJob.mergeInto(spark, root, updates, "m1")
+
+    // the merge committed AFTER the intruder and kept its partition
+    assert(merged.seq === before.seq + 2)
+    assert(merged.parts.exists(_.pDate == "intruder"),
+      "concurrent writer's partition dropped by the merge commit")
+    assert(merged.parts.exists(p => p.pCell == someCell && p.path.contains("/m1/")),
+      "merge's own rewrite missing")
+  }
+
   test("mergeInto inserts new keys and updates matched keys in one pass") {
     val root = freshRoot()
     val pages = IngestJob.pagesWithPartitions(spark, sf0001)
