@@ -392,6 +392,30 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** shingle_hashes(text) -> array<long>: the 60-bit md5-prefix hash of
+    * every 3-gram shingle of the space-split tokens — EXACTLY
+    * `conv(substring(md5(concat_ws(' ', slice(toks, j+1, 3))), 1, 15), 16, 10)`
+    * per position, the portable token-hash family every dedup operator
+    * shares with the DuckDB oracle. One JVM kernel call per DOCUMENT
+    * replaces the per-shingle md5→hex-string→conv Column chain (hex
+    * string allocation per shingle was the measured cost driver of the
+    * MinHash family at scale). Docs with fewer than 3 tokens yield an
+    * empty array (callers filter on size > 0, mirroring the n_tok >= 3
+    * shingle filter). */
+  case class ShingleHashesExpr(child: Expression) extends GraftUnary {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override protected def nullSafeEval(t: Any): Any =
+      GraftKernels.shingleHashes(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, t => s"graft.functions.GraftKernels.shingleHashes($t)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -427,6 +451,7 @@ object GraftFunctions {
     "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
     "plane_dots" -> (e => PlaneDotsExpr(e(0), e(1))),
     "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
+    "shingle_hashes" -> (e => ShingleHashesExpr(e(0))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -463,4 +488,5 @@ object GraftFunctions {
   def plane_dots(v: Column, planes: Column): Column = call_function("plane_dots", v, planes)
   def band_signatures(v: Column, layout: Column): Column =
     call_function("band_signatures", v, layout)
+  def shingle_hashes(text: Column): Column = call_function("shingle_hashes", text)
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels called from generated code (static-call shape keeps the
+  * enclosing whole-stage-codegen span alive — see ShingleHashesExpr). */
+object GraftKernels {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val Empty = new GenericArrayData(Array.emptyLongArray)
+
+  /** 60-bit md5-prefix hash of every 3-gram shingle of the space-split
+    * tokens of `text`. Tokenization matches Spark `split(text, " ")`
+    * (trailing empties kept), shingle text matches
+    * `concat_ws(" ", slice(toks, j+1, 3))`, and the value matches
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: the first 15 hex chars are
+    * digest bytes 0..6 plus the high nibble of byte 7. */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < 3) return Empty
+    val out = new Array[Long](toks.length - 2)
+    val d = md5.get()
+    var j = 0
+    while (j < out.length) {
+      d.reset()
+      d.update(toks(j).getBytes(UTF_8))
+      d.update(' '.toByte)
+      d.update(toks(j + 1).getBytes(UTF_8))
+      d.update(' '.toByte)
+      d.update(toks(j + 2).getBytes(UTF_8))
+      val dg = d.digest()
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dg(i) & 0xffL); i += 1 }
+      out(j) = (v << 4) | ((dg(7) >> 4) & 0xfL)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

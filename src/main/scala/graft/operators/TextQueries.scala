@@ -96,6 +96,17 @@ object TextQueries {
         j => concat_ws(" ", slice(toks, j + 1, lit(3)))))
   }
 
+  /** Raw 60-bit shingle hashes per doc (`h0raw`, docs with >= 3 tokens):
+    * ONE codegen'd kernel call per document (`shingle_hashes`) instead of
+    * a per-shingle md5->hex->conv Column chain — identical values (the
+    * kernel replicates the conv(substring(md5 ..)) arithmetic bit-exactly,
+    * oracle-gated through q28/q29/q44/q47). */
+  private def withShingleHashes(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    d.withColumn("h0raw", graft.functions.GraftFunctions.shingle_hashes(col("text")))
+      .filter(size(col("h0raw")) > 0)
+  }
+
   /** 8 signatures -> 4 bands x 2 rows. The banding s-curve at the 0.2
     * Jaccard verify threshold: P(candidate | j) = 1 - (1 - j^2)^4, i.e.
     * 0.59 at j=0.45 and 0.92 at j=0.7 (round 1 shipped 2 bands x 2 rows —
@@ -115,8 +126,8 @@ object TextQueries {
     minhashSigsUnsorted(spark, sfDir).orderBy(col("doc_id"))
 
   private def minhashSigsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = withShingles(docs(spark, sfDir))
-      .withColumn("h0", transform(col("sh"), x => tokHash(x) % P))
+    val base = withShingleHashes(docs(spark, sfDir))
+      .withColumn("h0", transform(col("h0raw"), h => h % P))
     val sigs = (0 until NumSigs).map(i =>
       array_min(transform(col("h0"), h => (h * HashA(i) + HashB(i)) % P)).as(s"s$i"))
     base.select(col("doc_id") +: sigs: _*)
@@ -142,9 +153,8 @@ object TextQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sh = withShingles(docs(spark, sfDir))
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"), x => tokHash(x))).as("shd"))
+    val sh = withShingleHashes(docs(spark, sfDir))
+      .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
       .persist()
     val inter = size(array_intersect(col("x.shd"), col("y.shd")))
     val uni = size(col("x.shd")) + size(col("y.shd")) - inter
@@ -199,8 +209,8 @@ object TextQueries {
     * 4710 from sf0.01 → sf0.1 (max block 7 rows), and near-dup recall of
     * true jac>=0.15 pairs is 0.84/0.95 — blocking work is ~linear in n. */
   def blockedJaccard(spark: SparkSession, sfDir: String, minJacM: Int = 150): DataFrame = {
-    val base = withShingles(docs(spark, sfDir))
-      .withColumn("h0", transform(col("sh"), x => tokHash(x)))
+    val base = withShingleHashes(docs(spark, sfDir))
+      .withColumn("h0", col("h0raw"))
     val sigs = (0 until BlockA.length).map(i =>
       array_min(transform(col("h0"), h => ((h % P) * BlockA(i) + BlockB(i)) % P)).as(s"s$i"))
     // blocked frame reused on both join sides — persist so shingling and
@@ -239,11 +249,11 @@ object TextQueries {
     // expression directly inside the window lambda lets Catalyst inline
     // it per window position — O(shingles^2) md5 calls (measured 113s at
     // sf0.1 vs ~2s for this shape).
-    val hExpr = transform(col("sh"), x => tokHash(x) % P)
+    val hExpr = transform(col("h0raw"), h => h % P)
     val printsExpr = array_distinct(flatten(transform(array(hExpr), hh =>
       transform(sequence(lit(0), size(hh) - w), i => array_min(slice(hh, i + 1, lit(w)))))))
-    val base = withShingles(docs(spark, sfDir))
-      .filter(col("n_tok") >= w + 2) // n shingles = n_tok - 2 >= w
+    val base = withShingleHashes(docs(spark, sfDir))
+      .filter(size(col("h0raw")) >= w) // n shingles >= window
       .withColumn("prints", printsExpr)
     base
       .select(col("lang"), col("doc_id"), explode(col("prints")).as("print"))
