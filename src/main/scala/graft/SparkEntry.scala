@@ -95,6 +95,7 @@ object SparkEntry {
     "q66_event_unpivot" -> ((s, d) => RelationalQueries.eventUnpivot(s, d)),
     "q67_knn_table" -> ((s, d) => GeoQueries.knnSelfJoin(s, d)),
     "q68_crawl_drift" -> ((s, d) => GeoQueries.crawlDrift(s, d)),
+    "q69_dense_clusters" -> ((s, d) => GeoQueries.denseCellClusters(s, d, minPages = 3)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -148,6 +149,20 @@ object SparkEntry {
         s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
         s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
         s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 25 ORDER BY qid, rnk"),
+    "q69_dense_clusters" -> {
+      val side = 1L << GeoQueries.JoinLevel
+      s"WITH RECURSIVE pages AS (${Pages.oracleCte}), " +
+        s"dense AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", GeoQueries.JoinLevel)} AS cell, " +
+        "count(*) AS n_pages FROM pages p GROUP BY 1 HAVING count(*) >= 3), " +
+        s"e0 AS (SELECT a.cell AS u, b.cell AS v FROM dense a JOIN dense b ON " +
+        s"abs(a.cell % $side - b.cell % $side) <= 1 AND abs(a.cell // $side - b.cell // $side) <= 1 " +
+        "AND a.cell <> b.cell), " +
+        "reach(u, v) AS (SELECT cell, cell FROM dense UNION SELECT e0.u, r.v FROM e0 JOIN reach r ON e0.v = r.u), " +
+        "lab AS (SELECT u AS cell, min(v) AS cluster FROM reach GROUP BY u) " +
+        "SELECT lab.cluster AS cluster, count(*) AS n_cells, CAST(sum(d.n_pages) AS BIGINT) AS sum_pages, " +
+        "min(d.cell) AS min_cell, max(d.cell) AS max_cell " +
+        "FROM dense d JOIN lab ON d.cell = lab.cell GROUP BY 1 ORDER BY cluster"
+    },
     "q68_crawl_drift" ->
       (s"$P, l AS (SELECT source, ilat, ilon, " +
         "lag(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plat, " +

@@ -270,6 +270,44 @@ object GeoQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** E+graph — density-based spatial clustering (DBSCAN-flavored over the
+    * grid): cells with >= minPages pages are DENSE; adjacent dense cells
+    * (8-neighborhood) connect; connected components are the clusters
+    * ("urban area detection"). Scale shape: the dense set is an
+    * aggregation (small — bounded by cell count at the level), adjacency
+    * is an 8-key explode + equi-join (never all-pairs), clustering is the
+    * distributed min-label CC. Oracle: DuckDB recursive-CTE closure. */
+  def denseCellClusters(spark: SparkSession, sfDir: String, level: Int = 6,
+      minPages: Int = 5): DataFrame = {
+    val side = 1L << level
+    val dense = Pages.fromDocuments(spark, sfDir)
+      .groupBy(pageCell(level).as("cell"))
+      .agg(count(lit(1)).as("n_pages"))
+      .filter(col("n_pages") >= minPages)
+      .persist()
+    val cx = col("cell") % side
+    val cy = expr(s"cell div $side") // integral division (Column `/` is double)
+    val nbrExprs = for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) yield {
+      val (nx, ny) = (cx + dx, cy + dy)
+      when(nx >= 0 && nx < side && ny >= 0 && ny < side, ny * side + nx)
+        .otherwise(lit(null))
+    }
+    val edges = dense
+      .select(col("cell"), explode(array(nbrExprs: _*)).as("ncell"))
+      .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
+      .join(dense.select(col("cell").as("ncell")), Seq("ncell"))
+      .select(col("cell").as("src"), col("ncell").as("dst"))
+    val comps = GraphQueries.connectedComponents(edges)
+    dense
+      .join(comps, dense("cell") === comps("node"), "left")
+      .select(col("cell"), coalesce(col("comp"), col("cell")).as("cluster"),
+        col("n_pages"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pages")).as("sum_pages"),
+        min(col("cell")).as("min_cell"), max(col("cell")).as("max_cell"))
+      .orderBy(col("cluster"))
+  }
+
   /** F+geo — crawl drift: per source, the squared distance between
     * CONSECUTIVE crawls (ordered by ts), aggregated to drift stats — the
     * "how far does each source's content move" trajectory question.
