@@ -96,6 +96,8 @@ object SparkEntry {
     "q67_knn_table" -> ((s, d) => GeoQueries.knnSelfJoin(s, d)),
     "q68_crawl_drift" -> ((s, d) => GeoQueries.crawlDrift(s, d)),
     "q69_dense_clusters" -> ((s, d) => GeoQueries.denseCellClusters(s, d, minPages = 3)),
+    "q70_nearest_footprint" -> ((s, d) => GeoQueries.nearestFootprint(s, d)),
+    "q71_value_histogram" -> ((s, d) => RelationalQueries.valueHistogram(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -149,6 +151,14 @@ object SparkEntry {
         s"FROM ${GeoQueries.knnQueriesSqlValues} CROSS JOIN pages p), " +
         s"r AS (SELECT qid, doc_id, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk FROM d) " +
         s"SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, dist2 FROM r WHERE rnk <= 25 ORDER BY qid, rnk"),
+    "q70_nearest_footprint" ->
+      (s"$P, d AS (SELECT p.doc_id AS doc_id, fp.fp_id AS fp_id, " +
+        "CAST(p.ilat * 2 - (fp.ilat0 + fp.ilat1) AS BIGINT) * (p.ilat * 2 - (fp.ilat0 + fp.ilat1)) + " +
+        "CAST(p.ilon * 2 - (fp.ilon0 + fp.ilon1) AS BIGINT) * (p.ilon * 2 - (fp.ilon0 + fp.ilon1)) AS d2 " +
+        s"FROM pages p CROSS JOIN ${Footprints.sqlValues}), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d2, fp_id) AS rn FROM d) " +
+        "SELECT fp_id, count(*) AS n_pages, min(d2) AS min_d2, max(d2) AS max_d2 " +
+        "FROM r WHERE rn = 1 GROUP BY fp_id ORDER BY fp_id"),
     "q69_dense_clusters" -> {
       val side = 1L << GeoQueries.JoinLevel
       s"WITH RECURSIVE pages AS (${Pages.oracleCte}), " +

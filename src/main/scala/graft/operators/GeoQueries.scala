@@ -308,6 +308,31 @@ object GeoQueries {
       .orderBy(col("cluster"))
   }
 
+  /** D+assign — nearest-footprint assignment: every page assigned to the
+    * footprint with the nearest CENTROID (argmin over a broadcast of the
+    * tiny footprint set — the Voronoi/nearest-site partitioning question,
+    * same aggregation-argmin shape as the IVF coarse quantizer). Doubled
+    * coordinates keep the centroid math divide-free (integer-exact in both
+    * engines; truncating vs flooring division would diverge on negative
+    * centroids). */
+  def nearestFootprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Footprints.boxesDf(spark)
+      .select(col("fp_id"), (col("ilat0") + col("ilat1")).as("c2lat"),
+        (col("ilon0") + col("ilon1")).as("c2lon"))
+    val d2 = (col("ilat") * 2 - col("c2lat")).cast("long") * (col("ilat") * 2 - col("c2lat")) +
+      (col("ilon") * 2 - col("c2lon")).cast("long") * (col("ilon") * 2 - col("c2lon"))
+    Pages.fromDocuments(spark, sfDir)
+      .crossJoin(broadcast(fp))
+      .withColumn("d2", d2)
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("fp_id"), col("d2")), struct(col("d2"), col("fp_id"))).as("best"))
+      .select(col("best.fp_id").as("fp_id"), col("best.d2").as("d2"))
+      .groupBy(col("fp_id"))
+      .agg(count(lit(1)).as("n_pages"), min(col("d2")).as("min_d2"),
+        max(col("d2")).as("max_d2"))
+      .orderBy(col("fp_id"))
+  }
+
   /** F+geo — crawl drift: per source, the squared distance between
     * CONSECUTIVE crawls (ordered by ts), aggregated to drift stats — the
     * "how far does each source's content move" trajectory question.

@@ -311,6 +311,16 @@ object RelationalQueries {
       .orderBy(col("etype"))
   }
 
+  /** E+hist — fixed-width value histogram per event type (width_bucket
+    * analog in exact integer cents; one aggregation). */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("value_c", cents(col("value")))
+      .withColumn("bin", expr("value_c div 5000")) // 50-unit buckets
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("sum_c"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** E3-approx — sketch percentiles per event type: approx_percentile
     * (GK/KLL-style) replaces the exact sort-based quantile at scale — one
     * pass, mergeable bounded-size sketches, map-side combine. Sketch
@@ -428,6 +438,10 @@ object RelationalQueries {
             s"CAST(sum(CASE WHEN event_type = '$t' THEN value_c ELSE 0 END) AS BIGINT) AS v_$t"
         }.mkString(", ") +
         " FROM e GROUP BY user_id HAVING user_id < 50 ORDER BY user_id"),
+    "q71_value_histogram" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events) " +
+        "SELECT event_type, value_c // 5000 AS bin, count(*) AS n, " +
+        "CAST(sum(value_c) AS BIGINT) AS sum_c FROM e GROUP BY 1, 2 ORDER BY event_type, bin"),
     "q66_event_unpivot" ->
       ("SELECT 'n_' || event_type AS etype, count(*) AS total FROM events " +
         "WHERE user_id < 50 GROUP BY 1 ORDER BY etype"),

@@ -113,8 +113,10 @@ class PlanShapeSpec extends SparkTestBase {
     //    standard ADC shape; per-row work is 4 array lookups
     //  - q67: same two-phase exact-kNN shape as q42 — the brute branch
     //    only ever receives the guard-unresolved query subset
+    //  - q70: nearest-site assignment cross-joins against the BROADCAST
+    //    16-row footprint centroid set (the IVF-assignment shape)
     val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
-      "q63_ann_pq", "q67_knn_table")
+      "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
