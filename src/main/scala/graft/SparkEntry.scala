@@ -98,6 +98,8 @@ object SparkEntry {
     "q69_dense_clusters" -> ((s, d) => GeoQueries.denseCellClusters(s, d, minPages = 3)),
     "q70_nearest_footprint" -> ((s, d) => GeoQueries.nearestFootprint(s, d)),
     "q71_value_histogram" -> ((s, d) => RelationalQueries.valueHistogram(s, d)),
+    "q72_reservoir" -> ((s, d) => RelationalQueries.reservoirPerLang(s, d)),
+    "q73_cust_quartiles" -> ((s, d) => RelationalQueries.custQuartiles(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -311,6 +311,35 @@ object RelationalQueries {
       .orderBy(col("etype"))
   }
 
+  /** Deterministic per-group reservoir: k docs per lang, chosen by
+    * md5(url) rank — a reproducible uniform sample per stratum (the
+    * "inspect k random docs per language" debugging query), one window
+    * over one shuffle. Unlike rand()-based sampling the pick is stable
+    * across runs, engines and partitionings. */
+  def reservoirPerLang(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(md5(col("url")), col("doc_id"))
+    Pages.fromDocuments(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** F-ntile — quartile assignment of customers by order total (integer
+    * window function; percentile bucketing without floats). */
+  def custQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val totals = orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_c"))
+    val w = Window.orderBy(col("total_c"), col("o_custkey"))
+    totals
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"), min(col("total_c")).as("min_c"),
+        max(col("total_c")).as("max_c"), sum(col("total_c")).as("sum_c"))
+      .orderBy(col("quartile"))
+  }
+
   /** E+hist — fixed-width value histogram per event type (width_bucket
     * analog in exact integer cents; one aggregation). */
   def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
@@ -438,6 +467,19 @@ object RelationalQueries {
             s"CAST(sum(CASE WHEN event_type = '$t' THEN value_c ELSE 0 END) AS BIGINT) AS v_$t"
         }.mkString(", ") +
         " FROM e GROUP BY user_id HAVING user_id < 50 ORDER BY user_id"),
+    "q72_reservoir" ->
+      (s"WITH pages AS (${Pages.oracleCte}), " +
+        "r AS (SELECT lang, doc_id, n_chars, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY md5(url), doc_id) AS rnk FROM pages) " +
+        "SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM r WHERE rnk <= 3 ORDER BY lang, rnk"),
+    "q73_cust_quartiles" ->
+      ("WITH t AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c " +
+        "FROM orders GROUP BY o_custkey), " +
+        "q AS (SELECT *, ntile(4) OVER (ORDER BY total_c, o_custkey) AS quartile FROM t) " +
+        "SELECT CAST(quartile AS INT) AS quartile, count(*) AS n_cust, min(total_c) AS min_c, " +
+        "max(total_c) AS max_c, CAST(sum(total_c) AS BIGINT) AS sum_c " +
+        "FROM q GROUP BY quartile ORDER BY quartile"),
     "q71_value_histogram" ->
       ("WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events) " +
         "SELECT event_type, value_c // 5000 AS bin, count(*) AS n, " +
