@@ -238,6 +238,33 @@ object SimilarityQueries {
     cents
   }
 
+  /** Grouped k-means: ONE Lloyd chain trains EVERY group's codebook at
+    * once — frames carry a `grp` column and the assignment/update
+    * aggregations key on it, so PQ's 4 subspace codebooks train in
+    * `iters` job rounds instead of `groups x iters`. Identical
+    * seed/tie/update rules per group as `kmeansCentroids`. */
+  def kmeansCentroidsGrouped(e: DataFrame, c: Int, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < c)
+      .select(col("grp"), col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = e.as("x")
+        .join(broadcast(cents.withColumnRenamed("grp", "kgrp")).as("k"),
+          col("x.grp") === col("kgrp"))
+        .withColumn("cd", l2(col("x.qv"), col("k.cv")))
+        .groupBy(col("x.grp").as("grp"), col("x.vec_id"))
+        .agg(min_by(struct(col("k.cid"), col("x.qv")), struct(col("cd"), col("k.cid"))).as("best"))
+        .select(col("grp"), col("best.cid").as("cid"), col("best.qv").as("qv"))
+      cents = assigned
+        .select(col("grp"), col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("grp"), col("cid"), col("pos"))
+        .agg(floor(lit(1.0) * sum(col("v")) / count(lit(1))).cast("long").as("m"))
+        .groupBy(col("grp"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+    }
+    cents
+  }
+
   /** IVF ANN with a TRAINED coarse quantizer: deterministic k-means
     * (sqrt(n) centroids, `IvfIters` Lloyd iterations — fully mirrored by
     * the DuckDB oracle via iterated CTEs), inverted-list assignment by
@@ -306,12 +333,12 @@ object SimilarityQueries {
       .persist()
     // per-subspace codebooks: deterministic k-means on the 16-dim slices;
     // cid is the code, cv the codeword. Tiny (PqSubspaces*PqCodes rows).
-    val books = (0 until PqSubspaces).map { m =>
-      kmeansCentroids(
-        e.select(col("vec_id"), slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("qv")),
-        PqCodes, IvfIters)
-        .withColumn("m", lit(m))
-    }.reduce(_.unionByName(_)).persist()
+    val subVecs = e.select(col("vec_id"), posexplode(
+      transform(sequence(lit(0), lit(PqSubspaces - 1)),
+        m => slice(col("qv"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "qv")))
+    val books = kmeansCentroidsGrouped(subVecs, PqCodes, IvfIters)
+      .withColumnRenamed("grp", "m")
+      .persist()
     books.count()
     // encode: nearest codeword per (vector, subspace) -> 4 codes assembled
     // into one array; the join is a broadcast of the 64-row codebook union
