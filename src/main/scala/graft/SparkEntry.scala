@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GeoQueries, GraphQueries, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{GeoQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -100,6 +100,7 @@ object SparkEntry {
     "q71_value_histogram" -> ((s, d) => RelationalQueries.valueHistogram(s, d)),
     "q72_reservoir" -> ((s, d) => RelationalQueries.reservoirPerLang(s, d)),
     "q73_cust_quartiles" -> ((s, d) => RelationalQueries.custQuartiles(s, d)),
+    "q74_media_inventory" -> ((s, d) => MultiModal.mediaInventoryQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -259,5 +260,5 @@ object SparkEntry {
         "SELECT level, cell_rm FROM k ORDER BY level, cell_rm"
     },
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
-    Tiling.oracle ++ GraphQueries.oracle
+    Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
 }

@@ -118,6 +118,32 @@ object MultiModal {
     }.toDF("media_id", "w", "h", "w2", "h2", "checksum2")
   }
 
+  /** Oracle-gated media inventory (q74): the synthetic media table sized to
+    * the documents table, ENCODED to binary blobs, DECODED back through the
+    * mapPartitions codec path, and aggregated on the decoded metadata. The
+    * DuckDB twin recomputes the expected metadata arithmetically — so the
+    * driver's hash compare gates the full encode->binary->decode round trip
+    * (the multimodal pillar's only previously ST-only surface). Checksums
+    * stay ST-gated (byte-rolling hash has no practical SQL twin). */
+  def mediaInventoryQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    decodeAll(mediaTable(spark, n))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_frames")).as("sum_frames"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"))
+      .orderBy(col("kind"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q74_media_inventory" ->
+      ("WITH m AS (SELECT row_number() OVER () - 1 AS id FROM documents), " +
+        "d AS (SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "8 + id % 24 AS w, CASE WHEN id % 3 = 2 THEN 4 + id % 12 ELSE 1 END AS nf FROM m) " +
+        "SELECT kind, count(*) AS n_media, CAST(sum(nf) AS BIGINT) AS sum_frames, " +
+        "CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w " +
+        "FROM d GROUP BY kind ORDER BY kind"),
+  )
+
   /** Metadata inventory over the decoded table — the relational surface a
     * training pipeline filters on (dims, frame counts, per-kind stats). */
   def mediaInventory(spark: SparkSession, n: Long): DataFrame =
