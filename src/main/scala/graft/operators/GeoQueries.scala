@@ -505,8 +505,15 @@ object GeoQueries {
   }
 
   /** Set-level compaction core: `cells` is a distinct set of Morton cell
-    * ids at `fromLevel` (column `cell`). */
-  def compactSet(cells: DataFrame, fromLevel: Int, toLevel: Int): DataFrame = {
+    * ids at `fromLevel` (column `cell`); result is (level, cell_rm). */
+  def compactSet(cells: DataFrame, fromLevel: Int, toLevel: Int): DataFrame =
+    compactSetMorton(cells, fromLevel, toLevel)
+      .select(col("level"), cell_rowmajor(col("cell")).as("cell_rm"))
+      .orderBy(col("level"), col("cell_rm"))
+
+  /** Compaction in Morton space — (level, cell) rows, cell still a Morton
+    * id (so uncompaction can explode children directly). */
+  def compactSetMorton(cells: DataFrame, fromLevel: Int, toLevel: Int): DataFrame = {
     GraftFunctions.register(cells.sparkSession)
     var cur = cells
     var out: Option[DataFrame] = None
@@ -522,8 +529,6 @@ object GeoQueries {
     }
     val last = cur.select(lit(toLevel).as("level"), col("cell"))
     out.fold(last)(_.unionByName(last))
-      .select(col("level"), cell_rowmajor(col("cell")).as("cell_rm"))
-      .orderBy(col("level"), col("cell_rm"))
   }
 
   /** C2+/inverse of compaction — uncompact: expand the compacted occupied
@@ -533,22 +538,12 @@ object GeoQueries {
     * side again never shuffles. */
   def uncompactInventory(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // the compacted occupied set, in Morton space (same loop as compactSet
-    // but keeping the Morton ids for children expansion)
-    val compacted = {
-      var c = Pages.fromDocuments(spark, sfDir)
-        .select(cell_id(col("ilat"), col("ilon"), lit(6)).as("cell")).distinct()
-      var out: Option[DataFrame] = None
-      for (l <- 6 until 4 by -1) {
-        val withPar = c.withColumn("par", cell_parent(col("cell"), lit(l - 1)))
-        val full = withPar.groupBy(col("par")).agg(count(lit(1)).as("n"))
-          .filter(col("n") === 4).select(col("par"))
-        val kept = withPar.join(full, Seq("par"), "left_anti").select(col("cell"))
-        out = Some(out.fold(kept)(_.unionByName(kept)))
-        c = full.select(col("par").as("cell"))
-      }
-      out.fold(c)(_.unionByName(c))
-    }
+    // the compacted occupied set, in Morton space (children expansion needs
+    // the Morton ids, not the row-major surrogates)
+    val compacted = compactSetMorton(
+      Pages.fromDocuments(spark, sfDir)
+        .select(cell_id(col("ilat"), col("ilon"), lit(6)).as("cell")).distinct(),
+      6, 4).select(col("cell"))
     // uncompact: per round, cells below level 6 explode to their children,
     // level-6 cells pass through as singletons (generator stays top-level)
     var expanded = compacted
