@@ -317,7 +317,8 @@ object IngestJob {
     * p_date from the crawl schedule being re-crawled). Keys that MOVE
     * partitions would need a global anti-join — a different operator. */
   def mergeInto(spark: SparkSession, root: String, updates0: DataFrame,
-      jobId: String, key: String = "doc_id"): Snapshot = {
+      jobId: String, key: String = "doc_id",
+      beforeCommit: () => Unit = () => ()): Snapshot = {
     val current = SnapshotTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot under $root"))
     val updates = updates0.persist()
@@ -361,10 +362,24 @@ object IngestJob {
     updates.unpersist(false)
     merged.unpersist(false)
     val newKeys = stats.map(e => (e.pCell, e.pDate)).toSet
+    // optimistic-concurrency VALIDATION (Iceberg-style): the merge read its
+    // old rows from `current`'s files; if a concurrent writer rewrote any
+    // TOUCHED partition since, committing would silently discard that
+    // writer's rows — conflict must abort, not win. (Foreign partitions —
+    // keys the merge does not touch — are merged in, never conflicted.)
+    val basePaths = touched.map(p => (p.pCell, p.pDate) -> p.path).toMap
+    beforeCommit() // test hook: interleave a concurrent writer here
     SnapshotTable.commitWithRetry(root) { commitSeq =>
-      val kept = (if (commitSeq > 1) SnapshotTable.snapshotAt(root, commitSeq - 1) else None)
+      val latest = (if (commitSeq > 1) SnapshotTable.snapshotAt(root, commitSeq - 1) else None)
         .map(_.parts).getOrElse(Seq.empty)
-        .filterNot(p => newKeys((p.pCell, p.pDate)))
+      latest.foreach { p =>
+        val k = (p.pCell, p.pDate)
+        if (newKeys(k) && basePaths.get(k).exists(_ != p.path))
+          throw new java.util.ConcurrentModificationException(
+            s"merge conflict: partition $k was rewritten (now ${p.path}) after this " +
+              "merge read its base rows — re-run the merge against the new snapshot")
+      }
+      val kept = latest.filterNot(p => newKeys((p.pCell, p.pDate)))
       Snapshot(commitSeq, current.schemaVer, (kept ++ stats).toIndexedSeq,
         current.schemaDdl)
     }

@@ -255,7 +255,10 @@ object GeoQueries {
     val guard = initRings.toLong * minDim
     // candidates feed BOTH the resolved-query aggregate and the kept-rows
     // semi join — persist so the ring expansion + window run once, not
-    // twice (k * |queries| rows — tiny)
+    // twice (k * |queries| rows — tiny). Not unpersisted here: the result
+    // must stay a LAZY plan (the no-driver-jobs-at-construction contract,
+    // gated in PlanShapeSpec), so cleanup is left to Spark's LRU eviction;
+    // the cache is k rows per query — negligible.
     val candidates = knnJoinOn(spark, sfDir, queries, k, initRings, level).persist()
     val resolvedQ = candidates.groupBy(col("qid"))
       .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
@@ -298,7 +301,7 @@ object GeoQueries {
       .join(dense.select(col("cell").as("ncell")), Seq("ncell"))
       .select(col("cell").as("src"), col("ncell").as("dst"))
     val comps = GraphQueries.connectedComponents(edges)
-    dense
+    val out = dense
       .join(comps, dense("cell") === comps("node"), "left")
       .select(col("cell"), coalesce(col("comp"), col("cell")).as("cluster"),
         col("n_pages"))
@@ -306,6 +309,10 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_cells"), sum(col("n_pages")).as("sum_pages"),
         min(col("cell")).as("min_cell"), max(col("cell")).as("max_cell"))
       .orderBy(col("cluster"))
+      .persist()
+    out.count() // materialize the tiny cluster table, then drop the cache
+    dense.unpersist(false)
+    out
   }
 
   /** D+assign — nearest-footprint assignment: every page assigned to the
@@ -454,6 +461,9 @@ object GeoQueries {
     def side(tag: String) = fc.select(col("fp_id").as(s"fp_$tag"),
       col("ilat0").as(s"${tag}_lat0"), col("ilat1").as(s"${tag}_lat1"),
       col("ilon0").as(s"${tag}_lon0"), col("ilon1").as(s"${tag}_lon1"), col("cell"))
+    // persist: the pair frame (tiny — one row per overlapping pair) feeds
+    // both the cover-cell branch and the final left join; without the
+    // cache the fc self-join + distinct pipeline executes twice
     val inter = side("a").join(side("b"), Seq("cell"))
       .filter(col("fp_a") < col("fp_b"))
       .drop("cell").distinct()
@@ -466,6 +476,7 @@ object GeoQueries {
         (col("x1") - col("x0") + 1).cast("long") * (col("y1") - col("y0") + 1))
       .select(col("fp_a"), col("fp_b"), col("x0"), col("x1"), col("y0"),
         col("y1"), col("area"))
+      .persist()
     // intersection boxes as footprints of their own: cover-cell explode
     // (half-open WKT, same convention as Footprints.Box.wkt) + broadcast
     // join against page cells + exact refine

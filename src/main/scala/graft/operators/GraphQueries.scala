@@ -38,9 +38,19 @@ object GraphQueries {
       // each node's new label: min over (own label, neighbors' labels)
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("n")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("node") === col("n"), "left")
+      val hopped = labels.join(nbrMin, labels("node") === col("n"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping: comp(x) <- comp(comp(x)). Combined with the
+      // neighbor hop, label distance shrinks multiplicatively per round —
+      // chains of length 2^maxIter converge, not just maxIter (a plain
+      // one-hop loop silently SPLITS any component with eccentricity >
+      // maxIter; coastline-shaped dense-cell chains hit that).
+      val next = hopped.as("a")
+        .join(hopped.select(col("node").as("c"), col("comp").as("cc")),
+          col("a.comp") === col("c"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.comp"), coalesce(col("cc"), col("a.comp"))).as("comp"))
         .localCheckpoint(true)
       val changed = next.as("a")
         .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
@@ -49,6 +59,10 @@ object GraphQueries {
       converged = changed == 0
       it += 1
     }
+    // wrong-but-silent is the one unacceptable outcome for an
+    // exactness-gated operator: fail loudly if the label fixpoint was
+    // not reached (practically unreachable at maxIter=25 with jumping)
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

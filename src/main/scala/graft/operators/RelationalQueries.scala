@@ -308,6 +308,9 @@ object RelationalQueries {
       .unpivot(Array(col("user_id")), types.map(t => col(s"n_$t")).toArray, "etype", "n")
       .groupBy(col("etype"))
       .agg(sum(col("n")).as("total"))
+      // the unpivot emits every hardcoded type; the oracle (GROUP BY over
+      // raw events) cannot emit a type with zero events — align row sets
+      .filter(col("total") > 0)
       .orderBy(col("etype"))
   }
 

@@ -333,6 +333,8 @@ object SimilarityQueries {
       .persist()
     // per-subspace codebooks: deterministic k-means on the 16-dim slices;
     // cid is the code, cv the codeword. Tiny (PqSubspaces*PqCodes rows).
+    // ONE subspace frame feeds both codebook training and encoding (the
+    // two stages must slice identically or codes desync from codebooks)
     val subVecs = e.select(col("vec_id"), posexplode(
       transform(sequence(lit(0), lit(PqSubspaces - 1)),
         m => slice(col("qv"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "qv")))
@@ -342,29 +344,29 @@ object SimilarityQueries {
     books.count()
     // encode: nearest codeword per (vector, subspace) -> 4 codes assembled
     // into one array; the join is a broadcast of the 64-row codebook union
-    val subs = e.select(col("vec_id"), posexplode(
-      transform(sequence(lit(0), lit(PqSubspaces - 1)),
-        m => slice(col("qv"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sv")))
-    val codes = subs.join(broadcast(books), Seq("m"))
+    val codes = subVecs.toDF("vec_id", "m", "sv").join(broadcast(books), Seq("m"))
       .withColumn("cd", l2(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("cid"), struct(col("cd"), col("cid"))).as("code"))
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
-    // queries: 64-entry ADC table (index m*PqCodes + code), flat array
+    // queries: ADC table as a MAP keyed by m*PqCodes + cid — keyed, not
+    // positional, so a codeword dropped by k-means (empty cluster) cannot
+    // misalign the lookups of every later (m, code) pair
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qvec"))
     val dtab = queries.crossJoin(broadcast(books))
       .withColumn("d", l2(slice(col("qvec"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cv")))
       .groupBy(col("qid"), col("qvec"))
-      .agg(transform(array_sort(collect_list(struct(
-        (col("m") * PqCodes + col("cid")).as("i"), col("d")))),
-        x => x.getField("d")).as("dtab"))
-    // ADC scan: approx dist = sum of 4 table lookups; broadcast the tiny
-    // query side, corpus never shuffles before the top-k
+      .agg(map_from_entries(collect_list(struct(
+        (col("m") * PqCodes + col("cid")).cast("int").as("i"), col("d")))).as("dtab"))
+    // ADC scan: approx dist = sum of 4 map lookups; broadcast the tiny
+    // query side, corpus never shuffles before the top-k. Codes always
+    // reference surviving codewords (they come from the same books), so
+    // the keyed lookup never misses.
     val lookups = (0 until PqSubspaces).map(m =>
-      element_at(col("dtab"), (lit(m * PqCodes) + element_at(col("codes"), m + 1) + 1).cast("int")))
+      element_at(col("dtab"), (lit(m * PqCodes) + element_at(col("codes"), m + 1)).cast("int")))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
     val cands = codes.crossJoin(broadcast(dtab))
       .withColumn("approx", lookups.reduce(_ + _))

@@ -80,6 +80,36 @@ class MergeSpec extends SparkTestBase {
       "merge's own rewrite missing")
   }
 
+  test("mergeInto aborts when a TOUCHED partition was rewritten concurrently") {
+    val root = freshRoot()
+    val pages = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, pages, root, "base")
+    val before = SnapshotTable.currentSnapshot(root).get
+    val victim = before.parts.head
+
+    // a concurrent writer rewrites the SAME partition the merge touches,
+    // landing AFTER the merge read its base rows but BEFORE its commit
+    // (injected via the beforeCommit hook — the lost-update window)
+    val rewritten = s"$root/data/rewrite"
+    def interleavedRewrite(): Unit = {
+      spark.read.parquet(victim.path).write.mode("overwrite").parquet(rewritten)
+      SnapshotTable.commitSnapshot(root,
+        SnapshotTable.Snapshot(before.seq + 1, before.schemaVer,
+          before.parts.map(p =>
+            if ((p.pCell, p.pDate) == ((victim.pCell, victim.pDate))) p.copy(path = rewritten)
+            else p).toIndexedSeq, before.schemaDdl))
+    }
+
+    val updates = pages.filter(col("p_cell") === victim.pCell)
+      .withColumn("n_chars", col("n_chars") + 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      IngestJob.mergeInto(spark, root, updates, "m1",
+        beforeCommit = () => interleavedRewrite())
+    }
+    // the conflicting writer's snapshot stays CURRENT and intact
+    assert(SnapshotTable.currentSeq(root) === Some(before.seq + 1))
+  }
+
   test("mergeInto inserts new keys and updates matched keys in one pass") {
     val root = freshRoot()
     val pages = IngestJob.pagesWithPartitions(spark, sf0001)
