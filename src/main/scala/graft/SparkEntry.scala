@@ -101,6 +101,7 @@ object SparkEntry {
     "q72_reservoir" -> ((s, d) => RelationalQueries.reservoirPerLang(s, d)),
     "q73_cust_quartiles" -> ((s, d) => RelationalQueries.custQuartiles(s, d)),
     "q74_media_inventory" -> ((s, d) => MultiModal.mediaInventoryQuery(s, d)),
+    "q75_incremental_inventory" -> ((s, d) => graft.jobs.IngestJob.incrementalInventory(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -227,6 +228,11 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    // oracle = FULL recompute; the Spark side refreshes incrementally
+    // (stored snapshot-1 inventory + delta partitions only)
+    "q75_incremental_inventory" ->
+      (s"$P SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM pages GROUP BY lang ORDER BY lang"),
     "q59_footprint_overlap" ->
       (s"$P, pr AS (SELECT a.fp_id AS fp_a, b.fp_id AS fp_b, " +
         "greatest(a.ilon0, b.ilon0) AS x0, least(a.ilon1, b.ilon1) AS x1, " +

@@ -411,6 +411,53 @@ object IngestJob {
       .orderBy(col("lang"))
   }
 
+  /** Incremental inventory refresh (IVM — q75): the per-lang inventory of
+    * snapshot 2 computed WITHOUT rescanning the archive. Snapshot 1's
+    * inventory was materialized at commit time; the refresh reads that
+    * stored aggregate plus ONLY the partitions snapshot 2 ADDED (append
+    * detected through the manifest: parts whose path snapshot 1 does not
+    * reference), then combines. At 100 TB this is the only viable refresh
+    * shape — bytes read ∝ delta, not archive. The oracle recomputes the
+    * full aggregate from scratch; hash equality proves the incremental
+    * path exact. An ST additionally asserts the refresh plan's file scans
+    * touch no snapshot-1 data path. */
+  def incrementalInventory(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .select("doc_id", "lang", "ts_sec", "ilat", "ilon", "n_chars")
+    val root = cachedTable("graft-incr", sfDir, 2L) { (stage, finalRoot) =>
+      def part(seq: Long, df: DataFrame): PartitionEntry = {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
+        val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+          min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec"))).collect()(0)
+        PartitionEntry(seq, "all", s"$finalRoot/data/s$seq", st.getLong(0),
+          st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
+          st.getLong(5), st.getLong(6))
+      }
+      val a = part(1, pages.filter(col("doc_id") % 3 =!= 0))
+      SnapshotTable.commitSnapshot(stage, Snapshot(1, 1, IndexedSeq(a), pages.schema.toDDL))
+      // materialize snapshot 1's inventory next to the snapshot (the
+      // stored aggregate an incremental refresh starts from)
+      spark.read.parquet(s"$stage/data/s1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$stage/inv/s1")
+      // snapshot 2 APPENDS a partition; snapshot 1's files carry forward
+      val b = part(2, pages.filter(col("doc_id") % 3 === 0))
+      SnapshotTable.commitSnapshot(stage, Snapshot(2, 1, IndexedSeq(a, b), pages.schema.toDDL))
+    }
+    val snap1 = SnapshotTable.snapshotAt(root, 1).get
+    val snap2 = SnapshotTable.snapshotAt(root, 2).get
+    val newParts = snap2.parts.filterNot(p => snap1.parts.exists(_.path == p.path))
+    val storedInv = spark.read.parquet(s"$root/inv/s1")
+    val deltaInv = spark.read.parquet(newParts.map(_.path): _*)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    storedInv.unionByName(deltaInv)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Pruned inventory over the committed table: partitions overlapping the
     * given lat band, read via the manifest (partition pruning happens before
     * the parquet scan). */

@@ -110,6 +110,22 @@ class MergeSpec extends SparkTestBase {
     assert(SnapshotTable.currentSeq(root) === Some(before.seq + 1))
   }
 
+  test("incremental inventory refresh scans only delta partitions") {
+    val df = IngestJob.incrementalInventory(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // file scans: the stored snapshot-1 aggregate + the appended s2 data;
+    // the snapshot-1 DATA files must not appear
+    assert(plan.contains("data/s2"), plan.take(1500))
+    assert(!plan.contains("data/s1"), s"refresh rescanned the archive:\n${plan.take(1500)}")
+    // and the result equals a full recompute
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang")).collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("mergeInto inserts new keys and updates matched keys in one pass") {
     val root = freshRoot()
     val pages = IngestJob.pagesWithPartitions(spark, sf0001)
