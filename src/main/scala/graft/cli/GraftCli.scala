@@ -70,10 +70,14 @@ object GraftCli {
       val added = db.join(da.select("doc_id"), Seq("doc_id"), "left_anti").count()
       val removed = da.join(db.select("doc_id"), Seq("doc_id"), "left_anti").count()
       println(s"diff $a -> $b: +$added rows, -$removed rows")
-    case "expire" :: root :: keep :: Nil =>
-      // snapshot maintenance: drop old manifests, GC unreferenced data
-      val (snaps, dirs) = SnapshotTable.expire(root, keep.toInt)
-      println(s"expire: deleted $snaps snapshots, $dirs data dirs")
+    case "expire" :: root :: keep :: rest if rest.length <= 1 =>
+      // snapshot maintenance: drop old manifests, GC unreferenced data.
+      // The orphan-GC grace window defaults to 60 minutes so an in-flight
+      // writer's uncommitted attempt dirs survive (expire with grace 0 is
+      // only safe when no writer can be active — pass an explicit 0).
+      val graceMin = rest.headOption.map(_.toLong).getOrElse(60L)
+      val (snaps, dirs) = SnapshotTable.expire(root, keep.toInt, graceMin * 60000L)
+      println(s"expire: deleted $snaps snapshots, $dirs data dirs (grace ${graceMin}m)")
     case "compact" :: root :: Nil =>
       // merge streaming micro-batch partitions into one dir
       SnapshotTable.compact(spark, root)(_.pDate == "stream") match {
@@ -109,7 +113,7 @@ object GraftCli {
       |  snapshots <root>                 list committed table snapshots
       |  read-at   <root> <seq>           time-travel read of snapshot <seq>
       |  diff      <root> <seqA> <seqB>   row diff between two snapshots
-      |  expire    <root> <keep>          drop old snapshots + GC unreferenced data
+      |  expire    <root> <keep> [graceMin=60]  drop old snapshots + GC unreferenced data
       |  compact   <root>                 merge streaming micro-batch partitions
       |  merge     <sfDir> <root> <jobId> COW upsert of re-crawled docs into the table
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary

@@ -238,79 +238,14 @@ object expressions {
       copy(left = l, right = r)
   }
 
-  /** plane_dots(vec array<long>, planes array<int>) -> array<long>: the
-    * dot product of `vec` against every deterministic integer hyperplane
-    * in `planes`, where coefficient(pos, b) = ((pos*73 + b*151 +
-    * pos*b*37) % 97) - 48 (the banded-LSH family of SimilarityQueries).
-    * One codegen'd expression instead of a posexplode + 80-column
-    * aggregate: the signature computation becomes a pure PROJECTION — no
-    * shuffle, and the generated code is one small nested loop instead of
-    * an 80-buffer hash aggregate (which cost ~6s of cold JIT per
-    * session). `planes` must be foldable (a literal array). */
-  case class PlaneDotsExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes {
-    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(IntegerType))
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "plane_dots"
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val ps = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val n = x.numElements()
-      val out = new Array[Long](ps.numElements())
-      var p = 0
-      while (p < out.length) {
-        val pb = ps.getInt(p).toLong
-        var s = 0L
-        var i = 0
-        while (i < n) {
-          val c = (i * 73L + pb * 151L + i * pb * 37L) % 97L - 48L
-          s += x.getLong(i) * c
-          i += 1
-        }
-        out(p) = s
-        p += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-      nullSafeCodeGen(ctx, ev, (x, ps) => {
-        val i = ctx.freshName("i")
-        val p = ctx.freshName("p")
-        val n = ctx.freshName("n")
-        val s = ctx.freshName("s")
-        val pb = ctx.freshName("pb")
-        val c = ctx.freshName("c")
-        val out = ctx.freshName("out")
-        s"""
-           |int $n = $x.numElements();
-           |long[] $out = new long[$ps.numElements()];
-           |for (int $p = 0; $p < $out.length; $p++) {
-           |  long $pb = (long) $ps.getInt($p);
-           |  long $s = 0L;
-           |  for (int $i = 0; $i < $n; $i++) {
-           |    long $c = ($i * 73L + $pb * 151L + $i * $pb * 37L) % 97L - 48L;
-           |    $s += $x.getLong($i) * $c;
-           |  }
-           |  $out[$p] = $s;
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         """.stripMargin
-      })
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-      copy(left = l, right = r)
-  }
-
   /** band_signatures(vec array<long>, layout array<int>) -> array<long>:
     * the banded-LSH bit signatures, fully packed inside one expression.
     * `layout` = [numTables, bandPlanes, refinePlanes] (foldable). Output:
     * 2*numTables longs — [band_0..band_{T-1}, sub_0..sub_{T-1}] where
     * band_t packs the sign bits of the band-plane dots (plane index
     * 100 + t*bandPlanes + i) and sub_t the refine-plane dots (index
-    * 1000 + t*refinePlanes + i), with the same coefficient family as
-    * `plane_dots`. Folding the sign/packing into the expression keeps the
+    * 1000 + t*refinePlanes + i), with the deterministic coefficient family
+    * coeff(pos, b) = ((pos*73 + b*151 + pos*b*37) % 97) - 48. Folding the sign/packing into the expression keeps the
     * downstream projection to 2T element_at's — the 80-element_at
     * when-chain this replaces dominated cold-JIT time. */
   case class BandSigExpr(left: Expression, right: Expression)
@@ -449,7 +384,6 @@ object GraftFunctions {
     "contains_point" -> (e => ContainsPointExpr(e(0), e(1), e(2))),
     "extract_text" -> (e => ExtractTextExpr(e(0))),
     "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
-    "plane_dots" -> (e => PlaneDotsExpr(e(0), e(1))),
     "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
     "shingle_hashes" -> (e => ShingleHashesExpr(e(0))),
   )
@@ -485,7 +419,6 @@ object GraftFunctions {
     call_function("contains_point", wkt, ilat, ilon)
   def extract_text(html: Column): Column = call_function("extract_text", html)
   def l2_dist(a: Column, b: Column): Column = call_function("l2_dist", a, b)
-  def plane_dots(v: Column, planes: Column): Column = call_function("plane_dots", v, planes)
   def band_signatures(v: Column, layout: Column): Column =
     call_function("band_signatures", v, layout)
   def shingle_hashes(text: Column): Column = call_function("shingle_hashes", text)

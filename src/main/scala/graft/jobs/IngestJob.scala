@@ -226,9 +226,13 @@ object IngestJob {
     * in the tmp dir. `build` receives (stagingRoot, finalRoot): WRITE under
     * the staging root, RECORD the final root in manifests (the rename makes
     * those paths real). Returns the final root once the table under it has
-    * snapshot `wantSeq` committed. */
-  private def cachedTable(prefix: String, sfDir: String, wantSeq: Long)
-      (build: (String, String) => Unit): String = {
+    * snapshot `wantSeq` committed. `ver` is the BUILDER-LOGIC version and
+    * is part of the cache key: bump it whenever the build closure's
+    * semantics change, or a warm /tmp keeps serving the previous
+    * semantics' table (the source-listing fingerprint only detects INPUT
+    * changes). */
+  private def cachedTable(prefix: String, sfDir: String, wantSeq: Long,
+      ver: Int = 1)(build: (String, String) => Unit): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     val src = Paths.get(sfDir, "documents.parquet")
     val listing = {
@@ -239,7 +243,7 @@ object IngestJob {
       finally walk.close()
     }
     val key = digest.digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"$prefix-$key").toString
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"$prefix-v$ver-$key").toString
     if (SnapshotTable.currentSeq(root) != Some(wantSeq)) {
       val stage = Files.createTempDirectory(s"$prefix-stage").toString
       try {
@@ -279,7 +283,7 @@ object IngestJob {
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = Pages.fromDocuments(spark, sfDir)
       .select("doc_id", "url", "lang", "source", "ts_sec", "ilat", "ilon", "n_chars")
-    val root = cachedTable("graft-snapdiff", sfDir, 2L) { (stage, finalRoot) =>
+    val root = cachedTable("graft-snapdiff", sfDir, 2L, ver = 2) { (stage, finalRoot) =>
       def commit(seq: Long, df: DataFrame): Unit = {
         df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
         val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
@@ -374,9 +378,13 @@ object IngestJob {
         .map(_.parts).getOrElse(Seq.empty)
       latest.foreach { p =>
         val k = (p.pCell, p.pDate)
-        if (newKeys(k) && basePaths.get(k).exists(_ != p.path))
+        // conflict if a touched key's partition was REWRITTEN (path moved)
+        // or CREATED (absent from the base snapshot — basePaths None) by a
+        // concurrent writer: either way this merge's rows for that key
+        // were derived without seeing the other writer's rows
+        if (newKeys(k) && !basePaths.get(k).contains(p.path))
           throw new java.util.ConcurrentModificationException(
-            s"merge conflict: partition $k was rewritten (now ${p.path}) after this " +
+            s"merge conflict: partition $k was written (now ${p.path}) after this " +
               "merge read its base rows — re-run the merge against the new snapshot")
       }
       val kept = latest.filterNot(p => newKeys((p.pCell, p.pDate)))
@@ -397,7 +405,7 @@ object IngestJob {
     // not a (bucket x date) grid — the oracle math is date-independent
     def prepared = pagesWithPartitions(spark, sfDir)
       .withColumn("p_date", lit("all"))
-    val root = cachedTable("graft-merge", sfDir, 2L) { (stage, _) =>
+    val root = cachedTable("graft-merge", sfDir, 2L, ver = 2) { (stage, _) =>
       runPages(spark, prepared.filter(col("doc_id") % 3 =!= 0), stage, "base")
       mergeInto(spark, stage,
         prepared.filter(col("doc_id") % 2 === 0)
@@ -424,7 +432,7 @@ object IngestJob {
   def incrementalInventory(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = Pages.fromDocuments(spark, sfDir)
       .select("doc_id", "lang", "ts_sec", "ilat", "ilon", "n_chars")
-    val root = cachedTable("graft-incr", sfDir, 2L) { (stage, finalRoot) =>
+    val root = cachedTable("graft-incr", sfDir, 2L, ver = 1) { (stage, finalRoot) =>
       def part(seq: Long, df: DataFrame): PartitionEntry = {
         df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
         val st = df.agg(count(lit(1)), min(col("ilat")), max(col("ilat")),

@@ -247,10 +247,17 @@ object GeoQueries {
       level: Int = 4, initRings: Int = 2): DataFrame =
     knnJoinExactOn(spark, sfDir, knnQueries(spark), k, level, initRings)
 
-  /** D6-exact for an ARBITRARY query frame (qid, qlat, qlon) — same
-    * two-phase guard/fallback shape, query side fully distributed. */
+  /** D6-exact for an ARBITRARY query frame (qid, qlat, qlon) — the
+    * guard/fallback shape, query side fully distributed. Queries the
+    * strict guard cannot prove exact at this ring radius ESCALATE to a
+    * 4x-wider ring pass (`phases` times, geometric widening) before the
+    * last resort — one distributed brute pass over only the still-
+    * unresolved remainder. The escalation is what keeps a TABLE-sized
+    * query side safe: a single-phase design would broadcast the entire
+    * guard-unresolved subset (10%+ of a sparse corpus) into the brute
+    * cross join. */
   def knnJoinExactOn(spark: SparkSession, sfDir: String, queries: DataFrame,
-      k: Int = 5, level: Int = 4, initRings: Int = 2): DataFrame = {
+      k: Int = 5, level: Int = 4, initRings: Int = 2, phases: Int = 2): DataFrame = {
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
     val guard = initRings.toLong * minDim
     // candidates feed BOTH the resolved-query aggregate and the kept-rows
@@ -267,9 +274,13 @@ object GeoQueries {
     val ringRows = candidates.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
     val unresolvedQ = queries
       .join(broadcast(resolvedQ), Seq("qid"), "left_anti")
-    val bruteRows = knnBruteForceOn(spark, sfDir, unresolvedQ, k)
+    val fallbackRows =
+      if (phases > 1)
+        knnJoinExactOn(spark, sfDir, unresolvedQ, k, level, initRings * 4, phases - 1)
+          .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+      else knnBruteForceOn(spark, sfDir, unresolvedQ, k)
     ringRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
-      .unionByName(bruteRows)
+      .unionByName(fallbackRows)
       .orderBy(col("qid"), col("rnk"))
   }
 

@@ -132,7 +132,7 @@ object SimilarityQueries {
     * vectors); round 2's first fix posexploded + wide-aggregated (fast
     * warm, but one shuffle of n rows and ~6s of cold JIT for the
     * 80-buffer aggregate). Final shape: ALL 80 dots come from ONE small
-    * codegen'd expression (`plane_dots`, a nested integer loop), so the
+    * codegen'd expression (`band_signatures`, a nested integer loop), so the
     * signature computation is a pure projection — ZERO shuffle before the
     * bucket-count window, and negligible codegen. */
   private def bandedKeys(e: DataFrame): DataFrame = {

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, IntegralDivide, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Expression, GreaterThanOrEqual, If, IntegralDivide, LessThan, Literal, Multiply, RaiseError}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 import graft.functions.expressions.{CellIdExpr, CellRowMajorExpr}
 
@@ -35,7 +35,19 @@ object RowMajorOfCellIdRule extends Rule[LogicalPlan] {
         if ilat.dataType == IntegerType && ilon.dataType == IntegerType &&
           l >= 0 && l <= graft.core.CellIndex.MaxLevel =>
       val p = 1L << l
-      Add(Multiply(axis(ilat, 900, 1800L, p), Literal(p)), axis(ilon, 1800, 3600L, p))
+      // semantics-preserving: CellIdExpr THROWS on out-of-range coords
+      // (CellIndex.encode's require) — the rewrite must not turn that loud
+      // failure into a silently wrong cell id, so the arithmetic is
+      // guarded by the same bounds with raise_error on violation
+      def between(x: Expression, lo: Int, hi: Int): Expression =
+        And(GreaterThanOrEqual(x, Literal(lo)), LessThan(x, Literal(hi)))
+      val arith =
+        Add(Multiply(axis(ilat, 900, 1800L, p), Literal(p)), axis(ilon, 1800, 3600L, p))
+      If(And(between(ilat, -900, 900), between(ilon, -1800, 1800)),
+        arith,
+        Cast(RaiseError(Literal.create(
+          "cell_id coordinate out of range (ilat in [-900,900), ilon in [-1800,1800))",
+          StringType)), LongType))
   }
 }
 

@@ -57,14 +57,23 @@ object Formats {
 
   // ---- CSV -----------------------------------------------------------------
 
+  // nullValue sentinel: Spark's CSV reader maps the nullValue token ("" by
+  // default) to null — which silently turns EMPTY STRING fields (legal:
+  // text = "" for a degenerate doc, empty html payload) into nulls and
+  // breaks the byte-exact round trip. A token that can never appear in the
+  // data keeps "" parsing as "".
+  private val CsvNull = "\\N"
+
   def writeCsv(pages: DataFrame, dir: String): Unit =
     encode(pages).write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", CsvNull).option("emptyValue", "\"\"")
       .csv(dir)
 
   def readCsv(spark: SparkSession, dir: String): DataFrame =
     decode(spark.read.schema(textSchema)
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", CsvNull)
       // the writer quotes embedded newlines in text; without multiLine
       // the reader would split such rows mid-field
       .option("multiLine", "true")

@@ -130,19 +130,31 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("footprint overlap: page-side join is broadcast, pages never shuffle") {
-    val df = GeoQueries.footprintOverlap(spark, sf0001)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
-    // exchanges may appear for the tiny footprint-pair side and the final
-    // agg/sort, but the pages scan must feed a broadcast join directly:
-    // no hashpartitioning exchange between the pages Scan and the join
-    val pagesScanToJoin = plan.split("BroadcastHashJoin").last
-    assert(!"Exchange hashpartitioning".r.findAllIn(pagesScanToJoin)
-      .exists(_ => pagesScanToJoin.contains("Scan parquet") &&
-        pagesScanToJoin.indexOf("Exchange hashpartitioning") <
-          pagesScanToJoin.indexOf("Scan parquet")),
-      s"pages side shuffled before the broadcast join:\n${plan.take(2000)}")
+    // tree-walk the PRE-collect physical plan (a textual index comparison
+    // over the post-collect AQE string was vacuous — it passed whatever
+    // the pages side did): find the broadcast join whose STREAMED subtree
+    // scans documents.parquet and assert that subtree has no shuffle
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // sparkPlan (pre-AQE) is a plain walkable tree; the adaptive wrapper
+    // hides its subtree behind childless QueryStage nodes
+    val plan = GeoQueries.footprintOverlap(spark, sf0001).queryExecution.sparkPlan
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(collectNodes)
+    def subtreeScansDocs(p: SparkPlan): Boolean =
+      collectNodes(p).exists(n => n.getClass.getSimpleName.contains("FileSourceScan") &&
+        n.toString.contains("documents.parquet"))
+    val pageJoins = collectNodes(plan).collect {
+      case j: BroadcastHashJoinExec =>
+        // streamed side = the child that is NOT the broadcast exchange
+        j.children.find(c => !collectNodes(c).exists(_.isInstanceOf[BroadcastExchangeLike]))
+    }.flatten.filter(subtreeScansDocs)
+    assert(pageJoins.nonEmpty, s"no broadcast join streams the pages scan:\n${plan.toString.take(2000)}")
+    for (streamed <- pageJoins) {
+      val shuffles = collectNodes(streamed).filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles.isEmpty,
+        s"pages side shuffled before the broadcast join:\n${streamed.toString.take(2000)}")
+    }
   }
 
   test("sessionize: one shuffle serves both windows AND the session aggregate") {

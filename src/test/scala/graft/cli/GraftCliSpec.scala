@@ -52,7 +52,10 @@ class GraftCliSpec extends SparkTestBase {
     GraftCli.run(spark, Array("ingest", sf001, root, "m1")) // changed input -> seq 2
     GraftCli.run(spark, Array("read-at", root, "1"))
     GraftCli.run(spark, Array("diff", root, "1", "2"))
+    // default 60-minute grace must NOT GC the just-written attempt dirs
     GraftCli.run(spark, Array("expire", root, "1"))
+    // explicit grace 0 (no writers active in the test) collects them
+    GraftCli.run(spark, Array("expire", root, "1", "0"))
     assert(SnapshotTable.snapshotAt(root, 1).isEmpty)
     GraftCli.run(spark, Array("read-at", root, "2")) // CURRENT still readable
   }

@@ -33,7 +33,9 @@ class GraftRulesSpec extends SparkTestBase with Checks {
       .select(cell_rowmajor(cell_id(col("ilat"), col("ilon"), lit(6))).as("cell"))
       .groupBy(col("cell")).count()
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cell_rowmajor") && !optimized.contains("cell_id"),
+    // match the CALL form — the range-guard's raise_error message mentions
+    // the coordinate contract and must not trip the check
+    assert(!optimized.contains("cell_rowmajor(") && !optimized.contains("cell_id("),
       s"custom expressions survived optimization:\n${optimized.take(1500)}")
     // and whole-stage codegen covers the scan->agg pipeline (AQE prints
     // codegen spans only once stages execute)
@@ -53,6 +55,25 @@ class GraftRulesSpec extends SparkTestBase with Checks {
       .select(Pages.cellCol(col("ilat"), col("ilon"), 6).as("c"))
       .groupBy("c").count().orderBy("c").collect().map(_.toSeq).toSeq
     assert(viaRule === viaCellCol)
+  }
+
+  test("rewrite preserves loud failure on out-of-range coordinates") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // parquet-backed input: a local relation would be constant-folded
+    // (ConvertToLocalRelation) through the original expression before the
+    // rewrite rule ever ran
+    val dir = java.nio.file.Files.createTempDirectory("graft-rule-bad").toString
+    Seq((-905, 0), (0, 1800)).toDF("ilat", "ilon").write.mode("overwrite").parquet(dir)
+    val bad = spark.read.parquet(dir)
+    val df = bad.select(cell_rowmajor(cell_id(col("ilat"), col("ilon"), lit(6))).as("c"))
+    // rule fired (no custom expressions left) ...
+    assert(!df.queryExecution.optimizedPlan.toString.contains("cell_id("))
+    // ... and the guard still fails the job like CellIndex.encode's require
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out of range")), e.toString)
   }
 
   test("non-literal level keeps the custom expressions (rule does not fire)") {

@@ -27,6 +27,25 @@ class FormatsSpec extends SparkTestBase {
     assert(digest(Formats.readCsv(spark, dir)) === digest(pages))
   }
 
+  test("csv round-trip keeps EMPTY STRINGS as empty strings, not null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-csv-empty").toString
+    val rows = Seq(
+      (1L, "", 100L, Array.emptyByteArray, "", "", "src0", 0L, 5, 7),
+      (2L, "https://x/2", 200L, "<p>x</p>".getBytes("UTF-8"), "x", "en", "src1", 1L, -5, -7))
+      .toDF("doc_id", "url", "ts_sec", "html", "text", "lang", "source",
+        "n_chars", "ilat", "ilon")
+      .withColumn("warc_ts", timestamp_seconds(col("ts_sec")))
+    Formats.writeCsv(rows, dir)
+    val got = Formats.readCsv(spark, dir).orderBy("doc_id").collect()
+    assert(got.length === 2)
+    val r1 = got(0)
+    assert(r1.getString(r1.fieldIndex("url")) === "", "empty url became null/other")
+    assert(r1.getString(r1.fieldIndex("text")) === "", "empty text became null/other")
+    assert(r1.getString(r1.fieldIndex("lang")) === "")
+    assert(r1.getAs[Array[Byte]]("html").isEmpty, "empty html blob lost")
+  }
+
   test("warc-style records: payload bytes exact, text re-derived byte-identically") {
     val dir = Files.createTempDirectory("graft-warc").toString
     val pages = Pages.fromDocuments(spark, sf0001)
