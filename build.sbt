@@ -15,6 +15,10 @@ run / fork := true
 // "[info] " log prefix — the bench/verify drivers parse the last stdout
 // line as JSON and the prefix broke that (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." epilogue printed AFTER the
+// forked run's JSON line broke a parse-the-last-line driver just the same
+// (BENCH_r02.json "parsed": null with the JSON intact mid-tail). Silence it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,13 +45,22 @@ object Bench {
     // 1. query suite — failures are NAMED in the JSON (a silently dropped
     // query would over-report health), and excluded from the total.
     // SPARK_GRAFT_ONLY=q41,q61 restricts the suite (iteration aid).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Filter matches the qNN id (prefix up to the first '_') or the full
+    // name exactly — "q6" no longer silently selects q60..q69, and a filter
+    // matching nothing aborts loudly instead of producing an empty-but-green
+    // suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        only.forall(sel => sel.contains(name) || sel.contains(name.takeWhile(_ != '_')))
+      }
       .map { case (name, fn) =>
       val (sec, _) = try secsOf(fn(spark, sfDir).count()) catch { case _: Throwable => (-1.0, -1L) }
+      graft.util.CacheBag.release() // free operator-registered caches per query
       name -> sec
     }
+    if (only.isDefined && results.isEmpty)
+      sys.error(s"SPARK_GRAFT_ONLY=${only.get.mkString(",")} selected zero queries")
     val failed = results.collect { case (name, sec) if sec < 0 => name }
 
     // 2. headline: PIP join + tile assignment over synthetic pages
@@ -80,8 +89,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}}"""
+    // Belt and braces for the driver's parser: persist the line to a known
+    // file, stop Spark FIRST (so no shutdown chatter can trail it), then
+    // print the JSON as the very last stdout line of the process.
+    try {
+      val out = java.nio.file.Paths.get("BENCH/last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

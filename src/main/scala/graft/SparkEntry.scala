@@ -61,7 +61,7 @@ object SparkEntry {
     "q39_top_tokens" -> ((s, d) => RelationalQueries.topTokens(s, d)),
     "q40_lang_source_cube" -> ((s, d) => RelationalQueries.langSourceCube(s, d)),
     "q41_embedding_neardup" -> ((s, d) => SimilarityQueries.nearDupPairs(s, d)),
-    "q42_knn_exact" -> ((s, d) => GeoQueries.knnJoinExact(s, d, k = 25, initRings = 1)),
+    "q42_knn_exact" -> ((s, d) => GeoQueries.knnJoinExact(s, d, k = 25, initRings = 2)),
     "q43_string_fns" -> ((s, d) => RelationalQueries.stringFns(s, d)),
     "q44_blocked_jaccard" -> ((s, d) => TextQueries.blockedJaccard(s, d)),
     "q45_regex_tokens" -> ((s, d) => TextQueries.regexTokens(s, d)),

@@ -27,6 +27,16 @@ object GraftCli {
     try run(spark, args) finally spark.stop()
   }
 
+  /** Non-numeric <seq>/<keep>/[graceMin] arguments fall through to the
+    * usage + IllegalArgumentException path instead of leaking a raw
+    * NumberFormatException (ADVICE r2). */
+  private def num[T](s: String)(parse: String => T): T =
+    try parse(s) catch {
+      case _: NumberFormatException =>
+        println(usage)
+        throw new IllegalArgumentException(s"not a number: $s")
+    }
+
   /** Separated for tests (no session lifecycle, no exit). */
   def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
     case "inventory" :: sfDir :: Nil =>
@@ -61,12 +71,12 @@ object GraftCli {
       }
     case "read-at" :: root :: seq :: Nil =>
       // time travel: any committed snapshot stays readable by seq
-      val (df, kept, total) = SnapshotTable.readAt(spark, root, seq.toLong)
+      val (df, kept, total) = SnapshotTable.readAt(spark, root, num(seq)(_.toLong))
       println(s"snapshot $seq: ${df.count()} rows from $kept/$total partitions")
     case "diff" :: root :: a :: b :: Nil =>
       // inventory diff ("what changed between snapshots") keyed on doc_id
-      val (da, _, _) = SnapshotTable.readAt(spark, root, a.toLong)
-      val (db, _, _) = SnapshotTable.readAt(spark, root, b.toLong)
+      val (da, _, _) = SnapshotTable.readAt(spark, root, num(a)(_.toLong))
+      val (db, _, _) = SnapshotTable.readAt(spark, root, num(b)(_.toLong))
       val added = db.join(da.select("doc_id"), Seq("doc_id"), "left_anti").count()
       val removed = da.join(db.select("doc_id"), Seq("doc_id"), "left_anti").count()
       println(s"diff $a -> $b: +$added rows, -$removed rows")
@@ -75,8 +85,8 @@ object GraftCli {
       // The orphan-GC grace window defaults to 60 minutes so an in-flight
       // writer's uncommitted attempt dirs survive (expire with grace 0 is
       // only safe when no writer can be active — pass an explicit 0).
-      val graceMin = rest.headOption.map(_.toLong).getOrElse(60L)
-      val (snaps, dirs) = SnapshotTable.expire(root, keep.toInt, graceMin * 60000L)
+      val graceMin = rest.headOption.map(num(_)(_.toLong)).getOrElse(60L)
+      val (snaps, dirs) = SnapshotTable.expire(root, num(keep)(_.toInt), graceMin * 60000L)
       println(s"expire: deleted $snaps snapshots, $dirs data dirs (grace ${graceMin}m)")
     case "compact" :: root :: Nil =>
       // merge streaming micro-batch partitions into one dir

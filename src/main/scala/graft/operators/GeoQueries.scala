@@ -225,9 +225,14 @@ object GeoQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** D6-exact — two-phase distributed exact kNN, no driver-side loop.
+  /** D6-exact — flat two-phase distributed exact kNN, no driver-side loop
+    * and CONSTANT plan depth (the round-2 recursive escalation stacked a
+    * persist + window + two aggregates + two anti-joins PER level — a
+    * ~30-stage AQE plan whose fixed stage latency dominated at toy scale).
     *
-    * Phase A: ring-candidate join at `initRings`. A query is PROVABLY
+    * Phase 1: ring-candidate join at `initRings`, ranked per query. The
+    * per-query exactness proof and the phase-2 radius both come from the
+    * SAME window partitioning (no extra shuffle): a query is PROVABLY
     * exact iff it found k candidates and its k-th distance is STRICTLY
     * inside the ring guard — any unsearched point lies beyond Chebyshev
     * cell-ring `initRings` and is therefore at least initRings*minCellDim
@@ -235,52 +240,92 @@ object GeoQueries {
     * could admit an unsearched point with a smaller doc_id tiebreak —
     * SURVEY.md §7 risk 3 / ADVICE r1).
     *
-    * Phase B: queries the guard could not prove fall back to ONE
-    * distributed brute-force pass (query side broadcast). Both the
-    * resolved/unresolved split and the fallback are joins in the SAME
-    * plan — no `.collect()` anywhere between scan and result, so the
-    * query side may be a full table at scale (the round-1 version
-    * rebuilt the frame driver-side per ring pass). At 100 TB the
-    * fallback would re-join at a density-derived wider ring instead of
-    * brute force; with a guard-true initRings both shapes are exact. */
+    * Phase 2: queries with >= k candidates but an unproven guard re-search
+    * ONCE at a PER-QUERY ring radius derived from their own phase-1 k-th
+    * distance (`cell_kring` takes a per-row radius): rings2 * minDim is
+    * strictly greater than an upper bound on the k-th distance, so the
+    * phase-2 top-k is exact with no further escalation — the data-adaptive
+    * radius replaces the fixed 4x-geometric recursion. Capped at the grid
+    * width, where the clipped k-ring degenerates to a full scan (still
+    * exact).
+    *
+    * Phase 3 (rare): queries with FEWER than k candidates at `initRings`
+    * (sparse corners) take one distributed brute pass. The brute query
+    * side is broadcast — bounded in practice by the phase-1/2 resolution
+    * rate; at 100 TB a density-derived `initRings` keeps this set near
+    * empty (and the broadcast threshold would fail loudly, not silently
+    * degrade, if it weren't).
+    *
+    * Everything is ONE lazy DataFrame: no `.collect()`, no construction-
+    * time Spark job (PlanShapeSpec gates this). The phase-1 subtree is
+    * persisted lazily and registered with [[graft.util.CacheBag]] for
+    * release by the driver after consumption. */
   def knnJoinExact(spark: SparkSession, sfDir: String, k: Int = 5,
       level: Int = 4, initRings: Int = 2): DataFrame =
     knnJoinExactOn(spark, sfDir, knnQueries(spark), k, level, initRings)
 
-  /** D6-exact for an ARBITRARY query frame (qid, qlat, qlon) — the
-    * guard/fallback shape, query side fully distributed. Queries the
-    * strict guard cannot prove exact at this ring radius ESCALATE to a
-    * 4x-wider ring pass (`phases` times, geometric widening) before the
-    * last resort — one distributed brute pass over only the still-
-    * unresolved remainder. The escalation is what keeps a TABLE-sized
-    * query side safe: a single-phase design would broadcast the entire
-    * guard-unresolved subset (10%+ of a sparse corpus) into the brute
-    * cross join. */
+  /** D6-exact for an ARBITRARY query frame (qid, qlat, qlon) — see
+    * [[knnJoinExact]]. Query side fully distributed; semi/anti splits on
+    * qid carry no broadcast hints (a table-sized query side must not be
+    * forced through a broadcast — ADVICE r2). */
   def knnJoinExactOn(spark: SparkSession, sfDir: String, queries: DataFrame,
-      k: Int = 5, level: Int = 4, initRings: Int = 2, phases: Int = 2): DataFrame = {
+      k: Int = 5, level: Int = 4, initRings: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
     val minDim = math.min(CellIndex.GridW, CellIndex.GridH) / (1 << level) // floor
     val guard = initRings.toLong * minDim
-    // candidates feed BOTH the resolved-query aggregate and the kept-rows
-    // semi join — persist so the ring expansion + window run once, not
-    // twice (k * |queries| rows — tiny). Not unpersisted here: the result
-    // must stay a LAZY plan (the no-driver-jobs-at-construction contract,
-    // gated in PlanShapeSpec), so cleanup is left to Spark's LRU eviction;
-    // the cache is k rows per query — negligible.
-    val candidates = knnJoinOn(spark, sfDir, queries, k, initRings, level).persist()
-    val resolvedQ = candidates.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
-      .filter(col("n") === k && col("kth") < guard * guard)
-      .select(col("qid"))
-    val ringRows = candidates.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
-    val unresolvedQ = queries
-      .join(broadcast(resolvedQ), Seq("qid"), "left_anti")
-    val fallbackRows =
-      if (phases > 1)
-        knnJoinExactOn(spark, sfDir, unresolvedQ, k, level, initRings * 4, phases - 1)
-          .select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
-      else knnBruteForceOn(spark, sfDir, unresolvedQ, k)
-    ringRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
-      .unionByName(fallbackRows)
+    val maxRings = 1 << level // k-ring clipped to the grid = full scan
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("cell", pageCell(level))
+      .select("cell", "doc_id", "ilat", "ilon")
+    val dist = (col("qlat") - col("ilat")) * (col("qlat") - col("ilat")) +
+      (col("qlon") - col("ilon")) * (col("qlon") - col("ilon"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2"), col("doc_id"))
+    val wq = Window.partitionBy(col("qid"))
+
+    // phase 1: ring candidates, ranked, with per-query stats (n1, kth2)
+    // from a second window over the SAME partitioning — one shuffle total.
+    val q1 = queries.withColumn("qcell", cell_id(col("qlat"), col("qlon"), lit(level)))
+    val ranked = q1
+      .withColumn("mcell", explode(cell_kring(col("qcell"), lit(initRings))))
+      .withColumn("cell", cell_rowmajor(col("mcell")))
+      .join(pages, Seq("cell"))
+      .withColumn("dist2", dist.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n1", count(lit(1)).over(wq))
+      .withColumn("kth2", max(when(col("rnk") <= k, col("dist2"))).over(wq))
+      .persist() // lazy; feeds 3 branches below — released via CacheBag
+    graft.util.CacheBag.register(ranked)
+    val resolvedRows = ranked
+      .filter(col("n1") >= k && col("kth2") < guard * guard && col("rnk") <= k)
+
+    // phase 2: kthUB = floor(sqrt(kth2)) + 2 > true k-th distance (double
+    // sqrt of a long is correct to 1 ulp; +2 absorbs it and the floor);
+    // rings2 * minDim > kthUB, so the re-search provably encloses the
+    // exact answer. All arithmetic non-negative -> floor(double /) is
+    // exact integer division.
+    val kthUB = floor(sqrt(col("kth2").cast("double"))).cast("long") + lit(2L)
+    val rings2 = least(floor(kthUB / lit(minDim)).cast("long") + lit(1L),
+      lit(maxRings.toLong)).cast("int")
+    val phase2Rows = ranked
+      .filter(col("rnk") === 1 && col("n1") >= k && !(col("kth2") < guard * guard))
+      .select(col("qid"), col("qlat"), col("qlon"), col("qcell"), rings2.as("rings2"))
+      .withColumn("mcell", explode(cell_kring(col("qcell"), col("rings2"))))
+      .withColumn("cell", cell_rowmajor(col("mcell")))
+      .join(pages, Seq("cell"))
+      .withColumn("dist2", dist.cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+
+    // phase 3: queries with < k phase-1 candidates (incl. zero — absent
+    // from `ranked` entirely) -> one distributed brute pass.
+    val handled = ranked.filter(col("rnk") === 1 && col("n1") >= k).select("qid")
+    val bruteQ = queries.join(handled, Seq("qid"), "left_anti")
+      .select("qid", "qlat", "qlon")
+    val bruteRows = knnBruteForceOn(spark, sfDir, bruteQ, k)
+
+    resolvedRows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2"))
+      .unionByName(phase2Rows.select(col("qid"), col("rnk"), col("doc_id"), col("dist2")))
+      .unionByName(bruteRows)
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -311,8 +356,14 @@ object GeoQueries {
       .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
       .join(dense.select(col("cell").as("ncell")), Seq("ncell"))
       .select(col("cell").as("src"), col("ncell").as("dst"))
+    // connectedComponents is eager (iterative fixpoint — the documented
+    // exception to the lazy-construction contract, COVERAGE.md), so the
+    // dense cache materializes during CC; it must OUTLIVE construction
+    // because the returned lazy plan still references it -> CacheBag, not
+    // a leak and not an eager final count (round-2 verdict #3).
+    graft.util.CacheBag.register(dense)
     val comps = GraphQueries.connectedComponents(edges)
-    val out = dense
+    dense
       .join(comps, dense("cell") === comps("node"), "left")
       .select(col("cell"), coalesce(col("comp"), col("cell")).as("cluster"),
         col("n_pages"))
@@ -320,10 +371,6 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_cells"), sum(col("n_pages")).as("sum_pages"),
         min(col("cell")).as("min_cell"), max(col("cell")).as("max_cell"))
       .orderBy(col("cluster"))
-      .persist()
-    out.count() // materialize the tiny cluster table, then drop the cache
-    dense.unpersist(false)
-    out
   }
 
   /** D+assign — nearest-footprint assignment: every page assigned to the
@@ -382,7 +429,7 @@ object GeoQueries {
     val queries = Pages.fromDocuments(spark, sfDir)
       .filter(col("doc_id") % 10 === 1)
       .select(col("doc_id").as("qid"), col("ilat").as("qlat"), col("ilon").as("qlon"))
-    knnJoinExactOn(spark, sfDir, queries, k = k, initRings = 1)
+    knnJoinExactOn(spark, sfDir, queries, k = k, initRings = 2)
   }
 
   /** 20 fixed query points (deterministic arithmetic, shared with the
@@ -472,9 +519,10 @@ object GeoQueries {
     def side(tag: String) = fc.select(col("fp_id").as(s"fp_$tag"),
       col("ilat0").as(s"${tag}_lat0"), col("ilat1").as(s"${tag}_lat1"),
       col("ilon0").as(s"${tag}_lon0"), col("ilon1").as(s"${tag}_lon1"), col("cell"))
-    // persist: the pair frame (tiny — one row per overlapping pair) feeds
-    // both the cover-cell branch and the final left join; without the
-    // cache the fc self-join + distinct pipeline executes twice
+    // persist (lazy): the pair frame (tiny — one row per overlapping pair)
+    // feeds both the cover-cell branch and the final left join; without the
+    // cache the fc self-join + distinct pipeline executes twice. Registered
+    // with CacheBag for post-consumption release.
     val inter = side("a").join(side("b"), Seq("cell"))
       .filter(col("fp_a") < col("fp_b"))
       .drop("cell").distinct()
@@ -488,6 +536,7 @@ object GeoQueries {
       .select(col("fp_a"), col("fp_b"), col("x0"), col("x1"), col("y0"),
         col("y1"), col("area"))
       .persist()
+    graft.util.CacheBag.register(inter)
     // intersection boxes as footprints of their own: cover-cell explode
     // (half-open WKT, same convention as Footprints.Box.wkt) + broadcast
     // join against page cells + exact refine

@@ -180,7 +180,9 @@ object SimilarityQueries {
     out.count() // materialize the tiny result, then drop the big caches
     keyed.unpersist(false)
     e.unpersist(false)
-    out
+    // the returned plan reads the materialized cache (its inputs are
+    // unpersisted) — register it so the driver releases it after use
+    graft.util.CacheBag.register(out)
   }
 
   /** Banded-table bucket diagnostics (ST gate: max bucket share, refinement
@@ -227,6 +229,11 @@ object SimilarityQueries {
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("cid"), col("qv")), struct(col("cd"), col("cid"))).as("best"))
         .select(col("best.cid").as("cid"), col("best.qv").as("qv"))
+      // localCheckpoint (eager, tiny — sqrt(n) rows) truncates the lineage:
+      // without it each iteration's broadcast re-derives the WHOLE previous
+      // Lloyd chain, and the 20+-stage AQE plan's fixed latency dominated
+      // the round-2 bench (q46 8s / q63 17s warm at 2k vectors). Iterative
+      // trainers are the documented exception to lazy construction.
       cents = assigned
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
@@ -234,33 +241,7 @@ object SimilarityQueries {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv"))
-    }
-    cents
-  }
-
-  /** Grouped k-means: ONE Lloyd chain trains EVERY group's codebook at
-    * once — frames carry a `grp` column and the assignment/update
-    * aggregations key on it, so PQ's 4 subspace codebooks train in
-    * `iters` job rounds instead of `groups x iters`. Identical
-    * seed/tie/update rules per group as `kmeansCentroids`. */
-  def kmeansCentroidsGrouped(e: DataFrame, c: Int, iters: Int): DataFrame = {
-    var cents = e.filter(col("vec_id") < c)
-      .select(col("grp"), col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
-    for (_ <- 1 to iters) {
-      val assigned = e.as("x")
-        .join(broadcast(cents.withColumnRenamed("grp", "kgrp")).as("k"),
-          col("x.grp") === col("kgrp"))
-        .withColumn("cd", l2(col("x.qv"), col("k.cv")))
-        .groupBy(col("x.grp").as("grp"), col("x.vec_id"))
-        .agg(min_by(struct(col("k.cid"), col("x.qv")), struct(col("cd"), col("k.cid"))).as("best"))
-        .select(col("grp"), col("best.cid").as("cid"), col("best.qv").as("qv"))
-      cents = assigned
-        .select(col("grp"), col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("grp"), col("cid"), col("pos"))
-        .agg(floor(lit(1.0) * sum(col("v")) / count(lit(1))).cast("long").as("m"))
-        .groupBy(col("grp"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cv"))
+        .localCheckpoint(true)
     }
     cents
   }
@@ -309,13 +290,22 @@ object SimilarityQueries {
     out.count() // materialize the tiny result, then drop the big caches
     cents.unpersist(false)
     e.unpersist(false)
-    out
+    graft.util.CacheBag.register(out)
   }
 
   final val PqSubspaces = 4
   final val PqCodes = 16
   final val PqSubDim = Dims / PqSubspaces
   final val PqRerank = 4 // re-rank the top Rerank*k ADC candidates exactly
+  /** Codebooks train on a BOUNDED deterministic sample (first
+    * PqTrainCap vectors), Lloyd-iterated DRIVER-SIDE: at any corpus size
+    * the training set is constant-sized (the FAISS convention — k-means
+    * on ~k*256 samples), so local iteration replaces the 2-iteration
+    * distributed Lloyd chain whose ~8 fixed-latency stages dominated q63's
+    * round-2 wall clock. Same seed/tie/update rules as `kmeansCentroids`
+    * (seed = first c sample vectors, argmin ties to the lowest cid, floor
+    * mean, empty clusters drop); encoding/ADC/re-rank stay distributed. */
+  final val PqTrainCap = 2048
 
   /** IVF-PQ-style product quantization ANN: 64 dims -> 4 subspaces x 16
     * dims, each with a 16-entry codebook trained by the same deterministic
@@ -334,14 +324,21 @@ object SimilarityQueries {
     // per-subspace codebooks: deterministic k-means on the 16-dim slices;
     // cid is the code, cv the codeword. Tiny (PqSubspaces*PqCodes rows).
     // ONE subspace frame feeds both codebook training and encoding (the
-    // two stages must slice identically or codes desync from codebooks)
+    // two stages must slice identically or codes desync from codebooks).
+    // Training collects the bounded PqTrainCap sample and iterates Lloyd
+    // driver-side (see PqTrainCap) — one job, constant size at any scale.
     val subVecs = e.select(col("vec_id"), posexplode(
       transform(sequence(lit(0), lit(PqSubspaces - 1)),
         m => slice(col("qv"), m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("grp", "qv")))
-    val books = kmeansCentroidsGrouped(subVecs, PqCodes, IvfIters)
-      .withColumnRenamed("grp", "m")
-      .persist()
-    books.count()
+    val sample = subVecs.filter(col("vec_id") < PqTrainCap)
+      .orderBy(col("grp"), col("vec_id")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+    val bookRows = for {
+      m <- 0 until PqSubspaces
+      (cid, cv) <- lloydLocal(sample.collect { case (g, v) if g == m => v }, PqCodes, IvfIters)
+    } yield (m, cid, cv.toSeq)
+    import spark.implicits._
+    val books = bookRows.toDF("m", "cid", "cv")
     // encode: nearest codeword per (vector, subspace) -> 4 codes assembled
     // into one array; the join is a broadcast of the 64-row codebook union
     val codes = subVecs.toDF("vec_id", "m", "sv").join(broadcast(books), Seq("m"))
@@ -383,9 +380,34 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
       .persist()
     out.count()
-    books.unpersist(false)
     e.unpersist(false)
-    out
+    graft.util.CacheBag.register(out)
+  }
+
+  /** Driver-side Lloyd over a bounded sample — same seed/tie/update rules
+    * as the distributed `kmeansCentroids` (seed = first c vectors, argmin
+    * ties to the lowest cid, floor-of-mean update, empty clusters drop). */
+  private[operators] def lloydLocal(vecs: Array[Array[Long]], c: Int,
+      iters: Int): Seq[(Int, Array[Long])] = {
+    var cents: Seq[(Int, Array[Long])] =
+      vecs.take(c).zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val assigned = vecs.map { v =>
+        cents.minBy { case (cid, cv) =>
+          var s = 0L
+          var i = 0
+          while (i < v.length) { val d = v(i) - cv(i); s += d * d; i += 1 }
+          (s, cid)
+        }._1 -> v
+      }
+      cents = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, vs) =>
+        val dim = vs.head._2.length
+        (cid, Array.tabulate(dim) { d =>
+          math.floor(vs.map(_._2(d)).sum.toDouble / vs.length).toLong
+        })
+      }
+    }
+    cents
   }
 
   /** Bucket histogram — distribution diagnostics for the LSH index. */

@@ -173,7 +173,7 @@ object TextQueries {
     out.count()
     sig.unpersist(false)
     sh.unpersist(false)
-    out
+    graft.util.CacheBag.register(out)
   }
 
   /** 16-bit SimHash over token hashes (majority vote per bit). */
@@ -233,7 +233,7 @@ object TextQueries {
       .persist()
     out.count() // materialize (distributed) before releasing the block cache
     blocked.unpersist(false)
-    out
+    graft.util.CacheBag.register(out)
   }
 
   final val WinnowWindow = 4

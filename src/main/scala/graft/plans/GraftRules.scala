@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Expression, GreaterThanOrEqual, If, IntegralDivide, LessThan, Literal, Multiply, RaiseError}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, Cast, Expression, GreaterThanOrEqual, If, IntegralDivide, IsNull, LessThan, Literal, Multiply, Or, RaiseError}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -38,16 +38,22 @@ object RowMajorOfCellIdRule extends Rule[LogicalPlan] {
       // semantics-preserving: CellIdExpr THROWS on out-of-range coords
       // (CellIndex.encode's require) — the rewrite must not turn that loud
       // failure into a silently wrong cell id, so the arithmetic is
-      // guarded by the same bounds with raise_error on violation
+      // guarded by the same bounds with raise_error on violation. NULL
+      // coords must stay NULL (the custom expressions are null-safe; a
+      // bare If would treat the null predicate as false and raise — the
+      // rewrite would not be observationally identical, ADVICE r2), so
+      // the null case short-circuits to a typed null FIRST.
       def between(x: Expression, lo: Int, hi: Int): Expression =
         And(GreaterThanOrEqual(x, Literal(lo)), LessThan(x, Literal(hi)))
       val arith =
         Add(Multiply(axis(ilat, 900, 1800L, p), Literal(p)), axis(ilon, 1800, 3600L, p))
-      If(And(between(ilat, -900, 900), between(ilon, -1800, 1800)),
-        arith,
-        Cast(RaiseError(Literal.create(
-          "cell_id coordinate out of range (ilat in [-900,900), ilon in [-1800,1800))",
-          StringType)), LongType))
+      If(Or(IsNull(ilat), IsNull(ilon)),
+        Literal.create(null, LongType),
+        If(And(between(ilat, -900, 900), between(ilon, -1800, 1800)),
+          arith,
+          Cast(RaiseError(Literal.create(
+            "cell_id coordinate out of range (ilat in [-900,900), ilon in [-1800,1800))",
+            StringType)), LongType)))
   }
 }
 

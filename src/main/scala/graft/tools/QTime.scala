@@ -20,6 +20,7 @@ object QTime {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sf).count()
       println(f"TIMING $q ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      graft.util.CacheBag.release()
     }
     spark.stop()
   }
