@@ -102,6 +102,7 @@ object SparkEntry {
     "q73_cust_quartiles" -> ((s, d) => RelationalQueries.custQuartiles(s, d)),
     "q74_media_inventory" -> ((s, d) => MultiModal.mediaInventoryQuery(s, d)),
     "q75_incremental_inventory" -> ((s, d) => graft.jobs.IngestJob.incrementalInventory(s, d)),
+    "q76_dsv2_inventory" -> ((s, d) => graft.jobs.IngestJob.dsv2Inventory(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -228,6 +229,13 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    // n_dates counts distinct UTC days: Spark counts the p_date directory
+    // key the DSv2 scan re-attaches; the oracle counts epoch-day integers
+    // (bijective with the date string — no timezone-dependent strftime)
+    "q76_dsv2_inventory" ->
+      (s"$P SELECT lang, count(*) AS n_docs, count(DISTINCT ts_sec // 86400) AS n_dates, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM pages WHERE ilat >= 0 GROUP BY lang ORDER BY lang"),
     // oracle = FULL recompute; the Spark side refreshes incrementally
     // (stored snapshot-1 inventory + delta partitions only)
     "q75_incremental_inventory" ->

@@ -466,6 +466,33 @@ object IngestJob {
       .orderBy(col("lang"))
   }
 
+  /** DSv2-read inventory (oracle-gated q76): builds the (p_cell, p_date)-
+    * partitioned snapshot table through the REAL resumable-ingest
+    * machinery, then reads it back through `spark.read.format("graft")`
+    * with plain Column filters — the manifest prune comes from DSv2
+    * filter pushdown (`GraftScanBuilder`), not a caller-side `Pruning`
+    * struct. The ilat predicate prunes the southern p_cell buckets at the
+    * manifest (gated in `GraftSourceSpec`), and `p_date` — a directory
+    * key, not a file column — is both aggregated and exactly re-attached
+    * by the scan. */
+  /** Build-once root of the DSv2-read fixture table (shared by q76 and
+    * `GraftSourceSpec`). */
+  def dsv2TableRoot(spark: SparkSession, sfDir: String): String =
+    cachedTable("graft-dsv2", sfDir, 1L, ver = 1) { (stage, _) =>
+      runPages(spark, pagesWithPartitions(spark, sfDir), stage, "dsv2build")
+      ()
+    }
+
+  def dsv2Inventory(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = dsv2TableRoot(spark, sfDir)
+    spark.read.format("graft").load(root)
+      .filter(col("ilat") >= 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("p_date")).as("n_dates"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Pruned inventory over the committed table: partitions overlapping the
     * given lat band, read via the manifest (partition pruning happens before
     * the parquet scan). */

@@ -255,14 +255,15 @@ object SimilarityQueries {
     * partitions. Recall@5 vs brute force: 0.94-0.96 across sfs (the
     * round-1 fixed-16-centroid variant measured 0.74). */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    // e feeds k-means, assignment AND the query probes; cents feeds
-    // assignment AND probes — persist both so training runs once, not
-    // once per downstream branch (cents is sqrt(n) rows — metadata-sized)
+    // e feeds k-means, assignment AND the query probes — persist so the
+    // quantization runs once per vector. cents needs no extra persist: the
+    // trainer returns an eager localCheckpoint (a leaf), so both broadcasts
+    // below re-read the checkpointed partitions, not the Lloyd chain.
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .persist()
     // corpus size: parquet-footer count, metadata not data
     val c = ivfCentroidCount(emb(spark, sfDir).count())
-    val cents = kmeansCentroids(e, c, IvfIters).persist()
+    val cents = kmeansCentroids(e, c, IvfIters)
     // inverted-list assignment: nearest trained centroid per vector
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cd", l2(col("qv"), col("cv")))
@@ -288,7 +289,6 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
       .persist()
     out.count() // materialize the tiny result, then drop the big caches
-    cents.unpersist(false)
     e.unpersist(false)
     graft.util.CacheBag.register(out)
   }

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.testutil.SparkTestBase
+
+/** DSv2 read path (round-2 verdict ask #4): plain Column filters on
+  * `spark.read.format("graft")` must reach the MANIFEST prune — no
+  * caller-side Pruning struct — while staying row-exact (stats pruning is
+  * partition-granular; every predicate is re-evaluated by Spark). */
+class GraftSourceSpec extends SparkTestBase {
+
+  private def root = graft.jobs.IngestJob.dsv2TableRoot(spark, sf0001)
+
+  test("filter pushdown prunes partitions at the manifest, result row-exact") {
+    val df = spark.read.format("graft").load(root)
+      .filter(col("ilat") >= 0 && col("ilon") >= 0)
+      .select("doc_id", "ilat", "ilon", "lang")
+    val got = df.collect().map(_.toSeq).sortBy(_.toString)
+    val (kept, total) = GraftSource.lastPlanned
+    assert(total == 16, s"expected the 16 p_cell buckets, got $total")
+    // ilat >= 0 && ilon >= 0 selects the NE quadrant: at most half the
+    // buckets can overlap on stats (the hot cell sits in the NW quadrant)
+    assert(kept < total, s"manifest prune kept $kept of $total")
+    val want = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .filter(col("ilat") >= 0 && col("ilon") >= 0)
+      .select("doc_id", "ilat", "ilon", "lang")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === want)
+  }
+
+  test("pushed filters visible in the physical plan") {
+    val df = spark.read.format("graft").load(root).filter(col("ilat") > 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ilat"),
+      s"expected ilat in PushedFilters:\n$plan")
+  }
+
+  test("contradictory bounds prune to zero partitions, empty result") {
+    val n = spark.read.format("graft").load(root)
+      .filter(col("ilat") >= 901).count()
+    assert(n == 0)
+    assert(GraftSource.lastPlanned._1 == 0, s"planned ${GraftSource.lastPlanned}")
+  }
+
+  test("p_date directory key is a queryable, prunable column") {
+    // sf0.001 spans a SINGLE UTC day (500 docs x 137s < 86400s), so the
+    // re-attach must yield exactly that date everywhere...
+    val dates = spark.read.format("graft").load(root)
+      .select("p_date").distinct().collect().map(_.getString(0)).sorted
+    assert(dates.length == 1 && dates.head.matches("\\d{4}-\\d{2}-\\d{2}"))
+    val got = spark.read.format("graft").load(root)
+      .filter(col("p_date") === dates.head).count()
+    val want = graft.jobs.IngestJob.pagesWithPartitions(spark, sf0001).count()
+    assert(got === want)
+    // ...and a date the manifest does not hold prunes to ZERO partitions
+    val none = spark.read.format("graft").load(root)
+      .filter(col("p_date") === "1999-01-01").count()
+    assert(none == 0)
+    assert(GraftSource.lastPlanned._1 == 0,
+      s"date prune planned ${GraftSource.lastPlanned}")
+  }
+}
