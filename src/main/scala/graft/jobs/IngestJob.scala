@@ -153,19 +153,18 @@ object IngestJob {
       .sortBy(e => (e.pCell, e.pDate))
 
     val schemaDdl = pages.drop("p_date").schema.toDDL
-    // optimistic commit: if a concurrent writer (e.g. a streaming sink on
-    // the same root) claimed this seq, re-commit at the next seq instead
-    // of dying after all the writes landed. The build closure RE-MERGES
-    // against the latest committed snapshot each attempt (commitWithRetry's
-    // contract): parts from other writers survive, while any prior version
-    // of this ingest's own (p_cell, p_date) partitions is superseded.
+    // optimistic DELTA commit: if a concurrent writer (e.g. a streaming
+    // sink on the same root) claimed this seq, re-commit at the next seq
+    // instead of dying after all the writes landed. Each attempt re-merges
+    // against the latest committed snapshot: parts from other writers
+    // survive, any prior version of this ingest's own (p_cell, p_date)
+    // partitions is superseded — and only manifests holding superseded
+    // keys are rewritten (metadata cost ∝ touched partitions).
     val ownKeys = stats.map(e => (e.pCell, e.pDate)).toSet
-    val committed = SnapshotTable.commitWithRetry(root) { commitSeq =>
-      val kept = (if (commitSeq > 1) SnapshotTable.snapshotAt(root, commitSeq - 1) else None)
-        .map(_.parts).getOrElse(Seq.empty)
-        .filterNot(p => ownKeys((p.pCell, p.pDate)))
-      Snapshot(commitSeq, 1, (kept ++ stats).toIndexedSeq, schemaDdl)
-    }
+    val committed = SnapshotTable.commitDeltaWithRetry(root)(
+      stats, p => ownKeys((p.pCell, p.pDate)),
+      removePCells = Some(ownKeys.map(_._1)),
+      schemaVer = Some(1), schemaDdl = Some(schemaDdl))
     RunReport(jobId, committed.seq, stale.size, skipped, byCell.map(_._2).sum)
   }
 
@@ -373,10 +372,11 @@ object IngestJob {
     // keys the merge does not touch — are merged in, never conflicted.)
     val basePaths = touched.map(p => (p.pCell, p.pDate) -> p.path).toMap
     beforeCommit() // test hook: interleave a concurrent writer here
-    SnapshotTable.commitWithRetry(root) { commitSeq =>
-      val latest = (if (commitSeq > 1) SnapshotTable.snapshotAt(root, commitSeq - 1) else None)
-        .map(_.parts).getOrElse(Seq.empty)
-      latest.foreach { p =>
+    SnapshotTable.commitDeltaWithRetry(root)(
+      stats, p => newKeys((p.pCell, p.pDate)),
+      removePCells = Some(newKeys.map(_._1)),
+      schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
+      validate = latest => latest.parts.foreach { p =>
         val k = (p.pCell, p.pDate)
         // conflict if a touched key's partition was REWRITTEN (path moved)
         // or CREATED (absent from the base snapshot — basePaths None) by a
@@ -386,11 +386,7 @@ object IngestJob {
           throw new java.util.ConcurrentModificationException(
             s"merge conflict: partition $k was written (now ${p.path}) after this " +
               "merge read its base rows — re-run the merge against the new snapshot")
-      }
-      val kept = latest.filterNot(p => newKeys((p.pCell, p.pDate)))
-      Snapshot(commitSeq, current.schemaVer, (kept ++ stats).toIndexedSeq,
-        current.schemaDdl)
-    }
+      })
   }
 
   /** MERGE-upsert end to end (oracle-gated q61): base snapshot = the

@@ -132,16 +132,15 @@ object StreamingJobs {
           val entry = PartitionEntry(batchId, "stream", path, st.getLong(0),
             st.getInt(1), st.getInt(2), st.getInt(3), st.getInt(4),
             st.getLong(5), st.getLong(6))
-          // optimistic-concurrency commit: the kept-parts merge is rebuilt
-          // against the latest committed snapshot inside the retry loop, so
-          // a concurrent writer's partitions are never dropped. Idempotent
+          // optimistic-concurrency DELTA commit: one new manifest per
+          // micro-batch, other writers' manifests re-referenced untouched
+          // (the streaming sink was the worst whole-manifest-rewrite
+          // offender — one table-sized rewrite per batch). Idempotent
           // under foreachBatch retries: a re-run batchId replaces its
           // previous entry (same path) instead of duplicating.
-          SnapshotTable.commitWithRetry(root) { seq =>
-            val prev = if (seq > 1) SnapshotTable.snapshotAt(root, seq - 1) else None
-            val kept = prev.map(_.parts).getOrElse(Seq.empty).filterNot(_.path == path)
-            Snapshot(seq, 1, kept :+ entry, cached.schema.toDDL)
-          }
+          SnapshotTable.commitDeltaWithRetry(root)(
+            Seq(entry), _.path == path, removePCells = Some(Set(entry.pCell)),
+            schemaVer = Some(1), schemaDdl = Some(cached.schema.toDDL))
           ()
         }
         cached.unpersist(false)
