@@ -105,9 +105,15 @@ object CellIndex {
   }
 
   /** All cells with Chebyshev distance <= k from `cell` at its level,
-    * clipped to the grid (no longitude wrap — deliberate, keeps the index
-    * deterministic and SQL-mirrorable; callers needing wrap handle it a
-    * level up). Includes `cell` itself. Sorted by (cy, cx). */
+    * clipped to the grid — NO longitude wrap, by contract. The engine's
+    * distance metric ([[dist2]]) is PLANAR over the integer grid (ilon
+    * -1799 and +1799 are 3598 apart, not 2), so the clipped ring is the
+    * CORRECT candidate superset for every ring-guard proof (kNN exactness
+    * at the seam is ST-pinned in KnnExactSpec). Metric and ring must only
+    * ever change TOGETHER: a wrap-aware (geodesic) kring under the planar
+    * metric — or vice versa — would make the kNN guard unsound for
+    * queries within the guard radius of the seam. Includes `cell` itself.
+    * Sorted by (cy, cx). */
   def kring(cell: Long, k: Int): Array[Long] = {
     require(k >= 0)
     val l = level(cell)

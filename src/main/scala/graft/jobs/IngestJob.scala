@@ -318,7 +318,8 @@ object IngestJob {
     * the partition columns are deterministic functions of the key (true
     * for the geotag layout: p_cell derives from the url-keyed location,
     * p_date from the crawl schedule being re-crawled). Keys that MOVE
-    * partitions would need a global anti-join — a different operator. */
+    * partitions need [[mergeIntoGlobal]] — this variant would leave the
+    * old-location row in place (a silent duplicate). */
   def mergeInto(spark: SparkSession, root: String, updates0: DataFrame,
       jobId: String, key: String = "doc_id",
       beforeCommit: () => Unit = () => ()): Snapshot = {
@@ -327,6 +328,47 @@ object IngestJob {
     val updates = updates0.persist()
     val touchedKeys = updates.select(col("p_cell"), col("p_date")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    mergeRewrite(spark, root, current, updates, touchedKeys, jobId, key, beforeCommit)
+  }
+
+  /** MERGE INTO for PARTITION-MOVING keys (round-2 verdict ask #6): when
+    * an update's key may live in a DIFFERENT (p_cell, p_date) than the
+    * update row targets (a re-geotagged page, a corrected crawl date),
+    * the partitions holding stale rows are discovered by a GLOBAL
+    * semi-join of the table's (key, partition) projection against the
+    * update keys — those partitions are rewritten too, so the old-location
+    * row is dropped, not duplicated. Cost shape at 100 TB: one
+    * column-pruned scan of (key, p_cell) per date group semi-joined
+    * against the (typically broadcastable) update keys — the unavoidable
+    * price of not knowing where keys live; everything downstream rewrites
+    * only the touched partitions, same as [[mergeInto]]. */
+  def mergeIntoGlobal(spark: SparkSession, root: String, updates0: DataFrame,
+      jobId: String, key: String = "doc_id",
+      beforeCommit: () => Unit = () => ()): Snapshot = {
+    val current = SnapshotTable.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root"))
+    val updates = updates0.persist()
+    val targetKeys = updates.select(col("p_cell"), col("p_date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val updKeys = updates.select(col(key))
+    val staleKeys: Set[(Long, String)] = current.parts.groupBy(_.pDate).toSeq
+      .sortBy(_._1).flatMap { case (d, es) =>
+        spark.read.parquet(es.map(_.path): _*)
+          .select(col(key), col("p_cell"))
+          .join(updKeys, Seq(key), "left_semi")
+          .select(col("p_cell")).distinct()
+          .collect().map(r => (r.getLong(0), d))
+      }.toSet
+    mergeRewrite(spark, root, current, updates, targetKeys ++ staleKeys,
+      jobId, key, beforeCommit)
+  }
+
+  /** Shared COW rewrite + delta commit: rewrite exactly the partitions in
+    * `touchedKeys` (old rows anti-joined on `key`, union the updates),
+    * conflict-validate, commit. */
+  private def mergeRewrite(spark: SparkSession, root: String, current: Snapshot,
+      updates: DataFrame, touchedKeys: Set[(Long, String)], jobId: String,
+      key: String, beforeCommit: () => Unit): Snapshot = {
     val touched = current.parts.filter(p => touchedKeys((p.pCell, p.pDate)))
     // old rows of rewritten partitions; p_date is a directory key in the
     // layout, re-attach it from the manifest entry. One multi-path scan
@@ -364,7 +406,10 @@ object IngestJob {
       .sortBy(e => (e.pCell, e.pDate)).toIndexedSeq
     updates.unpersist(false)
     merged.unpersist(false)
-    val newKeys = stats.map(e => (e.pCell, e.pDate)).toSet
+    // supersede everything rewritten OR touched: a touched partition whose
+    // rows ALL moved away (global merge) produces no stats entry but its
+    // old entry must still drop, or stale rows resurrect
+    val newKeys = stats.map(e => (e.pCell, e.pDate)).toSet ++ touchedKeys
     // optimistic-concurrency VALIDATION (Iceberg-style): the merge read its
     // old rows from `current`'s files; if a concurrent writer rewrote any
     // TOUCHED partition since, committing would silently discard that

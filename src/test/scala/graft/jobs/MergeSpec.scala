@@ -110,6 +110,43 @@ class MergeSpec extends SparkTestBase {
     assert(SnapshotTable.currentSeq(root) === Some(before.seq + 1))
   }
 
+  test("mergeIntoGlobal drops the old-location row when a key moves partitions") {
+    val root = freshRoot()
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val total = base.count()
+
+    // re-geotag doc 1 to the antipode: its p_cell changes, so the update
+    // targets a DIFFERENT partition than the one holding its current row
+    def moved = base.filter(col("doc_id") === 1)
+      .withColumn("ilat", -col("ilat")).withColumn("ilon", -col("ilon"))
+      .withColumn("p_cell",
+        graft.sources.Pages.cellCol(col("ilat"), col("ilon"), IngestJob.PCellLevel))
+      .withColumn("n_chars", col("n_chars") + 5L)
+    val oldCell = base.filter(col("doc_id") === 1).select("p_cell").head.getLong(0)
+    val newCell = moved.select("p_cell").head.getLong(0)
+    assert(oldCell !== newCell, "fixture must actually move partitions")
+
+    val snap = IngestJob.mergeIntoGlobal(spark, root, moved, "gm")
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    val rows = df.filter(col("doc_id") === 1).collect()
+    assert(rows.length === 1, s"moved key left ${rows.length} rows (old-location duplicate)")
+    assert(rows.head.getAs[Long]("p_cell") === newCell)
+    assert(df.count() === total, "row count must be conserved")
+    // both the source and target partitions were rewritten in the commit
+    assert(snap.parts.filter(p => p.pCell == oldCell || p.pCell == newCell)
+      .forall(_.path.contains("/gm/")), "old- and new-location partitions must rewrite")
+
+    // negative control, pinning WHY the global variant exists: the
+    // partition-stable mergeInto applied to the same move leaves the
+    // old-location row in place — a silent duplicate
+    val root2 = freshRoot()
+    IngestJob.runPages(spark, base, root2, "base")
+    IngestJob.mergeInto(spark, root2, moved, "pm")
+    val (df2, _, _) = SnapshotTable.read(spark, root2)
+    assert(df2.filter(col("doc_id") === 1).count() === 2)
+  }
+
   test("incremental inventory refresh scans only delta partitions") {
     val df = IngestJob.incrementalInventory(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -27,4 +27,30 @@ class KnnExactSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(exact === brute)
   }
+
+  test("planar contract at the antimeridian/poles: seam queries stay exact") {
+    // The metric is PLANAR (CellIndex.dist2 over the integer grid): ilon
+    // -1800 and +1799 are 3599 apart, never 1 — so the CLIPPED k-ring is
+    // the correct candidate superset and the ring guard stays sound for
+    // query points ON the seam (round-2 verdict ask #7; the contract is
+    // pinned in CellIndex.kring's doc — metric and ring change together
+    // or not at all). Exactness vs planar brute force at every grid edge
+    // and corner, with rings tiny enough to force the guard + adaptive
+    // escalation paths.
+    import spark.implicits._
+    val seam = Seq(
+      (0, 0, -1800), (1, 0, 1799), (2, -900, -1800), (3, 899, 1799),
+      (4, -900, 1799), (5, 899, -1800), (6, -450, 1799), (7, 450, -1800),
+      (8, 899, 0), (9, -900, 0)).toDF("qid", "qlat", "qlon")
+    for (rings <- Seq(0, 1, 2)) {
+      val exact = GeoQueries.knnJoinExactOn(spark, sf0001, seam, k = 4,
+        initRings = rings).collect().map(_.toSeq).toSeq
+      val brute = GeoQueries.knnBruteForceOn(spark, sf0001, seam, k = 4)
+        .orderBy(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("rnk"))
+        .collect().map(_.toSeq).toSeq
+      assert(exact === brute, s"seam mismatch at initRings=$rings")
+      graft.util.CacheBag.release()
+    }
+  }
 }
