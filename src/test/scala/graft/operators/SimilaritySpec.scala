@@ -59,14 +59,15 @@ class SimilaritySpec extends SparkTestBase {
 
   test("banded near-dup recall@20 vs brute force beats the 16-bucket design") {
     // deterministic planes + fixed data => recall is a constant per sf.
-    // Measured: 0.50 at sf0.01, 0.55 at sf0.1; the round-1 16-bucket join
-    // measured 0.20/0.25. Assert with a small safety margin.
+    // Measured at 16 tables: 0.70 at sf0.01, 0.85 at sf0.1 (8 tables
+    // measured 0.50/0.55; the round-1 16-bucket join 0.20/0.25). Assert
+    // with a small safety margin.
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(SimilarityQueries.nearDupBruteForce(spark, sf001))
     val banded = pairs(SimilarityQueries.nearDupPairs(spark, sf001))
     val recall = (brute & banded).size.toDouble / brute.size
-    assert(recall >= 0.45, s"recall@20 $recall")
+    assert(recall >= 0.65, s"recall@20 $recall")
   }
 
   test("PQ ADC recall@5 vs brute force; self always survives re-rank") {
