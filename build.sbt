@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at local[32] over the 1.28e9-row headline input the old
+  // 8g heap sat at the GC ceiling — tile-pass wall fluctuated 3.8-5.5s
+  // run-to-run and join lost ~10%; 16g restores stable timings (the box
+  // has 128 GiB). Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
