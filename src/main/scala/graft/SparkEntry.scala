@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{GeoQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{CorpusQueries, GeoQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -103,6 +103,10 @@ object SparkEntry {
     "q74_media_inventory" -> ((s, d) => MultiModal.mediaInventoryQuery(s, d)),
     "q75_incremental_inventory" -> ((s, d) => graft.jobs.IngestJob.incrementalInventory(s, d)),
     "q76_dsv2_inventory" -> ((s, d) => graft.jobs.IngestJob.dsv2Inventory(s, d)),
+    "q77_shard_packing" -> ((s, d) => graft.operators.CorpusQueries.shardPacking(s, d)),
+    "q78_decontaminate" -> ((s, d) => graft.operators.CorpusQueries.decontaminate(s, d)),
+    "q79_pii_scrub" -> ((s, d) => graft.operators.CorpusQueries.piiScrub(s, d)),
+    "q80_domain_cap" -> ((s, d) => graft.operators.CorpusQueries.domainCap(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -273,6 +277,7 @@ object SparkEntry {
         "UNION ALL SELECT CAST(4 AS INT), c4 FROM f4) " +
         "SELECT level, cell_rm FROM k ORDER BY level, cell_rm"
     },
-  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle ++
+  ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ CorpusQueries.oracle ++
+    SimilarityQueries.oracle ++
     Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
 }

@@ -24,7 +24,7 @@ object TextQueries {
   /** 60-bit token hash from the md5 hex prefix — portable across engines. */
   private def tokHash(t: Column, salt: String = ""): Column =
     conv(substring(md5(if (salt.isEmpty) t else concat(lit(salt), t)), 1, 15), 16, 10).cast("long")
-  private def sqlTokHash(t: String, salt: String = ""): String =
+  private[operators] def sqlTokHash(t: String, salt: String = ""): String =
     if (salt.isEmpty) s"CAST(('0x' || substr(md5($t), 1, 15)) AS BIGINT)"
     else s"CAST(('0x' || substr(md5('$salt' || $t), 1, 15)) AS BIGINT)"
 
@@ -101,7 +101,7 @@ object TextQueries {
     * a per-shingle md5->hex->conv Column chain — identical values (the
     * kernel replicates the conv(substring(md5 ..)) arithmetic bit-exactly,
     * oracle-gated through q28/q29/q44/q47). */
-  private def withShingleHashes(d: DataFrame): DataFrame = {
+  private[operators] def withShingleHashes(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(d.sparkSession)
     d.withColumn("h0raw", graft.functions.GraftFunctions.shingle_hashes(col("text")))
       .filter(size(col("h0raw")) > 0)
@@ -338,7 +338,7 @@ object TextQueries {
 
   // ---- oracle twins -------------------------------------------------------
 
-  private val shCte =
+  private[operators] val shCte =
     "t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents), " +
       "s AS (SELECT doc_id, lang, list_transform(range(len(toks) - 2), " +
       "j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')) AS sh FROM t WHERE len(toks) >= 3)"
