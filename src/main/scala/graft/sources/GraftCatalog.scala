@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing snapshot tables to plain SQL:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /path/to/tables
+  * SELECT lang, count(*) FROM graft.my_table WHERE ilat >= 0 GROUP BY lang
+  * }}}
+  *
+  * Each table is a directory under the warehouse containing the snapshot
+  * layout (meta/CURRENT + manifests + data). Reads route through the same
+  * DSv2 [[GraftTable]] as `format("graft")`, so SQL WHERE clauses drive
+  * the manifest prune identically. Read-only by design: writes go through
+  * the ingest/merge/streaming commit paths (which own atomicity and
+  * lineage), not SQL DML — create/alter/drop fail loudly instead of
+  * bypassing them. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+  }
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (SnapshotTable.currentSeq(root).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    new GraftTable(root, GraftSource.tableSchema(root))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotTable.currentSeq(rootOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get((s"$warehouse" +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => SnapshotTable.currentSeq(p.toString).isDefined)
+          .map(p => Identifier.of(namespace, p.getFileName.toString))
+          .toArray
+      } finally s.close()
+    }
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only ($op): write through IngestJob/mergeInto/" +
+        "streaming sinks, which own commit atomicity and lineage")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}
