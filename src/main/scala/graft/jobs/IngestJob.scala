@@ -185,6 +185,29 @@ object IngestJob {
     spark.read.parquet(s"$root/data").count()
   }
 
+  /** G1z — z-order clustered archive: rows sorted by the MORTON cell id
+    * at `level` (bit-interleaved lat/lon — `cell_id` IS the z-order key)
+    * before writing, so each output file covers a compact spatial square
+    * instead of a longitude stripe or a random scatter. Per-file
+    * (ilat, ilon) min/max stats then prune tightly for ANY 2-D box
+    * predicate — the data-layout half of data skipping that partition
+    * columns alone can't give (a row-major sort clusters one axis only).
+    * `ZorderSpec` measures the per-file bounding-box area vs an
+    * insertion-ordered write. */
+  def zorderArchive(spark: SparkSession, sfDir: String, out: String,
+      level: Int = 8, files: Int = 16): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .withColumn("zkey",
+        graft.functions.GraftFunctions.cell_id(col("ilat"), col("ilon"), lit(level)))
+    pages
+      .repartitionByRange(files, col("zkey"), col("doc_id"))
+      .sortWithinPartitions(col("zkey"), col("doc_id"))
+      .drop("zkey")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out).count()
+  }
+
   /** G1b — bucketed archive: persist pages as a BUCKETED table on the
     * level-6 cell key (hash-bucketed + sorted within buckets). Spark's
     * bucketing metadata makes every later equi-join/aggregation on the

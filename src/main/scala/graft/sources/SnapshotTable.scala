@@ -385,6 +385,38 @@ object SnapshotTable {
     (migrate(df, snap.schemaVer, migrations), keep.length, snap.parts.length)
   }
 
+  /** CDC-style incremental read (the Iceberg incremental-scan analog):
+    * the rows of every partition file snapshot `toSeq` references that
+    * snapshot `fromSeq` does not — i.e. the appended AND rewritten files
+    * between the two snapshots. File-granular by design: a COW rewrite
+    * (MERGE) surfaces its whole rewritten partition, carried-over rows
+    * included — the consumer dedups on its key if it needs row-level
+    * changes (same caveat Iceberg documents for non-append commits).
+    * Bytes read ∝ delta, never table size. Returns (frame, deltaParts,
+    * totalParts); p_date re-attached per date group. */
+  def changesBetween(spark: SparkSession, root: String, fromSeq: Long,
+      toSeq: Long): (DataFrame, Int, Int) = {
+    require(fromSeq < toSeq, s"fromSeq $fromSeq must precede toSeq $toSeq")
+    val from = snapshotAt(root, fromSeq).getOrElse(
+      throw new IllegalStateException(s"no snapshot $fromSeq under $root"))
+    val to = snapshotAt(root, toSeq).getOrElse(
+      throw new IllegalStateException(s"no snapshot $toSeq under $root"))
+    val fromPaths = from.parts.map(_.path).toSet
+    val delta = to.parts.filterNot(p => fromPaths(p.path))
+    val df =
+      if (delta.isEmpty) {
+        if (to.schemaDdl.nonEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(to.schemaDdl)
+              .add("p_date", org.apache.spark.sql.types.StringType))
+        else spark.emptyDataFrame
+      } else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+        spark.read.parquet(es.map(_.path): _*)
+          .withColumn("p_date", org.apache.spark.sql.functions.lit(d))
+      }.reduce(_.unionByName(_))
+    (df, delta.length, to.parts.length)
+  }
+
   // ---- maintenance: snapshot expiration + orphan GC ------------------------
 
   /** Expire all but the `keep` most recent snapshots, then garbage-collect

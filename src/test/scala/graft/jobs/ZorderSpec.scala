@@ -1,0 +1,64 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+import graft.testutil.SparkTestBase
+
+/** Z-order layout + CDC incremental read. */
+class ZorderSpec extends SparkTestBase {
+
+  /** Sum over output files of the file's (ilat, ilon) bounding-box area —
+    * the quantity min/max data skipping prunes on: smaller is tighter. */
+  private def bboxArea(path: String): Long =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(((max(col("ilat")) - min(col("ilat")) + 1).cast("long") *
+        (max(col("ilon")) - min(col("ilon")) + 1)).as("area"))
+      .agg(sum(col("area"))).head.getLong(0)
+
+  test("z-order write: per-file spatial bounding boxes shrink vs insertion order") {
+    val dir = Files.createTempDirectory("zorder").toString
+    val n = IngestJob.zorderArchive(spark, sf001, s"$dir/z", files = 16)
+    assert(n === spark.read.parquet(s"$sf001/documents.parquet").count())
+    // control: same row count, same file count, insertion (doc_id) order —
+    // doc_id geotags are pseudo-random, so every file spans ~the whole grid
+    graft.sources.Pages.fromDocuments(spark, sf001)
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(s"$dir/naive")
+    val (zArea, nArea) = (bboxArea(s"$dir/z"), bboxArea(s"$dir/naive"))
+    // 16 z-ordered files tile the plane into ~16 compact squares; the
+    // naive layout's 16 files each cover ~the full grid. Require >=3x.
+    assert(zArea * 3 < nArea, s"z-order $zArea vs naive $nArea — no skipping win")
+    // and the z-ordered rows are exactly the input rows
+    val a = spark.read.parquet(s"$dir/z").orderBy("doc_id").collect().map(_.getAs[Long]("doc_id"))
+    val b = graft.sources.Pages.fromDocuments(spark, sf001).orderBy("doc_id")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(a.sameElements(b))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
+  test("changesBetween: file-level delta, bytes read proportional to the delta") {
+    val root = Files.createTempDirectory("cdc").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base.filter(col("doc_id") % 3 =!= 0), root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    IngestJob.runPages(spark, base, root, "j2")
+    val s2 = SnapshotTable.currentSeq(root).get
+    val (delta, deltaParts, totalParts) = SnapshotTable.changesBetween(spark, root, s1, s2)
+    assert(deltaParts > 0 && deltaParts <= totalParts)
+    // the delta must contain every %3==0 doc (the appended crawl) —
+    // rewritten partitions may carry over old rows (file-granular CDC)
+    val newIds = base.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(newIds.subsetOf(got), s"missing ${newIds -- got}")
+    // the plan reads ONLY delta partition files
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(!plan.contains("/j1/"), "CDC read touched a base-snapshot file")
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+}
