@@ -19,16 +19,61 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** Edge-count ceiling for the driver-side union-find fast path: 1M
+    * symmetric edges ≈ 16 MB collected — safely bounded. Above it the
+    * distributed min-label loop runs (the 100 TB path). */
+  final val DriverCcCap = 1000000L
+
   /** Connected components of the undirected graph given by `edges`
-    * (columns src, dst; one row per edge, either orientation). Returns
-    * (node, comp) where comp = min node id in the component. Nodes are
-    * edge endpoints — isolated nodes don't appear (join the node universe
-    * afterwards if singletons matter). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    * (columns src, dst, integral; one row per edge, either orientation).
+    * Returns (node, comp) where comp = min node id in the component.
+    * Nodes are edge endpoints — isolated nodes don't appear (join the
+    * node universe afterwards if singletons matter).
+    *
+    * Adaptive execution: the edge set is already materialized (the
+    * checkpoint) and counted, so a BOUNDED graph (≤ `driverCap` edges)
+    * runs union-find on the driver — exact same labels, none of the
+    * per-round fixed job cost that dominated q58/q69 at toy scale (3-4
+    * rounds × ~5 stages for a 50-edge graph). Near-dup graphs stay tiny
+    * even at corpus scale (edges ∝ duplicate pairs, not docs), but the
+    * distributed path is the contract beyond the cap and stays ST-pinned
+    * against the driver path (`GraphSpec`). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      driverCap: Long = DriverCcCap): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .localCheckpoint(true)
+    if (sym.count() <= driverCap) {
+      import spark.implicits._
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      return out.toDF("node", "comp")
+    }
+    val symB = sym
+      .unionByName(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    connectedComponentsDistributed(symB, maxIter)
+  }
+
+  /** The distributed min-label + pointer-jumping loop (beyond-cap path;
+    * `symEdges` must already be symmetric + distinct). */
+  private[operators] def connectedComponentsDistributed(sym: DataFrame,
+      maxIter: Int): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)

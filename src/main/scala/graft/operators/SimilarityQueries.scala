@@ -225,27 +225,33 @@ object SimilarityQueries {
     * arithmetic exact and DuckDB-mirrorable). Empty clusters drop out
     * identically in both engines. */
   def kmeansCentroids(e: DataFrame, c: Int, iters: Int): DataFrame = {
-    var cents = e.filter(col("vec_id") < c)
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = e.filter(col("vec_id") < c)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
     for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(cents))
+      // One job per Lloyd iteration: the scale-bearing assignment + the
+      // per-(cid, pos) mean stay DISTRIBUTED (map-side-combinable aggs
+      // over the corpus); the c × dims result rows are metadata-sized BY
+      // DESIGN (c = sqrt(n)), so the centroid arrays assemble driver-side
+      // into a LocalRelation — identical values to the former in-plan
+      // collect_list assembly, but the next iteration's broadcast is a
+      // literal (no lineage, no checkpoint job, no extra exchange; the
+      // round-2 in-plan chain re-derived everything per iteration and its
+      // ~20-stage AQE plan dominated q46's wall). Iterative trainers are
+      // the documented exception to lazy construction (COVERAGE.md).
+      val rows = e.crossJoin(broadcast(cents))
         .withColumn("cd", l2(col("qv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("cid"), col("qv")), struct(col("cd"), col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.qv").as("qv"))
-      // localCheckpoint (eager, tiny — sqrt(n) rows) truncates the lineage:
-      // without it each iteration's broadcast re-derives the WHOLE previous
-      // Lloyd chain, and the 20+-stage AQE plan's fixed latency dominated
-      // the round-2 bench (q46 8s / q63 17s warm at 2k vectors). Iterative
-      // trainers are the documented exception to lazy construction.
-      cents = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .select(col("best.cid").as("cid"), posexplode(col("best.qv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(floor(lit(1.0) * sum(col("v")) / count(lit(1))).cast("long").as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cv"))
-        .localCheckpoint(true)
+        .collect()
+      val local = rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, ms) => (cid, ms.sortBy(_._2).map(_._3).toSeq) }
+      cents = local.toDF("cid", "cv")
     }
     cents
   }

@@ -24,6 +24,20 @@ class GraphSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) == 0L))
   }
 
+  test("driver union-find == distributed min-label loop (cap forced to 0)") {
+    // deterministic pseudo-random graph with chains, triangles and junk
+    val edges = (0 until 300).map { i =>
+      val a = (i * 131) % 97L
+      val b = (i * 17 + 5) % 97L
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).toDF("src", "dst")
+    val fast = GraphQueries.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = GraphQueries.connectedComponents(edges, driverCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast === dist)
+  }
+
   test("nearDupComponents: every component's rep <= members, sizes >= 2 imply edges") {
     val comps = GraphQueries.nearDupComponents(spark, sf0001).collect()
     assert(comps.nonEmpty)
