@@ -107,6 +107,8 @@ object SparkEntry {
     "q78_decontaminate" -> ((s, d) => graft.operators.CorpusQueries.decontaminate(s, d)),
     "q79_pii_scrub" -> ((s, d) => graft.operators.CorpusQueries.piiScrub(s, d)),
     "q80_domain_cap" -> ((s, d) => graft.operators.CorpusQueries.domainCap(s, d)),
+    "q81_frame_sample" -> ((s, d) => MultiModal.frameSampleQuery(s, d)),
+    "q82_media_resize" -> ((s, d) => MultiModal.resizeQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -105,7 +105,7 @@ object MultiModal {
   }
 
   /** Resize stage + feature extraction: new dims halved (min 4), verify the
-    * output parses, return (id, old/new dims, new checksum). */
+    * output parses, return (id, kind, old/new dims, new checksum). */
   def resizeAll(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -113,9 +113,9 @@ object MultiModal {
         val (w, h, _, _) = FakeCodec.decode(m.media)
         val blob2 = FakeCodec.resize(m.media, math.max(4, w / 2), math.max(4, h / 2))
         val (w2, h2, _, sum2) = FakeCodec.decode(blob2)
-        (m.media_id, w, h, w2, h2, sum2)
+        (m.media_id, m.kind, w, h, w2, h2, sum2)
       }
-    }.toDF("media_id", "w", "h", "w2", "h2", "checksum2")
+    }.toDF("media_id", "kind", "w", "h", "w2", "h2", "checksum2")
   }
 
   /** Oracle-gated media inventory (q74): the synthetic media table sized to
@@ -134,13 +134,52 @@ object MultiModal {
       .orderBy(col("kind"))
   }
 
+  /** q81 — frame sampling end to end (every 3rd frame of each video,
+    * decode → flatMap explode → per-n_frames rollup), oracle = arithmetic
+    * sampled-count `(nf + 2) // 3`. Gates the sampling stride through the
+    * driver's hash compare, not just the ST. */
+  def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val sampled = sampleFrames(mediaTable(spark, n), step = 3)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+    decodeAll(mediaTable(spark, n)).filter(col("kind") === "video")
+      .join(sampled, Seq("media_id"))
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n_videos"), sum(col("n_sampled")).as("n_sampled"))
+      .orderBy(col("n_frames"))
+  }
+
+  /** q82 — resize pipeline: blobs re-encoded at halved dims (min 4)
+    * through the mapPartitions codec path; per-kind pixel budgets before
+    * and after, oracle = pure dimension arithmetic. */
+  def resizeQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    resizeAll(mediaTable(spark, n))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("w").cast("long") * col("h")).as("px_before"),
+        sum(col("w2").cast("long") * col("h2")).as("px_after"))
+      .orderBy(col("kind"))
+  }
+
+  private val mediaCte =
+    "WITH m AS (SELECT row_number() OVER () - 1 AS id FROM documents), " +
+      "d AS (SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+      "8 + id % 24 AS w, 8 + id % 16 AS h, CASE WHEN id % 3 = 2 THEN 4 + id % 12 ELSE 1 END AS nf FROM m)"
+
   val oracle: Map[String, String] = Map(
     "q74_media_inventory" ->
-      ("WITH m AS (SELECT row_number() OVER () - 1 AS id FROM documents), " +
-        "d AS (SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "8 + id % 24 AS w, CASE WHEN id % 3 = 2 THEN 4 + id % 12 ELSE 1 END AS nf FROM m) " +
-        "SELECT kind, count(*) AS n_media, CAST(sum(nf) AS BIGINT) AS sum_frames, " +
+      (s"$mediaCte SELECT kind, count(*) AS n_media, CAST(sum(nf) AS BIGINT) AS sum_frames, " +
         "CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w " +
+        "FROM d GROUP BY kind ORDER BY kind"),
+    "q81_frame_sample" ->
+      (s"$mediaCte SELECT CAST(nf AS INT) AS n_frames, count(*) AS n_videos, " +
+        "CAST(sum((nf + 2) // 3) AS BIGINT) AS n_sampled " +
+        "FROM d WHERE kind = 'video' GROUP BY nf ORDER BY n_frames"),
+    "q82_media_resize" ->
+      (s"$mediaCte SELECT kind, count(*) AS n_media, " +
+        "CAST(sum(w * h) AS BIGINT) AS px_before, " +
+        "CAST(sum(greatest(4, w // 2) * greatest(4, h // 2)) AS BIGINT) AS px_after " +
         "FROM d GROUP BY kind ORDER BY kind"),
   )
 

@@ -177,6 +177,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, "no map-side partial agg")
   }
 
+  test("shard packing: corpus prefix sum is bucket-partitioned, never one partition") {
+    val df = graft.operators.CorpusQueries.shardPacking(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-side window must run partitioned by the bucket key; the
+    // ONLY single-partition exchange allowed is the metadata-sized
+    // bucket-offsets window (n/B rows)
+    assert(plan.contains("Exchange hashpartitioning(bucket"), plan.take(2000))
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"corpus-wide single-partition stage:\n${plan.take(2000)}")
+  }
+
+  test("decontamination: benchmark set joins by broadcast, corpus never shuffles for it") {
+    val plan = executed(graft.operators.CorpusQueries.decontaminate(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("domain cap: window and aggregate share one source shuffle") {
+    val plan = graft.operators.CorpusQueries.domainCap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected one shuffle on source:\n${plan.take(2000)}")
+  }
+
   test("exact kNN plan is fully distributed: no collect between scan and result") {
     // the two-phase plan must be a single lazy DataFrame; building it must
     // not run any Spark job (the round-1 version collected per ring pass)

@@ -38,8 +38,8 @@ class MultiModalSpec extends SparkTestBase {
     val out = resizeAll(mediaTable(spark, 60)).collect()
     assert(out.length === 60)
     for (r <- out) {
-      assert(r.getInt(3) === math.max(4, r.getInt(1) / 2))
       assert(r.getInt(4) === math.max(4, r.getInt(2) / 2))
+      assert(r.getInt(5) === math.max(4, r.getInt(3) / 2))
     }
   }
 
