@@ -102,6 +102,22 @@ object GraftCli {
       val s = IngestJob.mergeInto(spark, root, updates, jobId)
       println(s"merge: snapshot ${s.seq}, ${s.parts.length} partitions, " +
         s"${s.parts.map(_.rows).sum} rows")
+    case "merge-global" :: sfDir :: root :: jobId :: Nil =>
+      // MERGE for partition-MOVING keys: stale-location rows are found by
+      // a global semi-join and dropped (re-geotagged upserts)
+      val updates = IngestJob.pagesWithPartitions(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      val s = IngestJob.mergeIntoGlobal(spark, root, updates, jobId)
+      println(s"merge-global: snapshot ${s.seq}, ${s.parts.length} partitions")
+    case "changes" :: root :: a :: b :: Nil =>
+      // CDC read: file-level delta between two snapshots
+      val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
+        num(a)(_.toLong), num(b)(_.toLong))
+      println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "zorder" :: sfDir :: out :: Nil =>
+      // z-order clustered export (tight per-file spatial stats)
+      val n = IngestJob.zorderArchive(spark, sfDir, out)
+      println(s"zorder: wrote $n rows clustered by Morton cell to $out")
     case "compact-cells" :: sfDir :: Nil =>
       // H3-style compaction of the occupied-cell inventory
       val c = GeoQueries.compactCells(spark, sfDir)
@@ -126,6 +142,9 @@ object GraftCli {
       |  expire    <root> <keep> [graceMin=60]  drop old snapshots + GC unreferenced data
       |  compact   <root>                 merge streaming micro-batch partitions
       |  merge     <sfDir> <root> <jobId> COW upsert of re-crawled docs into the table
+      |  merge-global <sfDir> <root> <jobId> upsert with partition-moving keys (global anti-join)
+      |  changes   <root> <seqA> <seqB>   CDC: file-level delta between two snapshots
+      |  zorder    <sfDir> <outDir>       z-order clustered parquet export
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary
       |  clean     <sfDir>                corpus-cleaning pipeline inventory""".stripMargin
 }
