@@ -1,0 +1,100 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{GraftSource, SnapshotTable}
+
+/** Streaming incremental read of the snapshot table (the Iceberg
+  * streaming-read analog):
+  *
+  * {{{
+  * spark.readStream.format("graft-stream").option("path", root).load()
+  * }}}
+  *
+  * Offsets are snapshot sequence numbers; each micro-batch is the
+  * FILE-LEVEL delta between the last processed snapshot and the current
+  * one (appended + rewritten partition files — `changesBetween`
+  * semantics: a COW rewrite surfaces its whole file, consumers dedup on
+  * their key for row-level changes). The first batch is the full current
+  * snapshot unless `fromSeq` skips the backfill. Exactly-once per
+  * snapshot via the engine's checkpointed offsets; snapshots a stream
+  * still needs must not be `expire`d (the standard Iceberg
+  * retain-for-consumers constraint — getBatch fails loudly if one is
+  * gone).
+  *
+  * This ONE file lives under `org.apache.spark.sql` to reach
+  * `SQLContext.internalCreateDataFrame(..., isStreaming = true)` — the
+  * V1 streaming-source contract requires the returned frame to be
+  * flagged streaming, and that constructor is `private[sql]`. Same
+  * placement pattern as the Kafka connector (`o.a.s.sql.kafka010`) and
+  * Delta's DeltaSource; everything else stays in `graft.*`.
+  */
+class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stream"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-stream requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftSource.tableSchema(root(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val r = root(parameters)
+    new GraftStreamSource(sqlContext, r,
+      schema.getOrElse(GraftSource.tableSchema(r)),
+      parameters.get("fromSeq").map(_.toLong).getOrElse(0L))
+  }
+}
+
+private[graft] case class GraftSourceOffset(seq: Long) extends Offset {
+  override def json: String = seq.toString
+}
+
+private[graft] class GraftStreamSource(sqlContext: SQLContext, root: String,
+    override val schema: StructType, fromSeq: Long) extends Source {
+
+  // concrete offset may be ours or the engine's checkpoint-restored
+  // SerializedOffset — both carry the seq as their json
+  private def seqOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] =
+    SnapshotTable.currentSeq(root).filter(_ > fromSeq).map(GraftSourceOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(seqOf).getOrElse(fromSeq)
+    val hi = seqOf(end)
+    val basePaths: Set[String] =
+      if (lo == 0L) Set.empty
+      else SnapshotTable.snapshotAt(root, lo).getOrElse(
+        throw new IllegalStateException(
+          s"snapshot $lo under $root was expired while a stream still needed it"))
+        .parts.map(_.path).toSet
+    val to = SnapshotTable.snapshotAt(root, hi).getOrElse(
+      throw new IllegalStateException(s"no snapshot $hi under $root"))
+    val delta = to.parts.filterNot(p => basePaths(p.path))
+    val cols = schema.fieldNames.toSeq
+    val df =
+      if (delta.isEmpty)
+        sqlContext.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+        sqlContext.sparkSession.read.parquet(es.map(_.path): _*)
+          .withColumn("p_date", lit(d))
+          .select(cols.map(col): _*)
+      }.reduce(_.unionByName(_))
+    // V1 streaming contract: the batch frame must carry isStreaming=true
+    sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.jobs.IngestJob
+import graft.sources.SnapshotTable
+import graft.testutil.SparkTestBase
+
+/** Streaming incremental read of the snapshot table: offsets are
+  * snapshot seqs, batches are file-level deltas, checkpoint restore
+  * resumes exactly where the last run stopped. */
+class StreamReadSpec extends SparkTestBase {
+
+  /** One AvailableNow pass against `ckpt`; returns the doc_ids delivered
+    * BY THIS RUN (foreachBatch — the memory sink can't recover from a
+    * checkpoint). */
+  private def runOnce(root: String, ckpt: String): Set[Long] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format("graft-stream").option("path", root).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => buf.add(r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    buf.asScala.map(_.longValue()).toSet
+  }
+
+  test("initial load, then only the delta after a new commit (checkpoint restore)") {
+    val root = Files.createTempDirectory("streamread").toString
+    val ckpt = Files.createTempDirectory("streamread-ckpt").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base.filter(col("doc_id") % 3 =!= 0), root, "j1")
+
+    val first = runOnce(root, ckpt)
+    val want1 = base.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first === want1, "first run must deliver the full current snapshot")
+
+    // append-only commit: a NEW partition lands, existing files untouched
+    val extra = base.filter(col("doc_id") % 3 === 0)
+      .withColumn("p_cell", lit(999L))
+    IngestJob.runPages(spark, extra, root, "j2")
+
+    val second = runOnce(root, ckpt)
+    val want2 = base.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(second === want2,
+      s"resumed run must deliver ONLY the delta (got ${second.size}, want ${want2.size})")
+
+    // no new commit -> a third run delivers nothing
+    assert(runOnce(root, ckpt).isEmpty)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
+  }
+
+  test("fromSeq skips the backfill") {
+    val root = Files.createTempDirectory("streamread2").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base.filter(col("doc_id") % 3 =!= 0), root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    IngestJob.runPages(spark,
+      base.filter(col("doc_id") % 3 === 0).withColumn("p_cell", lit(999L)), root, "j2")
+
+    val ckpt = Files.createTempDirectory("streamread2-ckpt").toString
+    val q = spark.readStream.format("graft-stream").option("path", root)
+      .option("fromSeq", s1.toString).load()
+      .writeStream.format("memory").queryName("sr4")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sr4").select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = base.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want, "fromSeq must exclude the snapshots at or before it")
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
+  }
+}
