@@ -164,7 +164,8 @@ object IngestJob {
     val committed = SnapshotTable.commitDeltaWithRetry(root)(
       stats, p => ownKeys((p.pCell, p.pDate)),
       removePCells = Some(ownKeys.map(_._1)),
-      schemaVer = Some(1), schemaDdl = Some(schemaDdl))
+      schemaVer = Some(1), schemaDdl = Some(schemaDdl),
+      resolveResult = false) // only the seq is reported
     RunReport(jobId, committed.seq, stale.size, skipped, byCell.map(_._2).sum)
   }
 
@@ -444,7 +445,10 @@ object IngestJob {
       stats, p => newKeys((p.pCell, p.pDate)),
       removePCells = Some(newKeys.map(_._1)),
       schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
-      validate = latest => latest.parts.foreach { p =>
+      // `affected` = entries of every manifest that may hold a newKeys
+      // cell — a superset of all entries this merge supersedes, so every
+      // conflicting concurrent write is visible here
+      validate = affected => affected.foreach { p =>
         val k = (p.pCell, p.pDate)
         // conflict if a touched key's partition was REWRITTEN (path moved)
         // or CREATED (absent from the base snapshot — basePaths None) by a

@@ -65,8 +65,13 @@ object CorpusQueries {
     * instead of broadcasting. */
   def decontaminate(spark: SparkSession, sfDir: String,
       minShared: Int = ContamShared): DataFrame = {
+    // the shingle-hash pipeline (the expensive stage) feeds both the
+    // benchmark side and the corpus side — persist lazily + CacheBag so
+    // it runs once per execution, not once per branch
     val withSh = TextQueries.withShingleHashes(docs(spark, sfDir))
       .select(col("doc_id"), col("lang"), array_distinct(col("h0raw")).as("shd"))
+      .persist()
+    graft.util.CacheBag.register(withSh)
     val benchHashes = withSh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shd")).as("h")).distinct()
     val shared = withSh.filter(col("doc_id") % 97 =!= 0)

@@ -27,7 +27,8 @@ object MultiModal {
       src_url: String)
   final case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
       n_frames: Int, checksum: Long)
-  final case class FrameRow(media_id: Long, frame_idx: Int, frame_checksum: Long)
+  final case class FrameRow(media_id: Long, n_frames: Int, frame_idx: Int,
+      frame_checksum: Long)
 
   /** STUB CODEC — stands in for a real image/audio decoder. Deterministic:
     * output depends only on the blob bytes. */
@@ -94,13 +95,17 @@ object MultiModal {
     }
   }
 
-  /** Frame sampling: every `step`-th frame of each video, exploded to rows.
-    * Frame checksums are derived deterministically from the blob checksum. */
+  /** Frame sampling: every `step`-th frame of each video, exploded to rows
+    * carrying the video's frame count (ONE decode per blob — the decode is
+    * the dominant cost a real codec would have, so downstream consumers
+    * must not need a second pass for the metadata). Frame checksums derive
+    * deterministically from the blob checksum. */
   def sampleFrames(media: Dataset[MediaRow], step: Int = 3): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val (_, _, frames, sum) = FakeCodec.decode(m.media)
-      (0 until frames by step).map(i => FrameRow(m.media_id, i, (sum * 31 + i) % 1000000007L))
+      (0 until frames by step).map(i =>
+        FrameRow(m.media_id, frames, i, (sum * 31 + i) % 1000000007L))
     }
   }
 
@@ -140,12 +145,10 @@ object MultiModal {
     * driver's hash compare, not just the ST. */
   def frameSampleQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val sampled = sampleFrames(mediaTable(spark, n), step = 3)
-      .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
-    decodeAll(mediaTable(spark, n)).filter(col("kind") === "video")
-      .join(sampled, Seq("media_id"))
+    sampleFrames(mediaTable(spark, n), step = 3)
       .groupBy(col("n_frames"))
-      .agg(count(lit(1)).as("n_videos"), sum(col("n_sampled")).as("n_sampled"))
+      .agg(countDistinct(col("media_id")).as("n_videos"),
+        count(lit(1)).as("n_sampled"))
       .orderBy(col("n_frames"))
   }
 

@@ -39,10 +39,11 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (SnapshotTable.currentSeq(root).isEmpty)
+    val snap = SnapshotTable.currentSnapshot(root).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    new GraftTable(root, GraftSource.tableSchema(root))
+        Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+    // snapshot pinned at load: one SELECT sees one snapshot throughout
+    new GraftTable(root, GraftSource.tableSchema(root), snap)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -47,8 +47,15 @@ class GraftSource extends TableProvider with DataSourceRegister {
     GraftSource.tableSchema(root(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+      properties: JMap[String, String]): Table = {
+    val r = properties.get("path")
+    // snapshot PINNED at table load: every scan built from this table —
+    // across repeated actions on one DataFrame — reads the same file
+    // list, matching SnapshotTable.read's isolation (a concurrent commit
+    // cannot split planning and execution across snapshots)
+    new GraftTable(r, schema, SnapshotTable.currentSnapshot(r).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $r")))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -72,17 +79,18 @@ object GraftSource {
   @volatile var lastPlanned: (Int, Int) = (0, 0)
 }
 
-private[sources] class GraftTable(root: String, schema0: StructType)
-    extends Table with SupportsRead {
+private[sources] class GraftTable(root: String, schema0: StructType,
+    snap: SnapshotTable.Snapshot) extends Table with SupportsRead {
   override def name(): String = s"graft.`$root`"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def schema(): StructType = schema0
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0)
+    new GraftScanBuilder(snap, schema0)
 }
 
-private[sources] class GraftScanBuilder(root: String, tableSchema: StructType)
+private[sources] class GraftScanBuilder(snap: SnapshotTable.Snapshot,
+    tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var accepted: Array[Filter] = Array.empty
@@ -103,7 +111,7 @@ private[sources] class GraftScanBuilder(root: String, tableSchema: StructType)
   }
 
   override def build(): Scan =
-    new GraftScan(root, required, GraftScanBuilder.toPruning(accepted))
+    new GraftScan(snap, required, GraftScanBuilder.toPruning(accepted))
 }
 
 private[sources] object GraftScanBuilder {
@@ -165,28 +173,26 @@ private[sources] object GraftScanBuilder {
   }
 }
 
-private[sources] class GraftScan(root: String, required: StructType, pruning: Pruning)
-    extends V1Scan {
+private[sources] class GraftScan(snap: SnapshotTable.Snapshot,
+    required: StructType, pruning: Pruning) extends V1Scan {
   override def readSchema(): StructType = required
-  override def description(): String = s"GraftScan(root=$root, pruning=$pruning)"
+  override def description(): String = s"GraftScan(seq=${snap.seq}, pruning=$pruning)"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftRelation(context, root, required, pruning).asInstanceOf[T]
+    new GraftRelation(context, snap, required, pruning).asInstanceOf[T]
 }
 
 /** V1 execution bridge: reads exactly the manifest-pruned file set with
   * Spark's parquet source, re-attaching the p_date directory key per date
   * group (one multi-path scan per DATE, bounded — never one per
   * partition). */
-private[sources] class GraftRelation(ctx: SQLContext, root: String,
+private[sources] class GraftRelation(ctx: SQLContext, snap: SnapshotTable.Snapshot,
     required: StructType, pruning: Pruning) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    val snap = SnapshotTable.currentSnapshot(root).getOrElse(
-      throw new IllegalStateException(s"no CURRENT snapshot under $root"))
     val keep = SnapshotTable.prunedParts(snap, pruning)
     GraftSource.lastPlanned = (keep.length, snap.parts.length)
     val cols = required.fieldNames.toSeq

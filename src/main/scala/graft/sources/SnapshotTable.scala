@@ -99,17 +99,31 @@ object SnapshotTable {
     * reader consumes; `manifestRefs` keeps the level-1 structure for
     * delta commits and manifest GC. */
   def parseSnapshot(json: String): Snapshot = {
+    val meta = parseSnapshotMeta(json)
+    if (meta.manifestRefs.isEmpty) meta
+    else meta.copy(parts = meta.manifestRefs.flatMap(r => readManifest(r.path)))
+  }
+
+  /** Level-1-only parse: refs + inline parts, WITHOUT reading any
+    * manifest file — the commit path's view (a delta commit must not pay
+    * an O(table) metadata read to re-reference untouched manifests). For
+    * a two-level snapshot the returned `parts` is EMPTY. */
+  def parseSnapshotMeta(json: String): Snapshot = {
     val root = mapper.readTree(json)
     val ddl = Option(root.get("schema_ddl")).map(_.asText()).getOrElse("")
-    val refsNode = Option(root.get("manifests"))
-    val refs = refsNode.map(_.elements().asScala.map { n =>
+    val refs = Option(root.get("manifests")).map(_.elements().asScala.map { n =>
       ManifestRef(n.get("path").asText(), n.get("n_parts").asInt(),
         n.get("min_p_cell").asLong(), n.get("max_p_cell").asLong())
     }.toSeq).getOrElse(Seq.empty)
-    val parts =
-      if (refs.nonEmpty) refs.flatMap(r => readManifest(r.path))
+    val inline =
+      if (refs.nonEmpty) Seq.empty
       else root.get("parts").elements().asScala.map(nodeToPart).toSeq
-    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), parts, ddl, refs)
+    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), inline, ddl, refs)
+  }
+
+  private def snapshotMetaAt(root: String, seq: Long): Option[Snapshot] = {
+    val p = Paths.get(root, "meta", s"snap-$seq.json")
+    if (!Files.exists(p)) None else Some(parseSnapshotMeta(Files.readString(p)))
   }
 
   /** One manifest file = a JSON array of partition entries. */
@@ -265,51 +279,71 @@ object SnapshotTable {
     * append `newEntries` and drop every base entry matching `removeKey`,
     * rewriting only the MANIFESTS that change. Per attempt:
     *
-    *  - base manifests whose [minPCell, maxPCell] range cannot hold a
-    *    removed key are RE-REFERENCED by path — zero bytes read or
-    *    written for them;
-    *  - manifests that may hold removed keys are read and, when entries
-    *    actually match, rewritten without them (Iceberg's rewrite-
-    *    affected-manifests rule);
+    *  - the base snapshot is parsed LEVEL-1 ONLY (`parseSnapshotMeta`) —
+    *    manifests whose [minPCell, maxPCell] range cannot hold a removed
+    *    key are re-referenced by path with zero bytes read OR written;
+    *  - manifests that may hold removed keys are read once and, when
+    *    entries actually match, rewritten without them (Iceberg's
+    *    rewrite-affected-manifests rule);
     *  - `newEntries` land in ONE new manifest, written once and reused
     *    across commit-race retries.
     *
-    * A base snapshot still storing INLINE parts (small table) is
-    * converted on first delta commit. `removePCells`: the p_cell values
-    * `removeKey` can match — the range skip; pass None when the predicate
-    * is not cell-bounded (every manifest is then checked, still
-    * write-optimal). `validate` runs against the resolved base snapshot
-    * inside each attempt (optimistic-concurrency conflict checks).
-    * Schema ver/ddl carry forward from the base unless overridden. */
+    * Total metadata I/O per commit is therefore ∝ touched manifests, both
+    * read and write. A base snapshot still storing INLINE parts (small
+    * table) is converted on first delta commit. `removePCells`: the
+    * p_cell values `removeKey` can match — the range skip; pass None when
+    * the predicate is not cell-bounded (every manifest is then checked,
+    * still write-optimal). `validate` receives the entries of every
+    * possibly-affected manifest (superset of all entries whose p_cell is
+    * in `removePCells`) inside each attempt — the optimistic-concurrency
+    * conflict surface. Schema ver/ddl carry forward from the base unless
+    * overridden.
+    *
+    * The returned Snapshot resolves the full `parts` view only when
+    * `resolveResult` (one metadata pass, reusing the already-read
+    * manifests); hot-path writers that only need the committed seq pass
+    * false and get `parts` empty (refs always set). */
   def commitDeltaWithRetry(root: String, maxRetries: Int = 10)(
       newEntries: Seq[PartitionEntry], removeKey: PartitionEntry => Boolean,
       removePCells: Option[Set[Long]] = None,
       schemaVer: Option[Int] = None, schemaDdl: Option[String] = None,
-      validate: Snapshot => Unit = _ => ()): Snapshot = {
+      validate: Seq[PartitionEntry] => Unit = _ => (),
+      resolveResult: Boolean = true): Snapshot = {
     val newRef = if (newEntries.nonEmpty) Some(writeManifest(root, newEntries)) else None
     var attempt = 0
     while (true) {
       val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
-      val base = if (seq > 1) snapshotAt(root, seq - 1) else None
-      base.foreach(validate)
+      val base = if (seq > 1) snapshotMetaAt(root, seq - 1) else None
       val baseRefs: Seq[ManifestRef] = base match {
         case Some(b) if b.manifestRefs.nonEmpty => b.manifestRefs
         case Some(b) if b.parts.nonEmpty => Seq(writeManifest(root, b.parts))
         case _ => Seq.empty
       }
-      val keptRefs = baseRefs.flatMap { r =>
+      // read possibly-affected manifests ONCE; untouched refs cost nothing
+      val affected: Seq[(ManifestRef, Seq[PartitionEntry])] = baseRefs.flatMap { r =>
         val mayHold = removePCells.forall(_.exists(c => c >= r.minPCell && c <= r.maxPCell))
-        if (!mayHold) Some(r)
-        else {
-          val entries = readManifest(r.path)
-          val kept = entries.filterNot(removeKey)
-          if (kept.length == entries.length) Some(r)
-          else if (kept.isEmpty) None
-          else Some(writeManifest(root, kept))
-        }
+        if (mayHold) Some(r -> readManifest(r.path)) else None
       }
-      val refs = keptRefs ++ newRef
-      val parts = refs.flatMap(r => readManifest(r.path))
+      validate(affected.flatMap(_._2))
+      val affectedOut: Map[String, Option[(ManifestRef, Seq[PartitionEntry])]] =
+        affected.map { case (r, entries) =>
+          val kept = entries.filterNot(removeKey)
+          r.path -> (
+            if (kept.length == entries.length) Some(r -> entries)
+            else if (kept.isEmpty) None
+            else Some(writeManifest(root, kept) -> kept))
+        }.toMap
+      val keptRefs: Seq[(ManifestRef, Option[Seq[PartitionEntry]])] = baseRefs.flatMap { r =>
+        affectedOut.get(r.path) match {
+          case None => Some(r -> None) // untouched, never read
+          case Some(Some((r2, es))) => Some(r2 -> Some(es))
+          case Some(None) => None // fully superseded
+        }
+      } ++ newRef.map(_ -> Some(newEntries))
+      val refs = keptRefs.map(_._1)
+      val parts =
+        if (!resolveResult) Seq.empty
+        else keptRefs.flatMap { case (r, es) => es.getOrElse(readManifest(r.path)) }
       val snap = Snapshot(seq,
         schemaVer.orElse(base.map(_.schemaVer)).getOrElse(1), parts,
         schemaDdl.orElse(base.map(_.schemaDdl)).getOrElse(""), refs)
@@ -405,11 +439,16 @@ object SnapshotTable {
     val delta = to.parts.filterNot(p => fromPaths(p.path))
     val df =
       if (delta.isEmpty) {
-        if (to.schemaDdl.nonEmpty)
+        if (to.schemaDdl.nonEmpty) {
+          val base = org.apache.spark.sql.types.StructType.fromDDL(to.schemaDdl)
+          // guard like GraftSource.tableSchema: a writer that recorded the
+          // full frame DDL already carries p_date — don't duplicate it
+          val withDate =
+            if (base.fieldNames.contains("p_date")) base
+            else base.add("p_date", org.apache.spark.sql.types.StringType)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(to.schemaDdl)
-              .add("p_date", org.apache.spark.sql.types.StringType))
-        else spark.emptyDataFrame
+            withDate)
+        } else spark.emptyDataFrame
       } else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
         spark.read.parquet(es.map(_.path): _*)
           .withColumn("p_date", org.apache.spark.sql.functions.lit(d))
@@ -440,8 +479,11 @@ object SnapshotTable {
     val drop = seqs.filterNot(retain)
     drop.foreach(s => Files.deleteIfExists(Paths.get(root, "meta", s"snap-$s.json")))
 
+    // resolve each retained snapshot ONCE (parseSnapshot reads the full
+    // manifest set — don't pay it twice for data-dir and manifest GC)
+    val retained = retain.toSeq.flatMap(snapshotAt(root, _))
     // referenced partition leaf dirs, normalized
-    val referenced: Set[Path] = retain.toSeq.flatMap(snapshotAt(root, _))
+    val referenced: Set[Path] = retained
       .flatMap(_.parts.map(e => Paths.get(e.path).normalize())).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dataRoot = Paths.get(root, "data")
@@ -476,7 +518,7 @@ object SnapshotTable {
     // survives until its snapshot file lands
     val manifestDir = Paths.get(root, "meta", "manifests")
     if (Files.exists(manifestDir)) {
-      val referencedM: Set[Path] = retain.toSeq.flatMap(snapshotAt(root, _))
+      val referencedM: Set[Path] = retained
         .flatMap(_.manifestRefs.map(r => Paths.get(r.path).normalize())).toSet
       withList(manifestDir)(_.toSeq).foreach { p =>
         if (Files.isRegularFile(p) && p.toString.endsWith(".json") &&

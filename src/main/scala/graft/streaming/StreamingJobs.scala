@@ -140,7 +140,8 @@ object StreamingJobs {
           // previous entry (same path) instead of duplicating.
           SnapshotTable.commitDeltaWithRetry(root)(
             Seq(entry), _.path == path, removePCells = Some(Set(entry.pCell)),
-            schemaVer = Some(1), schemaDdl = Some(cached.schema.toDDL))
+            schemaVer = Some(1), schemaDdl = Some(cached.schema.toDDL),
+            resolveResult = false) // per-batch commit must stay O(delta)
           ()
         }
         cached.unpersist(false)

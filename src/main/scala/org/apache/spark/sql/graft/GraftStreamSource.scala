@@ -48,9 +48,14 @@ class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val r = root(parameters)
+    val fromSeq = parameters.get("fromSeq").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-stream option fromSeq must be a snapshot seq number, got '$v'")
+      }
+    }.getOrElse(0L)
     new GraftStreamSource(sqlContext, r,
-      schema.getOrElse(GraftSource.tableSchema(r)),
-      parameters.get("fromSeq").map(_.toLong).getOrElse(0L))
+      schema.getOrElse(GraftSource.tableSchema(r)), fromSeq)
   }
 }
 
