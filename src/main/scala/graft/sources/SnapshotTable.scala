@@ -126,10 +126,16 @@ object SnapshotTable {
     if (!Files.exists(p)) None else Some(parseSnapshotMeta(Files.readString(p)))
   }
 
+  /** Test seam: number of manifest files read in this JVM — the
+    * ManifestScaleSpec gate on commit metadata READ cost. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   /** One manifest file = a JSON array of partition entries. */
-  def readManifest(path: String): Seq[PartitionEntry] =
+  def readManifest(path: String): Seq[PartitionEntry] = {
+    manifestReads.incrementAndGet()
     mapper.readTree(Files.readString(Paths.get(path)))
       .elements().asScala.map(nodeToPart).toSeq
+  }
 
   /** Write a manifest file under meta/manifests (uuid-named — immutable
     * once referenced; orphans from lost commit races are GC'd by expire's

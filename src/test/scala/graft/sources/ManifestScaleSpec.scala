@@ -71,6 +71,21 @@ class ManifestScaleSpec extends AnyFunSuite {
     // round trip: time travel still resolves every snapshot exactly
     assert(snapshotAt(root, 1).get.parts.length == 10000)
     assert(snapshotAt(root, 2).get.parts.length == 10001)
+
+    // metadata READ cost: a pure append with resolveResult=false must not
+    // read ANY base manifest (level-1 parse + range skip only)
+    val readsBefore = manifestReads.get()
+    commitDeltaWithRetry(root)(Seq(entry(20001)), _ => false,
+      removePCells = Some(Set.empty[Long]), resolveResult = false)
+    assert(manifestReads.get() === readsBefore,
+      s"pure append read ${manifestReads.get() - readsBefore} manifests")
+    // ...and a 1-key upsert reads exactly the one range-matching manifest
+    val readsBefore2 = manifestReads.get()
+    commitDeltaWithRetry(root)(Seq(entry(7000).copy(rows = 1L)),
+      p => p.pCell == 7000L, removePCells = Some(Set(7000L)),
+      resolveResult = false)
+    assert(manifestReads.get() - readsBefore2 <= 2,
+      s"1-key upsert read ${manifestReads.get() - readsBefore2} manifests")
     recursiveDelete(Paths.get(root))
   }
 
