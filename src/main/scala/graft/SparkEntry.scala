@@ -109,6 +109,7 @@ object SparkEntry {
     "q80_domain_cap" -> ((s, d) => graft.operators.CorpusQueries.domainCap(s, d)),
     "q81_frame_sample" -> ((s, d) => MultiModal.frameSampleQuery(s, d)),
     "q82_media_resize" -> ((s, d) => MultiModal.resizeQuery(s, d)),
+    "q83_footprint_visits" -> ((s, d) => GeoQueries.footprintVisits(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -235,6 +236,17 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    "q83_footprint_visits" ->
+      (s"$P, j AS (SELECT fp.fp_id, p.source, p.ts_sec, p.doc_id " +
+        s"FROM pages p JOIN $FP ON $boxJoin), " +
+        "l AS (SELECT *, lag(ts_sec) OVER (PARTITION BY fp_id, source ORDER BY ts_sec, doc_id) AS prev FROM j), " +
+        "s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR ts_sec - prev > 43200 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY fp_id, source ORDER BY ts_sec, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM l), " +
+        "v AS (SELECT fp_id, source, sid, count(*) AS n_crawls, max(ts_sec) - min(ts_sec) AS span " +
+        "FROM s GROUP BY fp_id, source, sid) " +
+        "SELECT fp_id, source, count(*) AS n_visits, CAST(sum(n_crawls) AS BIGINT) AS n_crawls, " +
+        "CAST(max(span) AS BIGINT) AS max_visit_span " +
+        "FROM v GROUP BY fp_id, source ORDER BY fp_id, source"),
     // n_dates counts distinct UTC days: Spark counts the p_date directory
     // key the DSv2 scan re-attaches; the oracle counts epoch-day integers
     // (bijective with the date string — no timezone-dependent strftime)

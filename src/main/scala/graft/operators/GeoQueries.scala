@@ -632,6 +632,34 @@ object GeoQueries {
       .orderBy(col("cell6"))
   }
 
+  /** D+F composite — footprint visit sessions: per (footprint, source),
+    * crawls inside the footprint split into VISITS wherever consecutive
+    * crawl timestamps gap by more than `gapSec` (the geofence
+    * entry/exit question: how often does each source revisit each site,
+    * and for how long). Spatial side is the broadcast PIP join (pages
+    * never shuffle for it); the sessionization is one window shuffle on
+    * (fp_id, source) + the same-keyed aggregate — two total exchanges at
+    * any scale. Oracle: the lag/cumulative-sum session formulation. */
+  def footprintVisits(spark: SparkSession, sfDir: String,
+      gapSec: Long = 43200L): DataFrame = {
+    val w = Window.partitionBy(col("fp_id"), col("source"))
+      .orderBy(col("ts_sec"), col("doc_id"))
+    pipJoin(spark, sfDir)
+      .select(col("fp_id"), col("source"), col("ts_sec"), col("doc_id"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy(col("fp_id"), col("source"), col("sid"))
+      .agg(count(lit(1)).as("n_crawls"),
+        (max(col("ts_sec")) - min(col("ts_sec"))).as("span"))
+      .groupBy(col("fp_id"), col("source"))
+      .agg(count(lit(1)).as("n_visits"), sum(col("n_crawls")).as("n_crawls"),
+        max(col("span")).as("max_visit_span"))
+      .orderBy(col("fp_id"), col("source"))
+  }
+
   /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
     * via cell_parent, reported as row-major surrogates at both levels. */
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {
