@@ -43,7 +43,7 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name()))
     // snapshot pinned at load: one SELECT sees one snapshot throughout
-    new GraftTable(root, GraftSource.tableSchema(root), snap)
+    new GraftTable(root, GraftSource.tableSchema(root), Some(snap))
   }
 
   override def tableExists(ident: Identifier): Boolean =

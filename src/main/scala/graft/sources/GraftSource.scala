@@ -52,9 +52,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // snapshot PINNED at table load: every scan built from this table —
     // across repeated actions on one DataFrame — reads the same file
     // list, matching SnapshotTable.read's isolation (a concurrent commit
-    // cannot split planning and execution across snapshots)
-    new GraftTable(r, schema, SnapshotTable.currentSnapshot(r).getOrElse(
-      throw new IllegalStateException(s"no CURRENT snapshot under $r")))
+    // cannot split planning and execution across snapshots). None = the
+    // root holds no snapshot yet: writes may create it, scans fail loudly.
+    new GraftTable(r, schema, SnapshotTable.currentSnapshot(r))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -80,13 +80,84 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(root: String, schema0: StructType,
-    snap: SnapshotTable.Snapshot) extends Table with SupportsRead {
+    snap: Option[SnapshotTable.Snapshot]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$root`"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def schema(): StructType = schema0
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snap, schema0)
+    new GraftScanBuilder(snap.getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $root")), schema0)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root)
+}
+
+/** DSv2 write path: `df.write.format("graft").mode("append"|"overwrite")
+  * .save(root)` — append commits the new rows as a fresh partition set
+  * through the DELTA path (metadata cost ∝ this write); overwrite
+  * supersedes every existing entry first (TRUNCATE capability). Rows are
+  * spatially bucketed like the ingest layout (p_cell level-2 from
+  * ilat/ilon, p_date from warc_ts when present). For resumable,
+  * lineage-tracked ingest use IngestJob — this is the lightweight
+  * DataFrame-API surface. */
+private[sources] class GraftWriteBuilder(root: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame, ow: Boolean): Unit =
+            GraftTableWriter.append(data, root, overwrite || ow)
+        }
+    }
+}
+
+private[sources] object GraftTableWriter {
+  import org.apache.spark.sql.functions._
+
+  def append(data: org.apache.spark.sql.DataFrame, root: String,
+      overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    require(Seq("ilat", "ilon", "ts_sec").forall(data.columns.contains),
+      "graft writes need ilat/ilon/ts_sec columns (manifest stats)")
+    val withParts = data
+      .withColumn("p_cell", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      .withColumn("p_date",
+        if (data.columns.contains("warc_ts")) date_format(col("warc_ts"), "yyyy-MM-dd")
+        else lit("all"))
+    val dir = s"$root/data/insert-${java.util.UUID.randomUUID().toString.take(8)}"
+    withParts.withColumn("pc", col("p_cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pc", "p_date")
+      .parquet(dir)
+    val entries = withParts.groupBy(col("p_cell"), col("p_date"))
+      .agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+        min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec")))
+      .collect()
+      .map { r =>
+        SnapshotTable.PartitionEntry(r.getLong(0), r.getString(1),
+          s"$dir/pc=${r.getLong(0)}/p_date=${r.getString(1)}", r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getLong(7), r.getLong(8))
+      }.toIndexedSeq.sortBy(e => (e.pCell, e.pDate))
+    val ddl = withParts.drop("p_date").schema.toDDL
+    SnapshotTable.commitDeltaWithRetry(root)(
+      entries,
+      removeKey = if (overwrite) _ => true else _ => false,
+      removePCells = if (overwrite) None else Some(Set.empty[Long]),
+      schemaVer = Some(1), schemaDdl = Some(ddl),
+      resolveResult = false)
+    ()
+  }
 }
 
 private[sources] class GraftScanBuilder(snap: SnapshotTable.Snapshot,
@@ -174,9 +245,23 @@ private[sources] object GraftScanBuilder {
 }
 
 private[sources] class GraftScan(snap: SnapshotTable.Snapshot,
-    required: StructType, pruning: Pruning) extends V1Scan {
+    required: StructType, pruning: Pruning)
+    extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String = s"GraftScan(seq=${snap.seq}, pruning=$pruning)"
+
+  /** Post-pushdown stats from the manifest (exact row counts of the
+    * pruned partition set) — without this the V1 execution path defaults
+    * to "huge", and a small snapshot table would never be broadcast by
+    * the join planner. Size estimate = rows × required-schema row width. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = SnapshotTable.prunedParts(snap, pruning).map(_.rows).sum
+    val bytes = rows * math.max(1, required.defaultSize)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, snap, required, pruning).asInstanceOf[T]

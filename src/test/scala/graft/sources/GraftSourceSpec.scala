@@ -43,6 +43,39 @@ class GraftSourceSpec extends SparkTestBase {
     assert(GraftSource.lastPlanned._1 == 0, s"planned ${GraftSource.lastPlanned}")
   }
 
+  test("DSv2 write: append creates/extends the table via delta commits; overwrite truncates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-write").toString
+    val rows = Pages.fromDocuments(spark, sf0001)
+      .select("doc_id", "url", "warc_ts", "ts_sec", "text", "lang", "source",
+        "n_chars", "ilat", "ilon")
+    // first write to an EMPTY root creates snapshot 1
+    rows.filter(col("doc_id") < 100).write.format("graft").mode("append").save(dir)
+    assert(SnapshotTable.currentSeq(dir) === Some(1L))
+    // append adds rows, never rewrites prior files
+    rows.filter(col("doc_id") >= 100).write.format("graft").mode("append").save(dir)
+    assert(SnapshotTable.currentSeq(dir) === Some(2L))
+    val total = spark.read.format("graft").load(dir).count()
+    assert(total === rows.count())
+    // read-your-writes round trip, including pruning on the fresh table
+    val got = spark.read.format("graft").load(dir)
+      .filter(col("ilat") >= 0).count()
+    assert(got === rows.filter(col("ilat") >= 0).count())
+    // overwrite replaces everything
+    rows.filter(col("doc_id") < 10).write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 10)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
+  test("manifest stats reach the join planner: small graft table broadcasts") {
+    val joined = spark.read.format("graft").load(root).select("doc_id", "lang")
+      .join(Pages.fromDocuments(spark, sf0001).select(col("doc_id")), Seq("doc_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the V1 path defaults to "huge" and
+    // this join would sort-merge; exact manifest row counts make it a
+    // broadcast join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("p_date directory key is a queryable, prunable column") {
     // sf0.001 spans a SINGLE UTC day (500 docs x 137s < 86400s), so the
     // re-attach must yield exactly that date everywhere...
