@@ -110,6 +110,8 @@ object SparkEntry {
     "q81_frame_sample" -> ((s, d) => MultiModal.frameSampleQuery(s, d)),
     "q82_media_resize" -> ((s, d) => MultiModal.resizeQuery(s, d)),
     "q83_footprint_visits" -> ((s, d) => GeoQueries.footprintVisits(s, d)),
+    "q84_coverage_gaps" -> ((s, d) => GeoQueries.coverageGaps(s, d)),
+    "q85_media_quarantine" -> ((s, d) => MultiModal.quarantineQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -236,6 +238,14 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    "q84_coverage_gaps" ->
+      (s"$P, j AS (SELECT DISTINCT fp.fp_id, p.ts_sec // 86400 AS day " +
+        s"FROM pages p JOIN $FP ON $boxJoin), " +
+        "l AS (SELECT fp_id, day, lag(day) OVER (PARTITION BY fp_id ORDER BY day) AS prev FROM j) " +
+        "SELECT fp_id, count(*) AS n_days, " +
+        "CAST(sum(CASE WHEN day - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "CAST(coalesce(max(CASE WHEN day - prev > 1 THEN day - prev - 1 END), 0) AS BIGINT) AS max_gap_days " +
+        "FROM l GROUP BY fp_id ORDER BY fp_id"),
     "q83_footprint_visits" ->
       (s"$P, j AS (SELECT fp.fp_id, p.source, p.ts_sec, p.doc_id " +
         s"FROM pages p JOIN $FP ON $boxJoin), " +

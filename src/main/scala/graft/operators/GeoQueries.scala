@@ -660,6 +660,26 @@ object GeoQueries {
       .orderBy(col("fp_id"), col("source"))
   }
 
+  /** E+F composite — temporal coverage gaps: per footprint, the distinct
+    * UTC days with at least one crawl inside it, and the gaps between
+    * them (the gips_inventory "missing dates" completeness question).
+    * Days are epoch-day integers (`ts_sec div 86400` — timezone-free,
+    * exactly SQL-mirrorable). One distinct + one window + one aggregate,
+    * all keyed on fp_id — the per-footprint day set is bounded by the
+    * calendar, so the window partitions stay tiny at any corpus size. */
+  def coverageGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = pipJoin(spark, sfDir)
+      .select(col("fp_id"), expr("ts_sec div 86400").as("day")).distinct()
+    val w = Window.partitionBy(col("fp_id")).orderBy(col("day"))
+    days.withColumn("prev", lag(col("day"), 1).over(w))
+      .groupBy(col("fp_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("day") - col("prev") > 1, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("day") - col("prev") > 1,
+          col("day") - col("prev") - 1)), lit(0L)).as("max_gap_days"))
+      .orderBy(col("fp_id"))
+  }
+
   /** C2 — hierarchy rollup: level-6 inventory rolled up to level-2 parents
     * via cell_parent, reported as row-major surrogates at both levels. */
   def parentRollup(spark: SparkSession, sfDir: String): DataFrame = {

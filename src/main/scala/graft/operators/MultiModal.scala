@@ -82,6 +82,50 @@ object MultiModal {
     }
   }
 
+  final case class LenientRow(media_id: Long, kind: String, ok: Boolean,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** Fixture with planted corruption: every 13th blob truncated to 8
+    * bytes (fails the magic/length checks). */
+  def mediaTableCorrupted(spark: SparkSession, n: Long, parts: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, n, parts).map { m =>
+      if (m.media_id % 13 == 0) m.copy(media = m.media.take(8)) else m
+    }
+  }
+
+  /** Lenient decode — the degrade-don't-abort contract (same philosophy
+    * as malformed WKT → NULL): a corrupt blob yields an ok=false row with
+    * zeroed metadata instead of killing a 10^12-row job; the aggregate
+    * quarantines them. One codec per partition, streamed. */
+  def decodeLenient(media: Dataset[MediaRow]): Dataset[LenientRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val (w, h, f, sum) = FakeCodec.decode(m.media)
+          LenientRow(m.media_id, m.kind, ok = true, w, h, f, sum)
+        } catch {
+          case _: IllegalArgumentException | _: java.nio.BufferUnderflowException =>
+            LenientRow(m.media_id, m.kind, ok = false, 0, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
+  /** q85 — corrupt-media quarantine: decode the planted-corruption table
+    * leniently, count ok vs quarantined per kind (oracle = arithmetic
+    * corruption pattern). */
+  def quarantineQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    decodeLenient(mediaTableCorrupted(spark, n))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_corrupt"))
+      .orderBy(col("kind"))
+  }
+
   /** Decode stage: one codec per partition, iterator-streamed (the batch
     * shape a real decoder needs — no per-row init, bounded memory). */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
@@ -183,6 +227,11 @@ object MultiModal {
       (s"$mediaCte SELECT kind, count(*) AS n_media, " +
         "CAST(sum(w * h) AS BIGINT) AS px_before, " +
         "CAST(sum(greatest(4, w // 2) * greatest(4, h // 2)) AS BIGINT) AS px_after " +
+        "FROM d GROUP BY kind ORDER BY kind"),
+    "q85_media_quarantine" ->
+      (s"$mediaCte SELECT kind, count(*) AS n_media, " +
+        "CAST(sum(CASE WHEN id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok, " +
+        "CAST(sum(CASE WHEN id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt " +
         "FROM d GROUP BY kind ORDER BY kind"),
   )
 
