@@ -112,6 +112,7 @@ object SparkEntry {
     "q83_footprint_visits" -> ((s, d) => GeoQueries.footprintVisits(s, d)),
     "q84_coverage_gaps" -> ((s, d) => GeoQueries.coverageGaps(s, d)),
     "q85_media_quarantine" -> ((s, d) => MultiModal.quarantineQuery(s, d)),
+    "q86_corpus_pipeline" -> ((s, d) => CorpusQueries.corpusPipeline(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -139,6 +139,65 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** q86 — the FULL training-corpus pipeline, composed end to end:
+    *
+    *   quality filter → exact dedup (min doc_id per content hash) →
+    *   decontaminate (drop benchmark docs + docs sharing ≥ 5 shingle
+    *   hashes with them) → per-domain cap (top-20 by size) → token-stream
+    *   shard packing.
+    *
+    * Every stage is the already-oracle-gated operator (q62/q78/q80/q77
+    * semantics) — this query gates their COMPOSITION: filter pushdown
+    * through the joins, the anti-join plumbing between stages, and the
+    * ordering contract the packer needs. Output = the final shard
+    * inventory. */
+  def corpusPipeline(spark: SparkSession, sfDir: String,
+      shardTokens: Long = ShardTokens): DataFrame = {
+    val d = docs(spark, sfDir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tok") >= 5 && col("n_tok") <= 10000 && col("n_chars") < 100000)
+      .filter(col("lang").isin("en", "de", "fr"))
+    val deduped = d
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_chars"), col("n_tok")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.n_chars").as("n_chars"), col("r.n_tok").as("n_tok"))
+    // decontamination: benchmark docs out, contaminated docs out
+    val withSh = TextQueries.withShingleHashes(docs(spark, sfDir))
+      .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
+      .persist()
+    graft.util.CacheBag.register(withSh)
+    val benchHashes = withSh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shd")).as("h")).distinct()
+    val contaminated = withSh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shd")).as("h"))
+      .join(broadcast(benchHashes), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamShared)
+      .select(col("doc_id"))
+    val clean = deduped
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // per-domain cap, then pack the survivors in doc_id order. The cap
+    // bounds the packed set to DomainCap × n_sources rows — metadata-
+    // sized — so the single-partition prefix window here is legal; an
+    // unbounded input packs through q77's distributed 3-stage prefix sum.
+    val wCap = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val capped = clean.withColumn("rnk", row_number().over(wCap))
+      .filter(col("rnk") <= DomainCap)
+      .select(col("doc_id"), col("n_tok"))
+    val wPack = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    capped
+      .withColumn("start_tok", sum(col("n_tok")).over(wPack) - col("n_tok"))
+      .withColumn("shard", expr(s"start_tok div $shardTokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
   val oracle: Map[String, String] = Map(
     // single-window global prefix sum — the distributed three-stage
     // version must hash-match it exactly
@@ -179,5 +238,30 @@ object CorpusQueries {
         s"SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         s"min(n_chars) AS min_kept_chars FROM r WHERE rnk <= $DomainCap " +
         "GROUP BY source ORDER BY source"),
+    "q86_corpus_pipeline" -> {
+      val hash = TextQueries.sqlTokHash("x")
+      s"WITH ${TextQueries.shCte}, " +
+        s"m AS (SELECT doc_id, list_distinct(list_transform(sh, x -> $hash)) AS shd FROM s), " +
+        "bh AS (SELECT DISTINCT h FROM (SELECT unnest(shd) AS h FROM m WHERE doc_id % 97 = 0)), " +
+        "e AS (SELECT doc_id, unnest(shd) AS h FROM m WHERE doc_id % 97 <> 0), " +
+        "contam AS (SELECT e.doc_id FROM e JOIN bh ON e.h = bh.h " +
+        s"GROUP BY e.doc_id HAVING count(*) >= $ContamShared), " +
+        "g AS (SELECT doc_id, source, n_chars, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents " +
+        "WHERE len(string_split(text, ' ')) BETWEEN 5 AND 10000 AND n_chars < 100000 " +
+        "AND lang IN ('en', 'de', 'fr')), " +
+        "dd AS (SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(source, doc_id) AS source, " +
+        "arg_min(n_chars, doc_id) AS n_chars, arg_min(n_tok, doc_id) AS n_tok " +
+        "FROM g GROUP BY md5(text)), " +
+        "cl AS (SELECT * FROM dd WHERE doc_id % 97 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM contam)), " +
+        "cap AS (SELECT doc_id, n_tok FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk FROM cl) WHERE rnk <= $DomainCap), " +
+        "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok FROM cap) " +
+        s"SELECT start_tok // $ShardTokens AS shard, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS sum_tok, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM c GROUP BY shard ORDER BY shard"
+    },
   )
 }
