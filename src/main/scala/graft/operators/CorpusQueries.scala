@@ -63,24 +63,37 @@ object CorpusQueries {
     * set — at 10^12 docs this is one shuffle-free hash join per shingle,
     * never a doc×doc product; a billion-doc benchmark would bucket-join
     * instead of broadcasting. */
-  def decontaminate(spark: SparkSession, sfDir: String,
-      minShared: Int = ContamShared): DataFrame = {
-    // the shingle-hash pipeline (the expensive stage) feeds both the
-    // benchmark side and the corpus side — persist lazily + CacheBag so
-    // it runs once per execution, not once per branch
+  /** Shared contamination core (q78 + the q86 pipeline): per non-benchmark
+    * doc, the count of distinct 3-gram shingle hashes shared with the
+    * benchmark set (docs absent = zero shared). The shingle-hash pipeline
+    * (the expensive stage) feeds both sides — persisted lazily + CacheBag
+    * so it runs once per execution, not once per branch. */
+  private def sharedWithBenchmark(spark: SparkSession, sfDir: String): DataFrame = {
     val withSh = TextQueries.withShingleHashes(docs(spark, sfDir))
-      .select(col("doc_id"), col("lang"), array_distinct(col("h0raw")).as("shd"))
+      .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
       .persist()
     graft.util.CacheBag.register(withSh)
     val benchHashes = withSh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("shd")).as("h")).distinct()
-    val shared = withSh.filter(col("doc_id") % 97 =!= 0)
+    withSh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), explode(col("shd")).as("h"))
       .join(broadcast(benchHashes), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Doc ids the pipeline must drop at `minShared` (threshold applied to
+    * [[sharedWithBenchmark]]). */
+  private[operators] def contaminatedDocIds(spark: SparkSession, sfDir: String,
+      minShared: Int): DataFrame =
+    sharedWithBenchmark(spark, sfDir)
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+
+  def decontaminate(spark: SparkSession, sfDir: String,
+      minShared: Int = ContamShared): DataFrame = {
     docs(spark, sfDir).filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("lang"))
-      .join(shared, Seq("doc_id"), "left")
+      .join(sharedWithBenchmark(spark, sfDir), Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -163,22 +176,11 @@ object CorpusQueries {
         col("doc_id")).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
         col("r.n_chars").as("n_chars"), col("r.n_tok").as("n_tok"))
-    // decontamination: benchmark docs out, contaminated docs out
-    val withSh = TextQueries.withShingleHashes(docs(spark, sfDir))
-      .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
-      .persist()
-    graft.util.CacheBag.register(withSh)
-    val benchHashes = withSh.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shd")).as("h")).distinct()
-    val contaminated = withSh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(col("shd")).as("h"))
-      .join(broadcast(benchHashes), Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= ContamShared)
-      .select(col("doc_id"))
+    // decontamination: benchmark docs out, contaminated docs out (same
+    // shared core as q78 — one semantics, one implementation)
     val clean = deduped
       .filter(col("doc_id") % 97 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(contaminatedDocIds(spark, sfDir, ContamShared), Seq("doc_id"), "left_anti")
     // per-domain cap, then pack the survivors in doc_id order. The cap
     // bounds the packed set to DomainCap × n_sources rows — metadata-
     // sized — so the single-partition prefix window here is legal; an

@@ -131,30 +131,63 @@ private[sources] object GraftTableWriter {
       "graft writes need ilat/ilon/ts_sec columns (manifest stats)")
     val withParts = data
       .withColumn("p_cell", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      // null warc_ts degrades to a named partition, never a null dir key
       .withColumn("p_date",
-        if (data.columns.contains("warc_ts")) date_format(col("warc_ts"), "yyyy-MM-dd")
+        if (data.columns.contains("warc_ts"))
+          coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("unknown"))
         else lit("all"))
+    val writtenDdl = withParts.drop("p_date").schema.toDDL
+    // schema contract against the existing table: APPEND must match the
+    // recorded DDL exactly (an appended frame must not silently rewrite
+    // what every reader believes the files contain); ver and — for
+    // appends — the DDL carry FORWARD so reader-side migrations keyed on
+    // schema_ver keep applying exactly once. OVERWRITE replaces the
+    // contents wholly and records the new frame's DDL at the table's
+    // current version.
+    val base = SnapshotTable.currentSnapshot(root)
+    base.filter(_.schemaDdl.nonEmpty).foreach { b =>
+      if (!overwrite && writtenDdl != b.schemaDdl)
+        throw new IllegalArgumentException(
+          s"append schema mismatch for $root:\n  table: ${b.schemaDdl}\n  frame: $writtenDdl\n" +
+            "append frames must match the recorded table schema (use overwrite to replace it)")
+    }
+    val ver = base.map(_.schemaVer).getOrElse(1)
+    val ddl = if (overwrite) writtenDdl else base.map(_.schemaDdl).filter(_.nonEmpty)
+      .getOrElse(writtenDdl)
     val dir = s"$root/data/insert-${java.util.UUID.randomUUID().toString.take(8)}"
     withParts.withColumn("pc", col("p_cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("pc", "p_date")
       .parquet(dir)
-    val entries = withParts.groupBy(col("p_cell"), col("p_date"))
+    // manifest stats from the FILES JUST WRITTEN, not a re-evaluation of
+    // the input plan: a non-deterministic input (rand-derived columns,
+    // order-dependent limits) must not produce stats describing rows the
+    // files don't hold — pruning on wrong min/max silently loses rows.
+    // Grouping keys come from the DATA columns (p_cell is stored; p_date
+    // is re-derived by the same deterministic expression), sidestepping
+    // partition-column type inference on the pc=/p_date= dir keys.
+    val readBack = spark.read.parquet(dir)
+    val entries = readBack
+      .withColumn("p_date",
+        if (readBack.columns.contains("warc_ts"))
+          coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("unknown"))
+        else lit("all"))
+      .groupBy(col("p_cell"), col("p_date"))
       .agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
         min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec")))
       .collect()
       .map { r =>
-        SnapshotTable.PartitionEntry(r.getLong(0), r.getString(1),
-          s"$dir/pc=${r.getLong(0)}/p_date=${r.getString(1)}", r.getLong(2),
+        val (pc, d) = (r.getLong(0), r.getString(1))
+        SnapshotTable.PartitionEntry(pc, d,
+          s"$dir/pc=$pc/p_date=$d", r.getLong(2),
           r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
           r.getLong(7), r.getLong(8))
       }.toIndexedSeq.sortBy(e => (e.pCell, e.pDate))
-    val ddl = withParts.drop("p_date").schema.toDDL
     SnapshotTable.commitDeltaWithRetry(root)(
       entries,
       removeKey = if (overwrite) _ => true else _ => false,
       removePCells = if (overwrite) None else Some(Set.empty[Long]),
-      schemaVer = Some(1), schemaDdl = Some(ddl),
+      schemaVer = Some(ver), schemaDdl = Some(ddl),
       resolveResult = false)
     ()
   }
@@ -253,10 +286,27 @@ private[sources] class GraftScan(snap: SnapshotTable.Snapshot,
   /** Post-pushdown stats from the manifest (exact row counts of the
     * pruned partition set) — without this the V1 execution path defaults
     * to "huge", and a small snapshot table would never be broadcast by
-    * the join planner. Size estimate = rows × required-schema row width. */
+    * the join planner. sizeInBytes comes from the ACTUAL on-disk bytes of
+    * the pruned files (a schema-width estimate prices a 2 KB text column
+    * at 20 bytes and would trick the planner into broadcasting hundreds
+    * of MB); a missing path degrades to the conservative width estimate.
+    * The walk touches only pruned entries at plan time — at very high
+    * partition counts per-entry byte stats belong IN the manifest (the
+    * Iceberg layout); ceiling documented, not hidden. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val rows = SnapshotTable.prunedParts(snap, pruning).map(_.rows).sum
-    val bytes = rows * math.max(1, required.defaultSize)
+    val keep = SnapshotTable.prunedParts(snap, pruning)
+    val rows = keep.map(_.rows).sum
+    val bytes = keep.map { e =>
+      val p = java.nio.file.Paths.get(e.path)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally s.close()
+      } else e.rows * math.max(1L, required.defaultSize.toLong)
+    }.sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)

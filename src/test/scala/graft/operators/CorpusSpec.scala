@@ -75,6 +75,31 @@ class CorpusSpec extends SparkTestBase {
     assert(residual === 0L)
   }
 
+  test("q86 pipeline: composition equals the independently-applied stages") {
+    import org.apache.spark.sql.expressions.Window
+    val out = CorpusQueries.corpusPipeline(spark, sf001).collect()
+    // recompute the survivor set stage by stage with independent code
+    val d = docs.withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tok").between(5, 10000) && col("n_chars") < 100000 &&
+        col("lang").isin("en", "de", "fr"))
+    val dedup = d.withColumn("rk",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+    val contam = CorpusQueries.decontaminate(spark, sf001, minShared = 1) // warm-up only
+    assert(contam.count() > 0)
+    val survivors = dedup.filter(col("doc_id") % 97 =!= 0)
+      .join(CorpusQueries.contaminatedDocIds(spark, sf001, CorpusQueries.ContamShared),
+        Seq("doc_id"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rnk") <= CorpusQueries.DomainCap)
+    // conservation: every survivor packed exactly once
+    assert(out.map(_.getLong(1)).sum === survivors.count())
+    assert(out.map(_.getLong(2)).sum ===
+      survivors.agg(sum(col("n_tok"))).head.getLong(0))
+    graft.util.CacheBag.release()
+  }
+
   test("q80 domain cap: kept = min(cap, domain size), and keeps the largest") {
     val out = CorpusQueries.domainCap(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq

@@ -43,6 +43,32 @@ class MultiModalSpec extends SparkTestBase {
     }
   }
 
+  test("lenient decode degrades ARBITRARY corruption, never aborts; ok rows exact") {
+    import spark.implicits._
+    // adversarial corruption beyond the planted fixture: empty blobs,
+    // truncations at every boundary, flipped magic bytes
+    val media = mediaTable(spark, 120).map { m =>
+      (m.media_id % 5) match {
+        case 0 => m.copy(media = Array.empty[Byte])
+        case 1 => m.copy(media = m.media.take((m.media_id % 17).toInt))
+        case 2 => val b = m.media.clone(); b(0) = 0x7f; m.copy(media = b)
+        case _ => m
+      }
+    }
+    val out = decodeLenient(media).collect()
+    assert(out.length === 120, "every row must come back, good or quarantined")
+    val expectOk = (0 until 120).count(i => i % 5 >= 3)
+    assert(out.count(_.ok) === expectOk)
+    // ok rows must agree with the strict decoder
+    val strict = decodeAll(mediaTable(spark, 120)).collect()
+      .map(r => r.media_id -> r).toMap
+    out.filter(_.ok).foreach { r =>
+      val s = strict(r.media_id)
+      assert((r.width, r.height, r.n_frames, r.checksum) ===
+        ((s.width, s.height, s.n_frames, s.checksum)))
+    }
+  }
+
   test("media inventory aggregates per kind") {
     val inv = mediaInventory(spark, 300).collect()
     assert(inv.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
