@@ -38,9 +38,17 @@ object Bench {
     }
 
     // session warm-up: absorb JVM/codegen/session startup BEFORE the
-    // suite so q01 measures the query, not first-plan compilation cost
+    // suite so q01 measures the query, not first-plan compilation cost.
+    // The tiny synthetic PIP join + window warm the geo/join/window
+    // codegen paths (JTS cover, cell arithmetic, broadcast machinery)
+    // without touching any suite input.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/documents.parquet").limit(10).count()
+    GeoQueries.pipJoinTimelessOn(spark,
+      Pages.synthetic(spark, 2000, 4).select("doc_id", "ts_sec", "ilat", "ilon")).count()
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
+      .selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
+      .filter("rn <= 3").count()
 
     // 1. query suite — failures are NAMED in the JSON (a silently dropped
     // query would over-report health), and excluded from the total.

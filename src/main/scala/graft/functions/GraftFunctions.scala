@@ -368,7 +368,7 @@ object expressions {
 object GraftFunctions {
   import expressions._
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cell_id" -> (e => CellIdExpr(e(0), e(1), e(2))),
     "cell_parent" -> (e => CellParentExpr(e(0), e(1))),
     "cell_level" -> (e => CellLevelExpr(e(0))),

@@ -58,10 +58,20 @@ object RowMajorOfCellIdRule extends Rule[LogicalPlan] {
 }
 
 /** spark-submit entry point:
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. For sessions
-  * built in-process, `GraftFunctions.register` installs the same rule via
-  * `spark.experimental.extraOptimizations`. */
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` installs BOTH
+  * the optimizer rule and every graft SQL function (cell_id, cell_kring,
+  * extract_text, l2_dist, ...) — a pure-SQL spark-submit user needs no
+  * Scala call. For sessions built in-process, `GraftFunctions.register`
+  * does the same via the function registry + extraOptimizations. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RowMajorOfCellIdRule)
+    graft.functions.GraftFunctions.fns.foreach { case (name, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.expressions", name),
+        builder))
+    }
+  }
 }
