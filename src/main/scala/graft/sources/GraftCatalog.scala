@@ -39,11 +39,31 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    val snap = SnapshotTable.currentSnapshot(root).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace() :+ ident.name()))
-    // snapshot pinned at load: one SELECT sees one snapshot throughout
-    new GraftTable(root, GraftSource.tableSchema(root), Some(snap))
+    SnapshotTable.currentSnapshot(root) match {
+      case Some(snap) =>
+        // snapshot pinned at load: one SELECT sees one snapshot throughout
+        new GraftTable(root, GraftSource.tableSchema(root), Some(snap))
+      case None =>
+        // Iceberg-style metadata tables: graft.`t`.partitions / .snapshots
+        // / .manifests — the inspection surface every table format needs
+        metaTable(ident).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+    }
+  }
+
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val baseRoot = (ident.namespace().init :+ ident.namespace().last)
+      .mkString(s"$warehouse/", "/", "")
+    SnapshotTable.currentSnapshot(baseRoot).flatMap { snap =>
+      ident.name() match {
+        case "partitions" => Some(GraftMetaTable.partitions(baseRoot, snap))
+        case "snapshots" => Some(GraftMetaTable.snapshots(baseRoot))
+        case "manifests" => Some(GraftMetaTable.manifests(baseRoot, snap))
+        case _ => None
+      }
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -43,8 +43,15 @@ class GraftSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftSource.tableSchema(root(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val r = root(options)
+    Option(options.get("snapshot")) match {
+      case Some(seq) => GraftSource.schemaOf(r,
+        SnapshotTable.snapshotAt(r, seq.toLong).getOrElse(
+          throw new IllegalStateException(s"no snapshot $seq under $r")))
+      case None => GraftSource.tableSchema(r)
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -54,7 +61,19 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // list, matching SnapshotTable.read's isolation (a concurrent commit
     // cannot split planning and execution across snapshots). None = the
     // root holds no snapshot yet: writes may create it, scans fail loudly.
-    new GraftTable(r, schema, SnapshotTable.currentSnapshot(r))
+    // `.option("snapshot", seq)` = DataFrame-API time travel: pin that
+    // committed snapshot instead of CURRENT (immutable; expire permitting).
+    val pinned = Option(properties.get("snapshot")) match {
+      case Some(seqStr) =>
+        val seq = try seqStr.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"option snapshot must be a snapshot seq number, got '$seqStr'")
+        }
+        Some(SnapshotTable.snapshotAt(r, seq).getOrElse(
+          throw new IllegalStateException(s"no snapshot $seq under $r")))
+      case None => SnapshotTable.currentSnapshot(r)
+    }
+    new GraftTable(r, schema, pinned)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -63,9 +82,11 @@ class GraftSource extends TableProvider with DataSourceRegister {
 object GraftSource {
   /** File schema from the manifest DDL (recorded at commit) + the p_date
     * directory key surfaced as a column. */
-  def tableSchema(root: String): StructType = {
-    val snap = SnapshotTable.currentSnapshot(root).getOrElse(
-      throw new IllegalStateException(s"no CURRENT snapshot under $root"))
+  def tableSchema(root: String): StructType =
+    schemaOf(root, SnapshotTable.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT snapshot under $root")))
+
+  def schemaOf(root: String, snap: SnapshotTable.Snapshot): StructType = {
     val base =
       if (snap.schemaDdl.nonEmpty) StructType.fromDDL(snap.schemaDdl)
       else throw new IllegalStateException(

@@ -48,6 +48,39 @@ class GraftCatalogSpec extends SparkTestBase {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "no_such_table")))
   }
 
+  test("metadata tables: partitions/snapshots/manifests queryable via SQL") {
+    val (s, tbl) = sql
+    val parts = s.sql(s"SELECT * FROM graft.`$tbl`.`partitions` ORDER BY p_cell, p_date")
+      .collect()
+    val snap = SnapshotTable.currentSnapshot(root).get
+    assert(parts.length === snap.parts.length)
+    assert(parts.map(_.getAs[Long]("rows")).sum === snap.parts.map(_.rows).sum)
+    val snaps = s.sql(s"SELECT * FROM graft.`$tbl`.`snapshots` ORDER BY seq").collect()
+    assert(snaps.nonEmpty && snaps.count(_.getAs[Boolean]("is_current")) === 1)
+    assert(snaps.last.getAs[Long]("total_rows") === snap.parts.map(_.rows).sum)
+    // aggregating over metadata works like any table
+    val n = s.sql(s"SELECT sum(rows) AS r FROM graft.`$tbl`.`partitions`")
+      .head.getLong(0)
+    assert(n === snap.parts.map(_.rows).sum)
+  }
+
+  test("time travel via option(snapshot, seq) pins the old snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val rows = Pages.fromDocuments(spark, sf0001)
+      .select("doc_id", "url", "warc_ts", "ts_sec", "text", "lang", "source",
+        "n_chars", "ilat", "ilon")
+    rows.filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      .write.format("graft").mode("append").save(dir)
+    rows.filter(org.apache.spark.sql.functions.col("doc_id") >= 50)
+      .write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() === rows.count())
+    assert(spark.read.format("graft").option("snapshot", "1").load(dir).count() === 50)
+    val e = intercept[Exception](
+      spark.read.format("graft").option("snapshot", "99").load(dir).count())
+    assert(e.getMessage.contains("no snapshot 99"))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
   test("catalog is read-only: SQL DML fails loudly, never bypasses commits") {
     val (s, tbl) = sql
     val e = intercept[Exception](
