@@ -113,6 +113,7 @@ object SparkEntry {
     "q84_coverage_gaps" -> ((s, d) => GeoQueries.coverageGaps(s, d)),
     "q85_media_quarantine" -> ((s, d) => MultiModal.quarantineQuery(s, d)),
     "q86_corpus_pipeline" -> ((s, d) => CorpusQueries.corpusPipeline(s, d)),
+    "q87_mor_delete" -> ((s, d) => graft.jobs.IngestJob.morDeleteQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -239,6 +240,10 @@ object SparkEntry {
     "q50_snapshot_diff" ->
       (s"$P SELECT lang, count(*) AS n_new, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM pages WHERE doc_id % 3 = 0 GROUP BY lang ORDER BY lang"),
+    "q87_mor_delete" ->
+      (s"$P SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_keys, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM pages WHERE doc_id % 10 <> 3 GROUP BY lang ORDER BY lang"),
     "q84_coverage_gaps" ->
       (s"$P, j AS (SELECT DISTINCT fp.fp_id, p.ts_sec // 86400 AS day " +
         s"FROM pages p JOIN $FP ON $boxJoin), " +

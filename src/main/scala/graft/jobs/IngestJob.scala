@@ -543,6 +543,73 @@ object IngestJob {
     * manifest (gated in `GraftSourceSpec`), and `p_date` — a directory
     * key, not a file column — is both aggregated and exactly re-attached
     * by the scan. */
+  /** Merge-on-read DELETE (the Iceberg v2 delete-vector shape): rows
+    * matching `cond` are removed from the table WITHOUT rewriting any
+    * data file — a commit-scoped delete file (parquet of doc_ids,
+    * bucketed like the data) is layered onto every touched partition's
+    * entry, readers anti-join it, and the next `compact` of those
+    * partitions materializes the removal. At 100 TB a handful of deleted
+    * rows costs one small delete file + one delta commit, never a
+    * partition rewrite; history stays time-travelable (pre-delete
+    * snapshots still see the rows). doc_id is the row identity. Aborts on
+    * a concurrent rewrite of a touched partition (same optimistic rule as
+    * MERGE). Returns the committed snapshot; the current one when nothing
+    * matched. */
+  def deleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, jobId: String): Snapshot = {
+    val current = SnapshotTable.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root"))
+    val byDate = current.parts.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+      SnapshotTable.applyDeletes(spark,
+        spark.read.parquet(es.map(_.path): _*), es).withColumn("p_date", lit(d))
+    }.reduce(_.unionByName(_))
+    val hits = byDate.filter(cond).select(col("doc_id"), col("p_cell"), col("p_date"))
+      .persist()
+    if (hits.isEmpty) { hits.unpersist(false); return current } // nothing matched
+    val dir = s"$root/data/deletes/$jobId"
+    hits.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
+    hits.unpersist(false)
+    // touched keys from the files actually written (data columns — dir
+    // keys are type-inference hazards)
+    val touched = spark.read.parquet(dir)
+      .select(col("p_cell"), col("p_date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val basePaths = current.parts.filter(p => touched((p.pCell, p.pDate)))
+      .map(p => (p.pCell, p.pDate, p.path)).toSet
+    val updated = current.parts.filter(p => touched((p.pCell, p.pDate)))
+      .map(p => p.copy(deletes = p.deletes :+ s"$dir/pc=${p.pCell}/pd=${p.pDate}"))
+    SnapshotTable.commitDeltaWithRetry(root)(
+      updated, p => touched((p.pCell, p.pDate)),
+      removePCells = Some(touched.map(_._1)),
+      schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
+      validate = affected => affected.foreach { p =>
+        val k = (p.pCell, p.pDate)
+        if (touched(k) && !basePaths((p.pCell, p.pDate, p.path)))
+          throw new java.util.ConcurrentModificationException(
+            s"delete conflict: partition $k was rewritten after this delete " +
+              "computed its row set — re-run against the new snapshot")
+      })
+  }
+
+  /** Merge-on-read delete end to end (oracle-gated q87): base table
+    * through the real ingest, every 10th-mod-3 doc deleted WITHOUT
+    * rewriting a data file (delete vectors layered in a delta commit),
+    * read back CURRENT and aggregate. The oracle recomputes the surviving
+    * set arithmetically — hash equality proves the MOR read path exact. */
+  def morDeleteQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = cachedTable("graft-mor", sfDir, 2L, ver = 1) { (stage, _) =>
+      runPages(spark, pagesWithPartitions(spark, sfDir), stage, "base")
+      deleteWhere(spark, stage, col("doc_id") % 10 === 3, "del")
+      ()
+    }
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("doc_id")).as("n_keys"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Build-once root of the DSv2-read fixture table (shared by q76 and
     * `GraftSourceSpec`). */
   def dsv2TableRoot(spark: SparkSession, sfDir: String): String =

@@ -31,10 +31,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotTable {
 
+  /** `deletes`: merge-on-read delete files (parquet of doc_ids) layered
+    * over this partition's data files — readers anti-join them, the data
+    * path itself is never rewritten for a delete (the Iceberg v2 MOR
+    * shape: a few deleted rows must not rewrite a 100 TB partition).
+    * `rows` stays the PHYSICAL row count; min/max stats remain valid
+    * supersets of the live rows. */
   final case class PartitionEntry(
       pCell: Long, pDate: String, path: String, rows: Long,
       minIlat: Int, maxIlat: Int, minIlon: Int, maxIlon: Int,
-      minTs: Long, maxTs: Long)
+      minTs: Long, maxTs: Long, deletes: Seq[String] = Seq.empty)
 
   /** Two-level metadata (the Iceberg manifest-list shape, round-2 verdict
     * ask #5): a snapshot may reference MANIFEST FILES (each holding a
@@ -59,14 +65,17 @@ object SnapshotTable {
 
   // ---- JSON codec (flat, fully controlled format; java-typed for jackson) --
 
-  private def partToMap(p: PartitionEntry): java.util.Map[String, Object] =
-    Map[String, Object](
+  private def partToMap(p: PartitionEntry): java.util.Map[String, Object] = {
+    val base = Map[String, Object](
       "p_cell" -> java.lang.Long.valueOf(p.pCell), "p_date" -> p.pDate,
       "path" -> p.path, "rows" -> java.lang.Long.valueOf(p.rows),
       "min_ilat" -> Integer.valueOf(p.minIlat), "max_ilat" -> Integer.valueOf(p.maxIlat),
       "min_ilon" -> Integer.valueOf(p.minIlon), "max_ilon" -> Integer.valueOf(p.maxIlon),
       "min_ts" -> java.lang.Long.valueOf(p.minTs), "max_ts" -> java.lang.Long.valueOf(p.maxTs)
-    ).asJava
+    )
+    // absent key = no deletes: old manifests parse unchanged (back-compat)
+    (if (p.deletes.isEmpty) base else base + ("deletes" -> p.deletes.asJava)).asJava
+  }
 
   def snapshotJson(s: Snapshot): String = {
     val base = Map[String, Object](
@@ -92,7 +101,9 @@ object SnapshotTable {
       n.get("rows").asLong(),
       n.get("min_ilat").asInt(), n.get("max_ilat").asInt(),
       n.get("min_ilon").asInt(), n.get("max_ilon").asInt(),
-      n.get("min_ts").asLong(), n.get("max_ts").asLong())
+      n.get("min_ts").asLong(), n.get("max_ts").asLong(),
+      Option(n.get("deletes")).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty))
 
   /** Parse a snapshot file. Two-level snapshots resolve their manifest
     * files (absolute paths) into the flat `parts` view every existing
@@ -421,8 +432,25 @@ object SnapshotTable {
       else if (keep.isEmpty) {
         // no matching partitions: empty frame with the table schema
         spark.read.parquet(snap.parts.head.path).limit(0)
-      } else spark.read.parquet(keep.map(_.path): _*)
+      } else applyDeletes(spark, spark.read.parquet(keep.map(_.path): _*), keep)
     (migrate(df, snap.schemaVer, migrations), keep.length, snap.parts.length)
+  }
+
+  /** Merge-on-read: anti-join the union of the kept entries' delete files
+    * (doc_id is the table's row identity — a deleted id is gone from
+    * every partition holding it; ids absent from a partition simply don't
+    * match). Delete sets are commit-bounded and broadcast. */
+  def applyDeletes(spark: SparkSession, df: DataFrame,
+      keep: Seq[PartitionEntry]): DataFrame = {
+    val deletePaths = keep.flatMap(_.deletes).distinct
+    if (deletePaths.isEmpty) df
+    else {
+      require(df.columns.contains("doc_id"),
+        "merge-on-read deletes need the doc_id row-identity column")
+      val ids = spark.read.parquet(deletePaths: _*)
+        .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
+      df.join(org.apache.spark.sql.functions.broadcast(ids), Seq("doc_id"), "left_anti")
+    }
   }
 
   /** CDC-style incremental read (the Iceberg incremental-scan analog):
@@ -488,9 +516,10 @@ object SnapshotTable {
     // resolve each retained snapshot ONCE (parseSnapshot reads the full
     // manifest set — don't pay it twice for data-dir and manifest GC)
     val retained = retain.toSeq.flatMap(snapshotAt(root, _))
-    // referenced partition leaf dirs, normalized
+    // referenced partition leaf dirs + merge-on-read delete dirs, normalized
     val referenced: Set[Path] = retained
-      .flatMap(_.parts.map(e => Paths.get(e.path).normalize())).toSet
+      .flatMap(_.parts.flatMap(e => (e.path +: e.deletes)
+        .map(p => Paths.get(p).normalize()))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dataRoot = Paths.get(root, "data")
     var dirsDeleted = 0
@@ -574,10 +603,15 @@ object SnapshotTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val entries = merge.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (date, g) =>
       val outPath = s"$root/data/compact-$token/p_date=$date"
-      spark.read.parquet(g.map(_.path): _*)
+      // compaction APPLIES merge-on-read deletes: the rewritten files hold
+      // only live rows and the merged entry carries no delete refs
+      applyDeletes(spark, spark.read.parquet(g.map(_.path): _*), g)
         .coalesce(math.max(1, (g.map(_.rows).sum / 1000000L).toInt))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
-      PartitionEntry(g.map(_.pCell).min, date, outPath, g.map(_.rows).sum,
+      val rows =
+        if (g.forall(_.deletes.isEmpty)) g.map(_.rows).sum
+        else spark.read.parquet(outPath).count() // physical rows shrank
+      PartitionEntry(g.map(_.pCell).min, date, outPath, rows,
         g.map(_.minIlat).min, g.map(_.maxIlat).max,
         g.map(_.minIlon).min, g.map(_.maxIlon).max,
         g.map(_.minTs).min, g.map(_.maxTs).max)

@@ -1,0 +1,87 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+import graft.testutil.SparkTestBase
+
+/** Merge-on-read deletes: no data-file rewrite, readers exclude, history
+  * intact, compaction materializes. */
+class DeleteSpec extends SparkTestBase {
+
+  test("deleteWhere: rows vanish without touching a data file; time travel intact") {
+    val root = Files.createTempDirectory("mor-delete").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val before = SnapshotTable.currentSnapshot(root).get
+    val total = base.count()
+
+    val snap = IngestJob.deleteWhere(spark, root, col("doc_id") % 10 === 3, "del1")
+    assert(snap.seq === before.seq + 1)
+    // data paths untouched; touched entries carry a delete ref
+    val byKey = before.parts.map(e => (e.pCell, e.pDate) -> e).toMap
+    snap.parts.foreach { e =>
+      assert(e.path === byKey((e.pCell, e.pDate)).path, "delete must not rewrite data")
+    }
+    assert(snap.parts.exists(_.deletes.nonEmpty))
+
+    // readers exclude the deleted rows (manifest read AND DSv2 read)
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    assert(df.filter(col("doc_id") % 10 === 3).count() === 0)
+    assert(df.count() === total - base.filter(col("doc_id") % 10 === 3).count())
+    val dsv2 = spark.read.format("graft").load(root)
+    assert(dsv2.filter(col("doc_id") % 10 === 3).count() === 0)
+    assert(dsv2.count() === df.count())
+
+    // time travel: the pre-delete snapshot still sees every row
+    val (old, _, _) = SnapshotTable.readAt(spark, root, before.seq)
+    assert(old.count() === total)
+
+    // second delete layers on top (already-deleted ids are a no-op)
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 10 === 4, "del2")
+    val (df2, _, _) = SnapshotTable.read(spark, root)
+    assert(df2.filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 4).count() === 0)
+    // materialize the live count NOW: df2's plan reads pre-compact delete
+    // files, which expire below legitimately collects (re-executing it
+    // after expire would be time travel past the retention window)
+    val liveCount = df2.count()
+
+    // compaction materializes: rewritten files hold only live rows and
+    // the merged entries drop their delete refs
+    val compacted = SnapshotTable.compact(spark, root)(_ => true).get
+    assert(compacted.parts.forall(_.deletes.isEmpty))
+    assert(compacted.parts.map(_.rows).sum === liveCount)
+    val (df3, _, _) = SnapshotTable.read(spark, root)
+    assert(df3.count() === liveCount)
+
+    // expire keeps the live state readable and GCs nothing still needed
+    SnapshotTable.expire(root, keep = 1, olderThanMs = 0L)
+    val (df4, _, _) = SnapshotTable.read(spark, root)
+    assert(df4.count() === liveCount)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("deleteWhere with no matches is a no-op commit") {
+    val root = Files.createTempDirectory("mor-delete2").toString
+    IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root, "base")
+    val before = SnapshotTable.currentSeq(root).get
+    val snap = IngestJob.deleteWhere(spark, root, col("doc_id") === -1L, "del0")
+    assert(snap.seq === before, "no matches must not commit a new snapshot")
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("delete files survive expire while referenced") {
+    val root = Files.createTempDirectory("mor-delete3").toString
+    IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root, "base")
+    IngestJob.deleteWhere(spark, root, col("doc_id") < 20, "del1")
+    val live = SnapshotTable.read(spark, root)._1.count()
+    // expire down to ONLY the delete snapshot: its delete dirs must survive
+    SnapshotTable.expire(root, keep = 1, olderThanMs = 0L)
+    assert(SnapshotTable.read(spark, root)._1.count() === live)
+    assert(SnapshotTable.read(spark, root)._1
+      .filter(col("doc_id") < 20).count() === 0)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+}
