@@ -377,7 +377,8 @@ object IngestJob {
     val updKeys = updates.select(col(key))
     val staleKeys: Set[(Long, String)] = current.parts.groupBy(_.pDate).toSeq
       .sortBy(_._1).flatMap { case (d, es) =>
-        spark.read.parquet(es.map(_.path): _*)
+        SnapshotTable.applyDeletes(spark,
+          spark.read.parquet(es.map(_.path): _*), es)
           .select(col(key), col("p_cell"))
           .join(updKeys, Seq(key), "left_semi")
           .select(col("p_cell")).distinct()
@@ -397,9 +398,13 @@ object IngestJob {
     // old rows of rewritten partitions; p_date is a directory key in the
     // layout, re-attach it from the manifest entry. One multi-path scan
     // per DATE (not per partition): a merge touching thousands of buckets
-    // must not plan thousands of single-file scans.
+    // must not plan thousands of single-file scans. Merge-on-read deletes
+    // APPLY here: a rewrite that read raw files would resurrect deleted
+    // rows (the rewritten entries carry no delete refs — the rewrite
+    // materializes them).
     val oldRows = touched.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
-      spark.read.parquet(es.map(_.path): _*).withColumn("p_date", lit(d))
+      SnapshotTable.applyDeletes(spark, spark.read.parquet(es.map(_.path): _*), es)
+        .withColumn("p_date", lit(d))
     }.reduceOption(_.unionByName(_))
     val updCols = updates.columns.toSeq
     val merged = (oldRows match {
@@ -439,7 +444,10 @@ object IngestJob {
     // TOUCHED partition since, committing would silently discard that
     // writer's rows — conflict must abort, not win. (Foreign partitions —
     // keys the merge does not touch — are merged in, never conflicted.)
-    val basePaths = touched.map(p => (p.pCell, p.pDate) -> p.path).toMap
+    // FULL-entry base set: conflicts include a concurrent deleteWhere
+    // layering refs on a touched partition (path unchanged) — this merge
+    // read its rows under the OLD delete set
+    val baseSet = touched.toSet
     beforeCommit() // test hook: interleave a concurrent writer here
     SnapshotTable.commitDeltaWithRetry(root)(
       stats, p => newKeys((p.pCell, p.pDate)),
@@ -450,11 +458,12 @@ object IngestJob {
       // conflicting concurrent write is visible here
       validate = affected => affected.foreach { p =>
         val k = (p.pCell, p.pDate)
-        // conflict if a touched key's partition was REWRITTEN (path moved)
-        // or CREATED (absent from the base snapshot — basePaths None) by a
-        // concurrent writer: either way this merge's rows for that key
-        // were derived without seeing the other writer's rows
-        if (newKeys(k) && !basePaths.get(k).contains(p.path))
+        // conflict if a touched key's partition was REWRITTEN (path
+        // moved), DELETE-layered (refs changed), or CREATED (absent from
+        // the base snapshot) by a concurrent writer: either way this
+        // merge's rows for that key were derived without seeing the other
+        // writer's rows
+        if (newKeys(k) && !baseSet.contains(p))
           throw new java.util.ConcurrentModificationException(
             s"merge conflict: partition $k was written (now ${p.path}) after this " +
               "merge read its base rows — re-run the merge against the new snapshot")
@@ -556,17 +565,21 @@ object IngestJob {
     * MERGE). Returns the committed snapshot; the current one when nothing
     * matched. */
   def deleteWhere(spark: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column, jobId: String): Snapshot = {
+      cond: org.apache.spark.sql.Column, jobId: String,
+      beforeCommit: () => Unit = () => ()): Snapshot = {
     val current = SnapshotTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot under $root"))
     val byDate = current.parts.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
       SnapshotTable.applyDeletes(spark,
         spark.read.parquet(es.map(_.path): _*), es).withColumn("p_date", lit(d))
-    }.reduce(_.unionByName(_))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(return current) // zero-partition snapshot: nothing to delete
     val hits = byDate.filter(cond).select(col("doc_id"), col("p_cell"), col("p_date"))
       .persist()
     if (hits.isEmpty) { hits.unpersist(false); return current } // nothing matched
-    val dir = s"$root/data/deletes/$jobId"
+    // uuid-tokenized like every other data write: a reused jobId must not
+    // overwrite delete files a committed snapshot still references
+    val dir = s"$root/data/deletes/$jobId-${java.util.UUID.randomUUID().toString.take(8)}"
     hits.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
       .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
     hits.unpersist(false)
@@ -575,20 +588,24 @@ object IngestJob {
     val touched = spark.read.parquet(dir)
       .select(col("p_cell"), col("p_date")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val basePaths = current.parts.filter(p => touched((p.pCell, p.pDate)))
-      .map(p => (p.pCell, p.pDate, p.path)).toSet
-    val updated = current.parts.filter(p => touched((p.pCell, p.pDate)))
+    // FULL-entry base set (path AND existing delete refs): a concurrent
+    // deleteWhere layers refs without moving the path — committing our
+    // stale copy would drop its refs and resurrect its deleted rows
+    val baseSet = current.parts.filter(p => touched((p.pCell, p.pDate))).toSet
+    val updated = baseSet.toSeq.sortBy(e => (e.pCell, e.pDate))
       .map(p => p.copy(deletes = p.deletes :+ s"$dir/pc=${p.pCell}/pd=${p.pDate}"))
+    beforeCommit() // test hook: interleave a concurrent writer here
     SnapshotTable.commitDeltaWithRetry(root)(
       updated, p => touched((p.pCell, p.pDate)),
       removePCells = Some(touched.map(_._1)),
       schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
       validate = affected => affected.foreach { p =>
         val k = (p.pCell, p.pDate)
-        if (touched(k) && !basePaths((p.pCell, p.pDate, p.path)))
+        if (touched(k) && !baseSet.contains(p))
           throw new java.util.ConcurrentModificationException(
-            s"delete conflict: partition $k was rewritten after this delete " +
-              "computed its row set — re-run against the new snapshot")
+            s"delete conflict: partition $k was written (rewrite or another " +
+              "delete) after this delete computed its row set — re-run " +
+              "against the new snapshot")
       })
   }
 

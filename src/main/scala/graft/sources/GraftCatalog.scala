@@ -54,8 +54,7 @@ class GraftCatalog extends TableCatalog {
 
   private def metaTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    val baseRoot = (ident.namespace().init :+ ident.namespace().last)
-      .mkString(s"$warehouse/", "/", "")
+    val baseRoot = ident.namespace().mkString(s"$warehouse/", "/", "")
     SnapshotTable.currentSnapshot(baseRoot).flatMap { snap =>
       ident.name() match {
         case "partitions" => Some(GraftMetaTable.partitions(baseRoot, snap))
@@ -67,7 +66,7 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    SnapshotTable.currentSeq(rootOf(ident)).isDefined
+    SnapshotTable.currentSeq(rootOf(ident)).isDefined || metaTable(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = java.nio.file.Paths.get((s"$warehouse" +: namespace).mkString("/"))

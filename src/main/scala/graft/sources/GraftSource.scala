@@ -46,8 +46,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val r = root(options)
     Option(options.get("snapshot")) match {
-      case Some(seq) => GraftSource.schemaOf(r,
-        SnapshotTable.snapshotAt(r, seq.toLong).getOrElse(
+      case Some(seqStr) =>
+        val seq = GraftSource.parseSnapshotOption(seqStr)
+        GraftSource.schemaOf(r, SnapshotTable.snapshotAt(r, seq).getOrElse(
           throw new IllegalStateException(s"no snapshot $seq under $r")))
       case None => GraftSource.tableSchema(r)
     }
@@ -65,10 +66,7 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // committed snapshot instead of CURRENT (immutable; expire permitting).
     val pinned = Option(properties.get("snapshot")) match {
       case Some(seqStr) =>
-        val seq = try seqStr.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"option snapshot must be a snapshot seq number, got '$seqStr'")
-        }
+        val seq = GraftSource.parseSnapshotOption(seqStr)
         Some(SnapshotTable.snapshotAt(r, seq).getOrElse(
           throw new IllegalStateException(s"no snapshot $seq under $r")))
       case None => SnapshotTable.currentSnapshot(r)
@@ -82,6 +80,14 @@ class GraftSource extends TableProvider with DataSourceRegister {
 object GraftSource {
   /** File schema from the manifest DDL (recorded at commit) + the p_date
     * directory key surfaced as a column. */
+  /** Parse the `snapshot` option with a named error (inferSchema runs
+    * before getTable, so the guard must live on the shared path). */
+  def parseSnapshotOption(s: String): Long =
+    try s.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"option snapshot must be a snapshot seq number, got '$s'")
+    }
+
   def tableSchema(root: String): StructType =
     schemaOf(root, SnapshotTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no CURRENT snapshot under $root")))

@@ -484,10 +484,35 @@ object SnapshotTable {
             withDate)
         } else spark.emptyDataFrame
       } else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
-        spark.read.parquet(es.map(_.path): _*)
+        // delivered rows honor the TO snapshot's delete vectors — a delta
+        // file never surfaces rows already deleted as of `toSeq`
+        applyDeletes(spark, spark.read.parquet(es.map(_.path): _*), es)
           .withColumn("p_date", org.apache.spark.sql.functions.lit(d))
       }.reduce(_.unionByName(_))
     (df, delta.length, to.parts.length)
+  }
+
+  /** DELETIONS between two snapshots: the doc_ids of every delete file
+    * `toSeq` references that `fromSeq` does not. Delete commits add no
+    * data files, so they are INVISIBLE to [[changesBetween]] / the
+    * streaming source (file-level CDC) — a downstream replica applies
+    * this id set alongside the row delta to stay consistent. */
+  def deleteDeltaBetween(spark: SparkSession, root: String, fromSeq: Long,
+      toSeq: Long): DataFrame = {
+    require(fromSeq < toSeq, s"fromSeq $fromSeq must precede toSeq $toSeq")
+    val from = snapshotAt(root, fromSeq).getOrElse(
+      throw new IllegalStateException(s"no snapshot $fromSeq under $root"))
+    val to = snapshotAt(root, toSeq).getOrElse(
+      throw new IllegalStateException(s"no snapshot $toSeq under $root"))
+    val old = from.parts.flatMap(_.deletes).toSet
+    val fresh = to.parts.flatMap(_.deletes).distinct.filterNot(old)
+    if (fresh.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else spark.read.parquet(fresh: _*)
+      .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
   }
 
   // ---- maintenance: snapshot expiration + orphan GC ------------------------
@@ -621,9 +646,11 @@ object SnapshotTable {
       val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
       val latest = snapshotAt(root, seq - 1).getOrElse(snap)
       // abort (and clean up our orphaned rewrite) if a concurrent writer
-      // already replaced part of the selected set — committing on top
-      // would double-count those rows
-      if (!mergedPaths.subsetOf(latest.parts.map(_.path).toSet)) {
+      // changed ANY selected entry — full case-class equality, not path
+      // equality: a deleteWhere layers delete refs WITHOUT moving the
+      // data path, and committing this rewrite over it would resurrect
+      // the concurrently-deleted rows
+      if (!merge.toSet.subsetOf(latest.parts.toSet)) {
         recursiveDelete(Paths.get(s"$root/data/compact-$token"))
         return None
       }

@@ -91,7 +91,12 @@ private[graft] class GraftStreamSource(sqlContext: SQLContext, root: String,
         sqlContext.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
-        sqlContext.sparkSession.read.parquet(es.map(_.path): _*)
+        // honor the batch snapshot's delete vectors on delivered rows.
+        // NOTE: delete-ONLY commits advance the offset with an empty
+        // batch (file-level CDC) — replicas additionally consume
+        // SnapshotTable.deleteDeltaBetween for the removed ids.
+        SnapshotTable.applyDeletes(sqlContext.sparkSession,
+          sqlContext.sparkSession.read.parquet(es.map(_.path): _*), es)
           .withColumn("p_date", lit(d))
           .select(cols.map(col): _*)
       }.reduce(_.unionByName(_))

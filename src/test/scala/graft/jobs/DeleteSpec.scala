@@ -72,6 +72,39 @@ class DeleteSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
 
+  test("concurrent deletes: overlapping partitions conflict, disjoint ones commute") {
+    val root = Files.createTempDirectory("mor-delete4").toString
+    IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root, "base")
+    val total = SnapshotTable.read(spark, root)._1.count()
+    // delete A computes its row set over every partition (doc_id < 250
+    // spans all cells), then delete B (doc_id % 2 == 0, also all cells)
+    // commits first — A must ABORT, not silently drop B's refs
+    intercept[java.util.ConcurrentModificationException] {
+      IngestJob.deleteWhere(spark, root, col("doc_id") < 250, "delA",
+        beforeCommit = () =>
+          IngestJob.deleteWhere(spark, root, col("doc_id") % 2 === 0, "delB"))
+    }
+    // B's delete survived; A's did not commit
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    assert(df.filter(col("doc_id") % 2 === 0).count() === 0)
+    assert(df.filter(col("doc_id") < 250).count() > 0, "A must not have applied")
+    assert(df.count() === total -
+      IngestJob.pagesWithPartitions(spark, sf0001)
+        .filter(col("doc_id") % 2 === 0).count())
+
+    // DISJOINT-partition deletes (different spatial cells) commute: both
+    // land, each touched entry keeps exactly its own ref
+    val root2 = Files.createTempDirectory("mor-delete5").toString
+    IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root2, "base")
+    IngestJob.deleteWhere(spark, root2, col("doc_id") % 10 === 3, "delA",
+      beforeCommit = () =>
+        IngestJob.deleteWhere(spark, root2, col("doc_id") % 10 === 4, "delB"))
+    val (df2, _, _) = SnapshotTable.read(spark, root2)
+    assert(df2.filter(col("doc_id") % 10 === 3 || col("doc_id") % 10 === 4).count() === 0)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root2))
+  }
+
   test("delete files survive expire while referenced") {
     val root = Files.createTempDirectory("mor-delete3").toString
     IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root, "base")
