@@ -114,6 +114,12 @@ object GraftCli {
       val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
         num(a)(_.toLong), num(b)(_.toLong))
       println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "delete" :: root :: maxDocId :: jobId :: Nil =>
+      // merge-on-read delete: no data-file rewrite, readers exclude
+      val s = IngestJob.deleteWhere(spark, root,
+        org.apache.spark.sql.functions.col("doc_id") < num(maxDocId)(_.toLong), jobId)
+      println(s"delete: snapshot ${s.seq}, " +
+        s"${s.parts.count(_.deletes.nonEmpty)} partitions carry delete vectors")
     case "zorder" :: sfDir :: out :: Nil =>
       // z-order clustered export (tight per-file spatial stats)
       val n = IngestJob.zorderArchive(spark, sfDir, out)
@@ -145,6 +151,7 @@ object GraftCli {
       |  merge-global <sfDir> <root> <jobId> upsert with partition-moving keys (global anti-join)
       |  changes   <root> <seqA> <seqB>   CDC: file-level delta between two snapshots
       |  zorder    <sfDir> <outDir>       z-order clustered parquet export
+      |  delete    <root> <maxDocId> <jobId>  merge-on-read delete of doc_id < maxDocId
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary
       |  clean     <sfDir>                corpus-cleaning pipeline inventory""".stripMargin
 }
