@@ -33,8 +33,35 @@ import graft.sources.{GraftSource, SnapshotTable}
   * placement pattern as the Kafka connector (`o.a.s.sql.kafka010`) and
   * Delta's DeltaSource; everything else stays in `graft.*`.
   */
-class GraftStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-stream"
+
+  /** Sink side: `writeStream.format("graft-stream").option("path", root)`
+    * — each micro-batch lands as one immutable partition + one delta
+    * snapshot commit (same machinery as
+    * `StreamingJobs.commitBatchToTable`; idempotent per batchId). */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val r = root(parameters)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // V1 sink contract: `data`'s plan is the incremental execution and
+        // must not be re-analyzed by downstream actions — rebase it onto
+        // the computed RDD first (the standard V1-sink wrap)
+        val fresh = sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+          .internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+            isStreaming = false)
+        graft.streaming.StreamingJobs.commitBatchToTable(fresh, batchId, r)
+      }
+      override def name(): String = s"graft-stream-sink(`$r`)"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+      override def toString: String = name()
+    }
+  }
 
   private def root(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -61,6 +61,28 @@ class StreamReadSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
   }
 
+  test("writeStream.format(graft-stream) sinks batches as snapshot commits") {
+    val src = Files.createTempDirectory("sinkfmt-src").toString
+    val root = Files.createTempDirectory("sinkfmt-tbl").toString
+    val ckpt = Files.createTempDirectory("sinkfmt-ckpt").toString
+    val rows = IngestJob.pagesWithPartitions(spark, sf0001)
+      .select("doc_id", "ts_sec", "ilat", "ilon", "lang")
+    rows.write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(rows.schema).parquet(src)
+      .writeStream.format("graft-stream").option("path", root)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the sink committed real snapshots readable through every surface
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    assert(df.count() === rows.count())
+    assert(spark.read.format("graft").load(root).count() === rows.count())
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(src))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
+  }
+
   test("fromSeq skips the backfill") {
     val root = Files.createTempDirectory("streamread2").toString
     val base = IngestJob.pagesWithPartitions(spark, sf0001)
