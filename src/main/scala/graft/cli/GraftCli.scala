@@ -114,6 +114,13 @@ object GraftCli {
       val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
         num(a)(_.toLong), num(b)(_.toLong))
       println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "tag" :: root :: name :: seq :: Nil =>
+      SnapshotTable.tagSnapshot(root, name, num(seq)(_.toLong))
+      println(s"tag: $name -> snapshot $seq (pinned against expire)")
+    case "tags" :: root :: Nil =>
+      val ts = SnapshotTable.listTags(root)
+      if (ts.isEmpty) println(s"no tags under $root")
+      else ts.foreach { case (n, s) => println(s"$n -> snap-$s") }
     case "delete" :: root :: maxDocId :: jobId :: Nil =>
       // merge-on-read delete: no data-file rewrite, readers exclude
       val s = IngestJob.deleteWhere(spark, root,
@@ -152,6 +159,8 @@ object GraftCli {
       |  changes   <root> <seqA> <seqB>   CDC: file-level delta between two snapshots
       |  zorder    <sfDir> <outDir>       z-order clustered parquet export
       |  delete    <root> <maxDocId> <jobId>  merge-on-read delete of doc_id < maxDocId
+      |  tag       <root> <name> <seq>    pin a snapshot under a stable name
+      |  tags      <root>                 list named snapshot refs
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary
       |  clean     <sfDir>                corpus-cleaning pipeline inventory""".stripMargin
 }

@@ -515,6 +515,47 @@ object SnapshotTable {
       .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
   }
 
+  // ---- named refs (Iceberg tag analog) -------------------------------------
+
+  /** Tag a committed snapshot with a stable name (`meta/refs/<name>`,
+    * atomic-rename write). Tags pin snapshots against [[expire]] (tagged
+    * seqs are always retained) and resolve in [[readTag]] /
+    * `option("snapshot", ...)`-style flows — the "models trained on
+    * corpus-v3" reproducibility handle. */
+  def tagSnapshot(root: String, name: String, seq: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
+    require(snapshotAt(root, seq).isDefined, s"no snapshot $seq under $root")
+    val dir = Paths.get(root, "meta", "refs")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, seq.toString)
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def resolveTag(root: String, name: String): Option[Long] = {
+    val p = Paths.get(root, "meta", "refs", name)
+    if (!Files.exists(p)) None else Some(Files.readString(p).trim.toLong)
+  }
+
+  def listTags(root: String): Seq[(String, Long)] = {
+    val dir = Paths.get(root, "meta", "refs")
+    if (!Files.exists(dir)) Seq.empty
+    else withList(dir)(_.filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+      .toSeq).sortBy(_._1)
+  }
+
+  def dropTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(root, "meta", "refs", name))
+
+  /** Time-travel read by tag name. */
+  def readTag(spark: SparkSession, root: String, name: String,
+      p: Pruning = Pruning(), migrations: Migrations = Map.empty): (DataFrame, Int, Int) =
+    readAt(spark, root, resolveTag(root, name).getOrElse(
+      throw new IllegalStateException(s"no tag '$name' under $root")), p, migrations)
+
   // ---- maintenance: snapshot expiration + orphan GC ------------------------
 
   /** Expire all but the `keep` most recent snapshots, then garbage-collect
@@ -534,7 +575,9 @@ object SnapshotTable {
     require(keep >= 1, "must retain at least one snapshot")
     val seqs = snapshotSeqs(root)
     val cur = currentSeq(root)
-    val retain = (seqs.takeRight(keep) ++ cur).toSet
+    // tagged snapshots are pinned: a named ref ("corpus-v3") must stay
+    // readable until the tag is dropped, whatever the keep window says
+    val retain = (seqs.takeRight(keep) ++ cur ++ listTags(root).map(_._2)).toSet
     val drop = seqs.filterNot(retain)
     drop.foreach(s => Files.deleteIfExists(Paths.get(root, "meta", s"snap-$s.json")))
 
