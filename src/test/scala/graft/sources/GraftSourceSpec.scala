@@ -29,6 +29,18 @@ class GraftSourceSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("column pruning reaches the inner parquet scan (no html/text read)") {
+    val df = spark.read.format("graft").load(root).select("doc_id", "lang")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the V1-bridged relation re-selects only required columns, so the
+    // underlying parquet ReadSchema must exclude the fat columns
+    assert(plan.contains("ReadSchema"), plan.take(800))
+    assert(!plan.contains("html"), "html column read by a 2-column projection")
+    assert(!plan.contains("text,") && !plan.contains(",text"),
+      "text column read by a 2-column projection")
+  }
+
   test("pushed filters visible in the physical plan") {
     val df = spark.read.format("graft").load(root).filter(col("ilat") > 100)
     val plan = df.queryExecution.executedPlan.toString
