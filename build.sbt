@@ -39,4 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run-to-run and join lost ~10%; 16g restores stable timings (the box
   // has 128 GiB). Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ParallelGC beats the G1 default by ~19% on the 32-thread headline
+  // (77.6 vs 65.3 M rows/s, join 2.10s vs 2.88s measured A/B): this is a
+  // batch-throughput workload with no latency SLO, exactly ParallelGC's
+  // design point. Override with SPARK_GC.
+  sys.env.getOrElse("SPARK_GC", "-XX:+UseParallelGC"),
 )
