@@ -114,6 +114,9 @@ object SparkEntry {
     "q85_media_quarantine" -> ((s, d) => MultiModal.quarantineQuery(s, d)),
     "q86_corpus_pipeline" -> ((s, d) => CorpusQueries.corpusPipeline(s, d)),
     "q87_mor_delete" -> ((s, d) => graft.jobs.IngestJob.morDeleteQuery(s, d)),
+    "q88_chunk_dedup" -> ((s, d) => TextQueries.chunkDedup(s, d)),
+    "q89_repetition" -> ((s, d) => TextQueries.repetitionSignals(s, d)),
+    "q90_crawl_corridor" -> ((s, d) => GeoQueries.crawlCorridor(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -197,6 +200,18 @@ object SparkEntry {
         "FROM l WHERE plat IS NOT NULL) " +
         "SELECT source, count(*) AS n_hops, CAST(sum(d2) AS BIGINT) AS sum_d2, max(d2) AS max_d2 " +
         "FROM d GROUP BY source ORDER BY source"),
+    "q90_crawl_corridor" ->
+      (s"$P, l AS (SELECT source, doc_id, ilat, ilon, " +
+        "lag(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plat, " +
+        "lag(ilon) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plon FROM pages), " +
+        "st AS (SELECT source, doc_id, ilat, ilon, plat, plon, " +
+        "greatest(abs(ilat - plat), abs(ilon - plon), 1) AS n FROM l WHERE plat IS NOT NULL), " +
+        "e AS (SELECT st.*, unnest(generate_series(0, st.n)) AS i FROM st), " +
+        "c AS (SELECT source, doc_id, " +
+        "((((plat + 900) * n + (ilat - plat) * i) * 64) // (1800 * n)) * 64 + " +
+        "(((plon + 1800) * n + (ilon - plon) * i) * 64) // (3600 * n) AS cell FROM e) " +
+        "SELECT source, count(DISTINCT doc_id) AS n_segments, CAST(count(*) AS BIGINT) AS n_steps, " +
+        "count(DISTINCT cell) AS n_cells FROM c GROUP BY source ORDER BY source"),
     "q67_knn_table" ->
       (s"$P, q AS (SELECT doc_id AS qid, ilat AS qlat, ilon AS qlon FROM pages WHERE doc_id % 10 = 1), " +
         "d AS (SELECT q.qid AS qid, p.doc_id AS doc_id, " +

@@ -114,6 +114,11 @@ object GraftCli {
       val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
         num(a)(_.toLong), num(b)(_.toLong))
       println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "rollback" :: root :: seq :: Nil =>
+      // set-current: new snapshot with snapshot <seq>'s content; history
+      // (and time travel to the rolled-past snapshots) is preserved
+      val s = SnapshotTable.rollback(root, num(seq)(_.toLong))
+      println(s"rollback: snapshot ${s.seq} restores content of snap-$seq")
     case "tag" :: root :: name :: seq :: Nil =>
       SnapshotTable.tagSnapshot(root, name, num(seq)(_.toLong))
       println(s"tag: $name -> snapshot $seq (pinned against expire)")
@@ -159,6 +164,7 @@ object GraftCli {
       |  changes   <root> <seqA> <seqB>   CDC: file-level delta between two snapshots
       |  zorder    <sfDir> <outDir>       z-order clustered parquet export
       |  delete    <root> <maxDocId> <jobId>  merge-on-read delete of doc_id < maxDocId
+      |  rollback  <root> <seq>           set-current: new snapshot restoring <seq>'s content
       |  tag       <root> <name> <seq>    pin a snapshot under a stable name
       |  tags      <root>                 list named snapshot refs
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary

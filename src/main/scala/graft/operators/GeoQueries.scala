@@ -417,6 +417,46 @@ object GeoQueries {
       .orderBy(col("source"))
   }
 
+  /** q90 — crawl-corridor cells: for every consecutive crawl hop within a
+    * source (the q68 segments), the set of level-6 cells the straight-line
+    * path traverses — the trajectory "supercover" that powers corridor
+    * queries (which tiles did this crawler sweep?). Per source: hop count,
+    * interpolation steps, distinct corridor cells.
+    *
+    * Determinism across engines (FIXTURES §3): each segment is sampled at
+    * n = max(|Δlat|, |Δlon|, 1) integer steps, and the interpolated cell
+    * axis is ONE floor division of a provably NON-NEGATIVE numerator —
+    * ((lat0+900)*n + Δlat*i) ∈ [0, 1800n) — so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree without a float anywhere.
+    *
+    * Scale shape: one window (keyed on source, same partitioning as q68),
+    * then a pure generator explode whose fan-out is bounded by the grid
+    * dimension (≤3600 steps/hop regardless of corpus size), then one agg
+    * keyed on source. Nothing touches the driver. */
+  def crawlCorridor(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
+    val p = 1L << level
+    val w = Window.partitionBy(col("source")).orderBy(col("ts_sec"), col("doc_id"))
+    Pages.fromDocuments(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
+      .withColumn("plat", lag(col("ilat"), 1).over(w))
+      .withColumn("plon", lag(col("ilon"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .selectExpr("source", "doc_id",
+        "CAST(ilat AS BIGINT) AS ilat", "CAST(ilon AS BIGINT) AS ilon",
+        "CAST(plat AS BIGINT) AS plat", "CAST(plon AS BIGINT) AS plon")
+      .selectExpr("source", "doc_id", "ilat", "ilon", "plat", "plon",
+        "greatest(abs(ilat - plat), abs(ilon - plon), CAST(1 AS BIGINT)) AS n")
+      .withColumn("i", explode(expr("sequence(CAST(0 AS BIGINT), n)")))
+      .selectExpr("source", "doc_id",
+        s"((((plat + 900) * n + (ilat - plat) * i) * $p) div (1800 * n)) * $p + " +
+          s"((((plon + 1800) * n + (ilon - plon) * i) * $p) div (3600 * n)) AS cell")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_segments"),
+        count(lit(1)).as("n_steps"),
+        countDistinct(col("cell")).as("n_cells"))
+      .orderBy(col("source"))
+  }
+
   /** D6-table — kNN where the QUERY SIDE IS A TABLE: every 10th page
     * finds its k nearest pages (self-kNN — the "similar locations"
     * query). Exercises the two-phase exact shape with a DISTRIBUTED query

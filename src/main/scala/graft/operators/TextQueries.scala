@@ -336,6 +336,73 @@ object TextQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  final val ChunkWords = 3
+
+  /** q88 — chunk-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape, adapted to the newline-free fixture corpus: a "paragraph" is a
+    * fixed window of [[ChunkWords]] tokens). Every document is split into
+    * contiguous token chunks; a chunk occurring anywhere earlier in the
+    * corpus (order = (doc_id, chunk_idx), the crawl order) is REMOVED and
+    * only its first occurrence kept — per doc the report is chunks seen /
+    * kept / surviving token count.
+    *
+    * Scale shape: chunking is a pure map-side higher-order projection
+    * (one `transform`+`slice` over the token array — no explode until the
+    * chunk rows are needed); corpus-wide first-occurrence ranking is ONE
+    * shuffle keyed on the chunk text (high cardinality — vocabulary^w),
+    * then one agg back to doc_id. No driver state, no collect; at 100 TB
+    * the chunk key would hash to a 128-bit digest before the exchange,
+    * which changes bytes-on-wire, not the plan. */
+  def chunkDedup(spark: SparkSession, sfDir: String, width: Int = ChunkWords): DataFrame = {
+    val chunks = expr(
+      s"transform(sequence(0, int((size(split(text, ' ')) - 1) div $width)), " +
+        s"i -> array_join(slice(split(text, ' '), i * $width + 1, $width), ' '))")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("cidx"))
+    docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("cidx", "chunk")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("rn") === 1, size(split(col("chunk"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q89 — per-document repetition signals (the Gopher-rules shape:
+    * repetitious documents are low-quality): most-frequent-token share and
+    * duplicate-2-gram share, both as floor permille (integer — FIXTURES
+    * §3).
+    *
+    * Deliberately ZERO-SHUFFLE (gated in PlanShapeSpec): both signals are
+    * per-row array computations — the mode count is the longest run in the
+    * SORTED token array (one `aggregate` lambda), the duplicate-2-gram
+    * count is `n_grams - n_distinct_grams` — so the whole query is a
+    * projection; the only exchange is the final presentation sort. The
+    * oracle computes the same numbers the relational way (explode +
+    * groupBy) — agreement proves the lambda formulation. Documents with
+    * fewer than 2 tokens carry no 2-gram signal and are excluded (the
+    * oracle's inner join drops them identically). */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .filter(size(col("ws")) >= 2)
+      .selectExpr(
+        "doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_tok",
+        "aggregate(array_sort(ws), " +
+          "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), " +
+          "(acc, x) -> named_struct('prev', x, " +
+          "'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)), " +
+          "'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), " +
+          "acc -> acc.best) AS topc",
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))) AS grams")
+      .selectExpr("doc_id", "n_tok",
+        "topc * 1000 div n_tok AS top_word_pm",
+        "CAST(size(grams) - size(array_distinct(grams)) AS BIGINT) * 1000 div size(grams) AS dup2_pm")
+      .orderBy(col("doc_id"))
+
   // ---- oracle twins -------------------------------------------------------
 
   private[operators] val shCte =
@@ -362,6 +429,29 @@ object TextQueries {
       "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2)"
 
   val oracle: Map[String, String] = Map(
+    "q88_chunk_dedup" ->
+      (s"WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS ord FROM documents), " +
+        s"c AS (SELECT doc_id, (ord - 1) // $ChunkWords AS cidx, string_agg(word, ' ' ORDER BY ord) AS chunk " +
+        s"FROM w GROUP BY doc_id, (ord - 1) // $ChunkWords), " +
+        "r AS (SELECT doc_id, chunk, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn FROM c) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN len(string_split(chunk, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens " +
+        "FROM r GROUP BY doc_id ORDER BY doc_id"),
+    "q89_repetition" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS ord FROM documents), " +
+        "n AS (SELECT doc_id, count(*) AS n_tok FROM w GROUP BY doc_id), " +
+        "tw AS (SELECT doc_id, max(c) AS topc FROM " +
+        "(SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word) GROUP BY doc_id), " +
+        "g AS (SELECT a.doc_id, a.word || ' ' || b.word AS gram FROM w a " +
+        "JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1), " +
+        "dg AS (SELECT doc_id, count(*) - count(DISTINCT gram) AS dup2, count(*) AS n2 FROM g GROUP BY doc_id) " +
+        "SELECT n.doc_id AS doc_id, CAST(n.n_tok AS BIGINT) AS n_tok, " +
+        "CAST(tw.topc * 1000 // n.n_tok AS BIGINT) AS top_word_pm, " +
+        "CAST(dg.dup2 * 1000 // dg.n2 AS BIGINT) AS dup2_pm " +
+        "FROM n JOIN tw ON n.doc_id = tw.doc_id JOIN dg ON n.doc_id = dg.doc_id ORDER BY doc_id"),
     "q23_token_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_tok, " +
         "min(len(string_split(text,' '))) AS min_tok, max(len(string_split(text,' '))) AS max_tok " +

@@ -522,6 +522,24 @@ object SnapshotTable {
     * seqs are always retained) and resolve in [[readTag]] /
     * `option("snapshot", ...)`-style flows — the "models trained on
     * corpus-v3" reproducibility handle. */
+  /** Iceberg-style rollback (set-current-snapshot): commit a NEW snapshot
+    * whose content is snapshot `seq`'s. History is preserved — the bad
+    * snapshots stay time-travelable until `expire` GCs them — and the
+    * metadata cost is O(1) regardless of table size: the target's
+    * manifest refs are RE-REFERENCED verbatim (manifest files are
+    * immutable), never read, resolved, or rewritten. Re-referencing also
+    * makes them live again, so a later `expire` keeps every file the
+    * rolled-back state needs. A small target still storing inline parts
+    * is carried inline. */
+  def rollback(root: String, seq: Long): Snapshot = {
+    val p = Paths.get(root, "meta", s"snap-$seq.json")
+    require(Files.exists(p), s"rollback: no snapshot $seq under $root")
+    val target = parseSnapshotMeta(Files.readString(p))
+    commitWithRetry(root) { next =>
+      Snapshot(next, target.schemaVer, target.parts, target.schemaDdl, target.manifestRefs)
+    }
+  }
+
   def tagSnapshot(root: String, name: String, seq: Long): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name '$name'")
     require(snapshotAt(root, seq).isDefined, s"no snapshot $seq under $root")

@@ -200,6 +200,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles === 1, s"expected one shuffle on source:\n${plan.take(2000)}")
   }
 
+  test("repetition signals: pure projection — zero hash exchanges before the sort") {
+    val plan = graft.operators.TextQueries.repetitionSignals(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // both signals are per-row array lambdas; the only exchange the plan
+    // may contain is the final presentation sort's range partitioning
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 0, s"per-doc signals must not shuffle:\n${plan.take(2000)}")
+  }
+
+  test("chunk dedup: chunking is map-side; one chunk-key shuffle + one doc agg") {
+    val plan = graft.operators.TextQueries.chunkDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 2, s"expected chunk-rank + doc-agg shuffles only:\n${plan.take(2000)}")
+  }
+
   test("exact kNN plan is fully distributed: no collect between scan and result") {
     // the two-phase plan must be a single lazy DataFrame; building it must
     // not run any Spark job (the round-1 version collected per ring pass)

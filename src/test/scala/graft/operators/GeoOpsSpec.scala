@@ -69,4 +69,42 @@ class GeoOpsSpec extends SparkTestBase {
     val got = GeoQueries.compactSet(cells, 6, 4).collect()
     assert(got.length === 3 && got.forall(_.getInt(0) == 6))
   }
+
+  test("crawlCorridor matches an independent driver-side simulation (sf0.001)") {
+    // The DuckDB oracle mirrors the same SQL formula; this sim is the
+    // INDEPENDENT check — Math.floorDiv over materialized hops, no shared
+    // expression text. Also pins the supercover laws: endpoint cells are
+    // in the corridor and consecutive steps stay within one cell move.
+    val p = 64L
+    val hops = Pages.fromDocuments(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+    val want = hops.map { case (src, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val segs = ordered.sliding(2).collect { case Array(a, b) => (a, b) }.toSeq
+      var steps = 0L
+      val cells = scala.collection.mutable.Set[Long]()
+      for (((_, _, _, plat, plon), (_, _, _, ilat, ilon)) <- segs) {
+        val n = math.max(math.max(math.abs(ilat - plat).toLong, math.abs(ilon - plon).toLong), 1L)
+        var prev = -1L
+        for (i <- 0L to n) {
+          val ry = Math.floorDiv(((plat + 900L) * n + (ilat - plat) * i) * p, 1800L * n)
+          val rx = Math.floorDiv(((plon + 1800L) * n + (ilon - plon) * i) * p, 3600L * n)
+          val cell = ry * p + rx
+          if (prev >= 0) { // supercover law: one step never jumps cells
+            assert(math.abs(cell / p - prev / p) <= 1 && math.abs(cell % p - prev % p) <= 1)
+          }
+          prev = cell
+          cells += cell
+          steps += 1
+        }
+      }
+      src -> ((segs.length.toLong, steps, cells.size.toLong))
+    }
+    val got = GeoQueries.crawlCorridor(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
 }

@@ -52,4 +52,47 @@ class TextOpsSpec extends SparkTestBase {
     val fp = TextQueries.fingerprint(spark, sf001).collect()
     for (r <- fp) assert(r.getLong(2) <= r.getLong(1))
   }
+
+  test("chunk dedup: conservation laws + exact-dup doc keeps zero chunks (sf0.1)") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.1"
+    val out = TextQueries.chunkDedup(spark, sf01)
+    // corpus conservation: total kept chunks == corpus-wide distinct chunks
+    // (computed the set way, independent of the window-rank formulation)
+    val w = TextQueries.ChunkWords
+    val distinctChunks = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(explode(expr(
+        s"transform(sequence(0, int((size(split(text, ' ')) - 1) div $w)), " +
+          s"i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))")).as("c"))
+      .select(countDistinct($"c")).as[Long].head()
+    val agg = out.agg(sum($"kept_chunks"), sum($"n_chunks")).head()
+    assert(agg.getLong(0) === distinctChunks)
+    assert(agg.getLong(0) < agg.getLong(1), "sf0.1 corpus must contain duplicate chunks")
+    // per-doc sanity + a full-duplicate text (they exist at sf0.1) keeps 0
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val laterDup = docs.as("a").join(docs.as("b"),
+        $"a.text" === $"b.text" && $"a.doc_id" < $"b.doc_id")
+      .select(max($"b.doc_id")).as[Long].head()
+    val dupRow = out.filter($"doc_id" === laterDup).head()
+    assert(dupRow.getLong(2) === 0L, s"doc $laterDup is a full duplicate but kept chunks")
+  }
+
+  test("repetition signals: hand-built fixture hits exact permille values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repfix").toString
+    Seq(
+      (0L, "a a a a", "en", "s0", 7L),     // top 4/4 = 1000; grams 3, 1 distinct -> 666
+      (1L, "a b c d", "en", "s0", 7L),     // top 1/4 = 250; no dup grams -> 0
+      (2L, "a b a b a", "en", "s0", 9L),   // top 3/5 = 600; grams 4, 2 distinct -> 500
+      (3L, "x", "en", "s0", 1L))           // single token: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.repetitionSignals(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    val byId = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(0L) === ((4L, 1000L, 666L)))
+    assert(byId(1L) === ((4L, 250L, 0L)))
+    assert(byId(2L) === ((5L, 600L, 500L)))
+    graft.sources.SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
 }

@@ -39,4 +39,27 @@ class TagSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SnapshotTable.tagSnapshot(root, "x", 999))
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
+
+  test("rollback restores an earlier snapshot's content as a NEW snapshot") {
+    val root = Files.createTempDirectory("rollback").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    val third = base.filter(col("doc_id") % 3 === 0)
+    IngestJob.runPages(spark, third, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    val n1 = third.count()
+    IngestJob.runPages(spark, base, root, "j2") // the "bad" overwrite
+    val s2 = SnapshotTable.currentSeq(root).get
+    assert(SnapshotTable.read(spark, root)._1.count() === base.count())
+
+    val rb = SnapshotTable.rollback(root, s1)
+    assert(rb.seq === s2 + 1, "rollback must be a NEW commit, not a seq rewind")
+    // current content is snapshot-1's again; history stays time-travelable
+    assert(SnapshotTable.read(spark, root)._1.count() === n1)
+    assert(SnapshotTable.readAt(spark, root, s2)._1.count() === base.count())
+    // expire the rolled-past history: re-referenced manifests/data survive
+    SnapshotTable.expire(root, keep = 1, olderThanMs = 0L)
+    assert(SnapshotTable.read(spark, root)._1.count() === n1)
+    intercept[IllegalArgumentException](SnapshotTable.rollback(root, 999L))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
 }
