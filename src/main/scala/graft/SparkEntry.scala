@@ -117,6 +117,7 @@ object SparkEntry {
     "q88_chunk_dedup" -> ((s, d) => TextQueries.chunkDedup(s, d)),
     "q89_repetition" -> ((s, d) => TextQueries.repetitionSignals(s, d)),
     "q90_crawl_corridor" -> ((s, d) => GeoQueries.crawlCorridor(s, d)),
+    "q91_mor_upsert" -> ((s, d) => graft.jobs.IngestJob.morUpsertQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -301,6 +302,14 @@ object SparkEntry {
         "CAST((x1 - x0 + 1) AS BIGINT) * (y1 - y0 + 1) AS area, count(p.url) AS n_pages " +
         "FROM pr LEFT JOIN pages p ON p.ilon BETWEEN x0 AND x1 AND p.ilat BETWEEN y0 AND y1 " +
         "GROUP BY pr.fp_a, pr.fp_b, area ORDER BY fp_a, fp_b"),
+    // q91: SAME arithmetic as q61 — the MOR upsert must be row-identical
+    // to the COW merge (cross-implementation gate)
+    "q91_mor_upsert" ->
+      (s"$P, b AS (SELECT doc_id, lang, n_chars FROM pages WHERE doc_id % 3 <> 0), " +
+        "up AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM pages WHERE doc_id % 2 = 0), " +
+        "m AS (SELECT * FROM up UNION ALL SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM up)) " +
+        "SELECT lang, count(*) AS n_docs, count(DISTINCT doc_id) AS n_keys, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM m GROUP BY lang ORDER BY lang"),
     "q61_merge_upsert" ->
       (s"$P, b AS (SELECT doc_id, lang, n_chars FROM pages WHERE doc_id % 3 <> 0), " +
         "up AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM pages WHERE doc_id % 2 = 0), " +

@@ -114,6 +114,17 @@ object GraftCli {
       val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
         num(a)(_.toLong), num(b)(_.toLong))
       println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "branch" :: root :: name :: seq :: Nil =>
+      SnapshotTable.createBranch(root, name, num(seq)(_.toLong))
+      println(s"branch: $name created at snap-$seq (write-audit-publish: " +
+        "commit to the branch, audit, then fast-forward)")
+    case "branches" :: root :: Nil =>
+      val bs = SnapshotTable.listBranches(root)
+      if (bs.isEmpty) println(s"no branches under $root")
+      else bs.foreach { case (n, s) => println(s"$n -> snap-$s") }
+    case "fast-forward" :: root :: name :: Nil =>
+      val s = SnapshotTable.fastForward(root, name)
+      println(s"fast-forward: main snapshot ${s.seq} publishes branch '$name'")
     case "rollback" :: root :: seq :: Nil =>
       // set-current: new snapshot with snapshot <seq>'s content; history
       // (and time travel to the rolled-past snapshots) is preserved
@@ -165,6 +176,9 @@ object GraftCli {
       |  zorder    <sfDir> <outDir>       z-order clustered parquet export
       |  delete    <root> <maxDocId> <jobId>  merge-on-read delete of doc_id < maxDocId
       |  rollback  <root> <seq>           set-current: new snapshot restoring <seq>'s content
+      |  branch    <root> <name> <seq>    create a writable branch at snapshot <seq>
+      |  branches  <root>                 list branches
+      |  fast-forward <root> <name>       publish a branch's content to main
       |  tag       <root> <name> <seq>    pin a snapshot under a stable name
       |  tags      <root>                 list named snapshot refs
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary

@@ -377,8 +377,7 @@ object IngestJob {
     val updKeys = updates.select(col(key))
     val staleKeys: Set[(Long, String)] = current.parts.groupBy(_.pDate).toSeq
       .sortBy(_._1).flatMap { case (d, es) =>
-        SnapshotTable.applyDeletes(spark,
-          spark.read.parquet(es.map(_.path): _*), es)
+        SnapshotTable.applyDeletes(spark, es)
           .select(col(key), col("p_cell"))
           .join(updKeys, Seq(key), "left_semi")
           .select(col("p_cell")).distinct()
@@ -403,7 +402,7 @@ object IngestJob {
     // rows (the rewritten entries carry no delete refs — the rewrite
     // materializes them).
     val oldRows = touched.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
-      SnapshotTable.applyDeletes(spark, spark.read.parquet(es.map(_.path): _*), es)
+      SnapshotTable.applyDeletes(spark, es)
         .withColumn("p_date", lit(d))
     }.reduceOption(_.unionByName(_))
     val updCols = updates.columns.toSeq
@@ -570,8 +569,7 @@ object IngestJob {
     val current = SnapshotTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot under $root"))
     val byDate = current.parts.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
-      SnapshotTable.applyDeletes(spark,
-        spark.read.parquet(es.map(_.path): _*), es).withColumn("p_date", lit(d))
+      SnapshotTable.applyDeletes(spark, es).withColumn("p_date", lit(d))
     }.reduceOption(_.unionByName(_))
       .getOrElse(return current) // zero-partition snapshot: nothing to delete
     val hits = byDate.filter(cond).select(col("doc_id"), col("p_cell"), col("p_date"))
@@ -607,6 +605,111 @@ object IngestJob {
               "delete) after this delete computed its row set — re-run " +
               "against the new snapshot")
       })
+  }
+
+  /** Merge-on-read MERGE (the Iceberg v2 MOR upsert, completing the
+    * write-path matrix: COW merge `mergeInto`, global COW `mergeIntoGlobal`,
+    * MOR delete `deleteWhere`, MOR upsert here): updated keys' old rows are
+    * masked by delete vectors layered onto the partitions that hold them —
+    * found GLOBALLY from live rows, so partition-moving keys are safe — and
+    * the update rows land as NEW appended partitions, all in ONE atomic
+    * delta commit. No data file is rewritten: at 100 TB a few re-crawled
+    * docs per partition must not rewrite every touched partition the way
+    * the COW merges do.
+    *
+    * Correctness leans on delete SEQUENCING (`SnapshotTable.applyDeletes`):
+    * the vectors attach only to the PRE-EXISTING entries, so the appended
+    * rows — reusing the same doc_ids — are never masked by them. Reads pay
+    * one anti-join per delete layer until `compact` materializes. Conflict
+    * surface mirrors `deleteWhere`: a touched partition rewritten,
+    * delete-layered, or created concurrently aborts the commit. */
+  def mergeUpsertMor(spark: SparkSession, root: String, updates0: DataFrame,
+      jobId: String, key: String = "doc_id",
+      beforeCommit: () => Unit = () => ()): Snapshot = {
+    val current = SnapshotTable.currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot under $root"))
+    val updates = updates0.persist()
+    val updKeys = updates.select(col(key))
+    // old LIVE locations of updated keys -> one delete vector per partition
+    val hits0 = current.parts.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+      SnapshotTable.applyDeletes(spark, es)
+        .select(col(key), col("p_cell"))
+        .join(updKeys, Seq(key), "left_semi")
+        .withColumn("p_date", lit(d))
+    }.reduceOption(_.unionByName(_))
+    val (withRefs, touchedDel) = hits0 match {
+      case None => (Seq.empty[PartitionEntry], Set.empty[(Long, String)])
+      case Some(h0) =>
+        val h = h0.persist()
+        if (h.isEmpty) { h.unpersist(false); (Seq.empty[PartitionEntry], Set.empty[(Long, String)]) }
+        else {
+          val dir = s"$root/data/deletes/$jobId-${java.util.UUID.randomUUID().toString.take(8)}"
+          h.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
+            .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
+          h.unpersist(false)
+          val touched = spark.read.parquet(dir)
+            .select(col("p_cell"), col("p_date")).distinct()
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          val refs = current.parts.filter(p => touched((p.pCell, p.pDate)))
+            .sortBy(e => (e.pCell, e.pDate))
+            .map(p => p.copy(deletes = p.deletes :+ s"$dir/pc=${p.pCell}/pd=${p.pDate}"))
+          (refs, touched)
+        }
+    }
+    // appended update partitions (attempt-versioned like every data write)
+    val seq = SnapshotTable.snapshotSeqs(root).lastOption.getOrElse(0L) + 1
+    val attemptDir = s"$root/data/$jobId/a$seq"
+    updates.withColumn("pc", col("p_cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pc", "p_date").parquet(attemptDir)
+    val newEntries = updates.groupBy(col("p_cell"), col("p_date"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("ilat")), max(col("ilat")), min(col("ilon")), max(col("ilon")),
+        min(col("ts_sec")), max(col("ts_sec")))
+      .collect()
+      .map { r =>
+        PartitionEntry(r.getLong(0), r.getString(1),
+          s"$attemptDir/pc=${r.getLong(0)}/p_date=${r.getString(1)}",
+          r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getLong(7), r.getLong(8))
+      }
+      .sortBy(e => (e.pCell, e.pDate)).toIndexedSeq
+    updates.unpersist(false)
+    val baseSet = current.parts.filter(p => touchedDel((p.pCell, p.pDate))).toSet
+    beforeCommit() // test hook: interleave a concurrent writer here
+    SnapshotTable.commitDeltaWithRetry(root)(
+      withRefs ++ newEntries, p => touchedDel((p.pCell, p.pDate)),
+      removePCells = if (touchedDel.isEmpty) Some(Set.empty[Long])
+        else Some(touchedDel.map(_._1)),
+      schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
+      validate = affected => affected.foreach { p =>
+        val k = (p.pCell, p.pDate)
+        if (touchedDel(k) && !baseSet.contains(p))
+          throw new java.util.ConcurrentModificationException(
+            s"MOR upsert conflict: partition $k was written after this upsert " +
+              "computed its masked row set — re-run against the new snapshot")
+      })
+  }
+
+  /** MOR upsert end to end (oracle-gated q91): SAME base + update sets as
+    * the COW merge q61 — the oracle is q61's arithmetic recompute, so hash
+    * equality proves the merge-on-read path (delete vectors + appends +
+    * sequencing-scoped reads) row-identical to copy-on-write. */
+  def morUpsertQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def prepared = pagesWithPartitions(spark, sfDir)
+      .withColumn("p_date", lit("all"))
+    val root = cachedTable("graft-morups", sfDir, 2L, ver = 1) { (stage, _) =>
+      runPages(spark, prepared.filter(col("doc_id") % 3 =!= 0), stage, "base")
+      mergeUpsertMor(spark, stage,
+        prepared.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        "mup")
+      ()
+    }
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("doc_id")).as("n_keys"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
   }
 
   /** Merge-on-read delete end to end (oracle-gated q87): base table

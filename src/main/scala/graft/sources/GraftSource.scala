@@ -364,8 +364,7 @@ private[sources] class GraftRelation(ctx: SQLContext, snap: SnapshotTable.Snapsh
       else keep.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
         // merge-on-read deletes apply BEFORE column pruning (the
         // doc_id identity column need not be in the required set)
-        SnapshotTable.applyDeletes(spark,
-          spark.read.parquet(es.map(_.path): _*), es)
+        SnapshotTable.applyDeletes(spark, es)
           .withColumn("p_date", lit(d))
           .select(cols.map(col): _*)
       }.reduce(_.unionByName(_))

@@ -222,7 +222,14 @@ object SnapshotTable {
     * loser gets SnapshotConflictException instead of silently overwriting
     * (ADVICE r1: the commit path was an unlocked read-modify-write).
     * CURRENT only ever advances. */
-  def commitSnapshot(root: String, snap0: Snapshot): Unit = {
+  def commitSnapshot(root: String, snap0: Snapshot): Unit =
+    commitSnapshot(root, snap0, advanceCurrent = true)
+
+  /** `advanceCurrent = false` commits the snapshot file WITHOUT moving the
+    * main (CURRENT) ref — the branch-commit path: the snapshot joins the
+    * global seq space (time travel by seq works) but main readers never
+    * see it until a fast-forward publishes it. */
+  def commitSnapshot(root: String, snap0: Snapshot, advanceCurrent: Boolean): Unit = {
     // large FULL commits auto-group their inline entries into manifest
     // files so the snapshot file itself stays metadata-sized; delta
     // commits (refs already set) and small tables pass through unchanged
@@ -244,6 +251,7 @@ object SnapshotTable {
           s"snapshot ${snap.seq} already committed under $root")
     }
     Files.deleteIfExists(tmp)
+    if (!advanceCurrent) return
     // CURRENT advance under a per-root JVM monitor + an OS file lock: the
     // naked check-then-move was a race (two CAS winners on different seqs
     // could flip CURRENT backwards). The monitor serializes same-JVM
@@ -432,25 +440,36 @@ object SnapshotTable {
       else if (keep.isEmpty) {
         // no matching partitions: empty frame with the table schema
         spark.read.parquet(snap.parts.head.path).limit(0)
-      } else applyDeletes(spark, spark.read.parquet(keep.map(_.path): _*), keep)
+      } else applyDeletes(spark, keep)
     (migrate(df, snap.schemaVer, migrations), keep.length, snap.parts.length)
   }
 
-  /** Merge-on-read: anti-join the union of the kept entries' delete files
-    * (doc_id is the table's row identity — a deleted id is gone from
-    * every partition holding it; ids absent from a partition simply don't
-    * match). Delete sets are commit-bounded and broadcast. */
-  def applyDeletes(spark: SparkSession, df: DataFrame,
-      keep: Seq[PartitionEntry]): DataFrame = {
-    val deletePaths = keep.flatMap(_.deletes).distinct
-    if (deletePaths.isEmpty) df
-    else {
-      require(df.columns.contains("doc_id"),
-        "merge-on-read deletes need the doc_id row-identity column")
-      val ids = spark.read.parquet(deletePaths: _*)
-        .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
-      df.join(org.apache.spark.sql.functions.broadcast(ids), Seq("doc_id"), "left_anti")
-    }
+  /** Merge-on-read read path with Iceberg-v2 delete SEQUENCING: a delete
+    * ref masks ONLY the entries that carry it — a data file appended
+    * AFTER a delete was committed (e.g. a MOR upsert's new rows reusing
+    * the same doc_ids) is never masked by that earlier delete, because
+    * only the PRE-EXISTING entries had the ref layered onto them.
+    * doc_id is the row identity within a scope: ids absent from an entry
+    * simply don't match. Entries sharing an identical delete set (the
+    * overwhelmingly common no-deletes case) read in ONE multi-path scan,
+    * so the fast path stays a single parquet read; delete sets are
+    * commit-bounded and broadcast. */
+  def applyDeletes(spark: SparkSession,
+      entries: Seq[PartitionEntry]): DataFrame = {
+    require(entries.nonEmpty, "applyDeletes needs at least one entry")
+    entries.groupBy(_.deletes).toSeq
+      .sortBy(_._2.map(_.path).min) // deterministic group order
+      .map { case (dels, es) =>
+        val df = spark.read.parquet(es.map(_.path): _*)
+        if (dels.isEmpty) df
+        else {
+          require(df.columns.contains("doc_id"),
+            "merge-on-read deletes need the doc_id row-identity column")
+          val ids = spark.read.parquet(dels.distinct: _*)
+            .select(org.apache.spark.sql.functions.col("doc_id")).distinct()
+          df.join(org.apache.spark.sql.functions.broadcast(ids), Seq("doc_id"), "left_anti")
+        }
+      }.reduce(_.unionByName(_))
   }
 
   /** CDC-style incremental read (the Iceberg incremental-scan analog):
@@ -486,7 +505,7 @@ object SnapshotTable {
       } else delta.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
         // delivered rows honor the TO snapshot's delete vectors — a delta
         // file never surfaces rows already deleted as of `toSeq`
-        applyDeletes(spark, spark.read.parquet(es.map(_.path): _*), es)
+        applyDeletes(spark, es)
           .withColumn("p_date", org.apache.spark.sql.functions.lit(d))
       }.reduce(_.unionByName(_))
     (df, delta.length, to.parts.length)
@@ -574,6 +593,117 @@ object SnapshotTable {
     readAt(spark, root, resolveTag(root, name).getOrElse(
       throw new IllegalStateException(s"no tag '$name' under $root")), p, migrations)
 
+  // ---- branches (mutable refs; write-audit-publish) ------------------------
+
+  /** Branches are MUTABLE named refs under `meta/branches/<name>` (tags are
+    * immutable pins). They carry the Iceberg write-audit-publish loop:
+    * create a branch at the current state, commit experimental/staged work
+    * ONTO THE BRANCH (main's CURRENT never moves — no reader sees it),
+    * audit via [[readBranch]], then publish with [[fastForward]] or discard
+    * with [[dropBranch]]. Branch snapshots share the global seq space, so
+    * time travel by seq and manifest reuse work unchanged; [[expire]] pins
+    * every branch head. */
+  def createBranch(root: String, name: String, fromSeq: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name '$name'")
+    require(snapshotAt(root, fromSeq).isDefined, s"no snapshot $fromSeq under $root")
+    val dir = Paths.get(root, "meta", "branches")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, fromSeq.toString)
+    try Files.createLink(dir.resolve(name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(s"branch '$name' already exists under $root")
+    }
+    Files.deleteIfExists(tmp)
+  }
+
+  def resolveBranch(root: String, name: String): Option[Long] = {
+    val p = Paths.get(root, "meta", "branches", name)
+    if (!Files.exists(p)) None else Some(Files.readString(p).trim.toLong)
+  }
+
+  def listBranches(root: String): Seq[(String, Long)] = {
+    val dir = Paths.get(root, "meta", "branches")
+    if (!Files.exists(dir)) Seq.empty
+    else withList(dir)(_.toSeq).filter(p => Files.isRegularFile(p) &&
+      !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+      .sortBy(_._1)
+  }
+
+  def dropBranch(root: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(root, "meta", "branches", name))
+
+  /** Read the branch head with the usual pruning surface. */
+  def readBranch(spark: SparkSession, root: String, name: String,
+      p: Pruning = Pruning(), migrations: Migrations = Map.empty): (DataFrame, Int, Int) =
+    readAt(spark, root, resolveBranch(root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root")), p, migrations)
+
+  /** Commit ONTO a branch: `build(nextSeq, head)` produces the new branch
+    * snapshot from the current head; the snapshot file lands in the global
+    * seq space WITHOUT advancing CURRENT, then the branch ref CAS-advances
+    * (expect = the head built against). A lost ref race rebuilds against
+    * the new head — the orphaned snapshot file is unreferenced and expire
+    * collects it. */
+  def commitToBranch(root: String, name: String, maxRetries: Int = 10)(
+      build: (Long, Snapshot) => Snapshot): Snapshot = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val headSeq = resolveBranch(root, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' under $root"))
+      val head = snapshotAt(root, headSeq).getOrElse(
+        throw new IllegalStateException(s"branch '$name' head snap-$headSeq missing"))
+      val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
+      val snap = build(seq, head)
+      try {
+        commitSnapshot(root, snap, advanceCurrent = false)
+        if (casBranch(root, name, headSeq, snap.seq)) return snap
+      } catch { case _: SnapshotConflictException => () }
+      attempt += 1
+    }
+    throw new SnapshotConflictException(
+      s"branch '$name' commit lost ${maxRetries + 1} races under $root")
+  }
+
+  /** Publish: main takes the branch head's CONTENT as a new commit (the
+    * same O(1) manifest re-reference as [[rollback]]). No ancestry DAG is
+    * recorded, so this is an unconditional set-current — run it only from
+    * the writer that owns the publish step (the WAP contract). */
+  def fastForward(root: String, name: String): Snapshot =
+    rollback(root, resolveBranch(root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root")))
+
+  /** Atomic branch-ref advance: succeeds only if the ref still points at
+    * `expect`. Same two-level locking as the CURRENT advance (per-ref JVM
+    * monitor — FileChannel.lock throws rather than blocks on same-JVM
+    * overlap — plus an OS file lock for cross-process writers). */
+  private def casBranch(root: String, name: String, expect: Long, to: Long): Boolean = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString + "#branch:" + name
+    val mon = currentAdvanceLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val dir = Paths.get(root, "meta", "branches")
+      Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(s".$name.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!resolveBranch(root, name).contains(expect)) false
+          else {
+            val tmp = dir.resolve(s".$name.tmp-$to")
+            Files.writeString(tmp, to.toString)
+            Files.move(tmp, dir.resolve(name),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            true
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   // ---- maintenance: snapshot expiration + orphan GC ------------------------
 
   /** Expire all but the `keep` most recent snapshots, then garbage-collect
@@ -595,7 +725,8 @@ object SnapshotTable {
     val cur = currentSeq(root)
     // tagged snapshots are pinned: a named ref ("corpus-v3") must stay
     // readable until the tag is dropped, whatever the keep window says
-    val retain = (seqs.takeRight(keep) ++ cur ++ listTags(root).map(_._2)).toSet
+    val retain = (seqs.takeRight(keep) ++ cur ++ listTags(root).map(_._2) ++
+      listBranches(root).map(_._2)).toSet
     val drop = seqs.filterNot(retain)
     drop.foreach(s => Files.deleteIfExists(Paths.get(root, "meta", s"snap-$s.json")))
 
@@ -691,7 +822,7 @@ object SnapshotTable {
       val outPath = s"$root/data/compact-$token/p_date=$date"
       // compaction APPLIES merge-on-read deletes: the rewritten files hold
       // only live rows and the merged entry carries no delete refs
-      applyDeletes(spark, spark.read.parquet(g.map(_.path): _*), g)
+      applyDeletes(spark, g)
         .coalesce(math.max(1, (g.map(_.rows).sum / 1000000L).toInt))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outPath)
       val rows =

@@ -122,8 +122,7 @@ private[graft] class GraftStreamSource(sqlContext: SQLContext, root: String,
         // NOTE: delete-ONLY commits advance the offset with an empty
         // batch (file-level CDC) — replicas additionally consume
         // SnapshotTable.deleteDeltaBetween for the removed ids.
-        SnapshotTable.applyDeletes(sqlContext.sparkSession,
-          sqlContext.sparkSession.read.parquet(es.map(_.path): _*), es)
+        SnapshotTable.applyDeletes(sqlContext.sparkSession, es)
           .withColumn("p_date", lit(d))
           .select(cols.map(col): _*)
       }.reduce(_.unionByName(_))

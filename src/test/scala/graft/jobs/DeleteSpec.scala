@@ -105,6 +105,77 @@ class DeleteSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root2))
   }
 
+  test("MOR upsert: vectors mask old rows, appends never rewrite, sequencing layers") {
+    val root = Files.createTempDirectory("mor-upsert").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val before = SnapshotTable.currentSnapshot(root).get
+    val total = base.count()
+
+    // upsert: every 10th doc re-crawled with n_chars + 1000
+    val up1 = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    val s1 = IngestJob.mergeUpsertMor(spark, root, up1, "up1")
+    // no pre-existing data file rewritten: every old path is still referenced
+    assert(before.parts.map(_.path).toSet.subsetOf(s1.parts.map(_.path).toSet),
+      "MOR upsert must not rewrite a data file")
+    assert(s1.parts.exists(_.deletes.nonEmpty), "old locations must carry vectors")
+    assert(s1.parts.length > before.parts.length, "updates must APPEND entries")
+
+    // row semantics: count conserved, keys unique, updated values visible
+    val (df1, _, _) = SnapshotTable.read(spark, root)
+    assert(df1.count() === total)
+    assert(df1.select(col("doc_id")).distinct().count() === total)
+    val want1 = base.filter(col("doc_id") === 0).select(col("n_chars"))
+      .head().getLong(0) + 1000L
+    assert(df1.filter(col("doc_id") === 0).select(col("n_chars"))
+      .head().getLong(0) === want1)
+
+    // SEQUENCING: a second upsert of the same keys masks the FIRST upsert's
+    // appended rows (its vector layers onto the first attempt's entries)
+    // while the second attempt's own appends stay live
+    val up2 = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(5000L))
+    IngestJob.mergeUpsertMor(spark, root, up2, "up2")
+    val (df2, _, _) = SnapshotTable.read(spark, root)
+    assert(df2.count() === total)
+    assert(df2.select(col("doc_id")).distinct().count() === total)
+    assert(df2.filter(col("doc_id") === 0).select(col("n_chars"))
+      .head().getLong(0) === want1 + 4000L)
+
+    // compact materializes the whole layered state; counts unchanged
+    val compacted = SnapshotTable.compact(spark, root)(_ => true).get
+    assert(compacted.parts.forall(_.deletes.isEmpty))
+    val (df3, _, _) = SnapshotTable.read(spark, root)
+    assert(df3.count() === total)
+    assert(df3.filter(col("doc_id") === 0).select(col("n_chars"))
+      .head().getLong(0) === want1 + 4000L)
+
+    // time travel: pre-upsert snapshot still shows the original value
+    assert(SnapshotTable.readAt(spark, root, before.seq)._1
+      .filter(col("doc_id") === 0).select(col("n_chars"))
+      .head().getLong(0) === want1 - 1000L)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("MOR upsert conflict: concurrent write to a masked partition aborts") {
+    val root = Files.createTempDirectory("mor-upsert2").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val up = base.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    intercept[java.util.ConcurrentModificationException] {
+      IngestJob.mergeUpsertMor(spark, root, up, "upA",
+        beforeCommit = () =>
+          IngestJob.deleteWhere(spark, root, col("doc_id") % 2 === 1, "delB"))
+    }
+    // B won; A never applied
+    val (df, _, _) = SnapshotTable.read(spark, root)
+    assert(df.filter(col("doc_id") % 2 === 1).count() === 0)
+    assert(df.count() === base.filter(col("doc_id") % 2 === 0).count())
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
   test("delete files survive expire while referenced") {
     val root = Files.createTempDirectory("mor-delete3").toString
     IngestJob.runPages(spark, IngestJob.pagesWithPartitions(spark, sf0001), root, "base")

@@ -219,4 +219,44 @@ class TableLayerSpec extends SparkTestBase {
     val round = SnapshotTable.parseSnapshot(SnapshotTable.snapshotJson(s))
     assert(round === s)
   }
+
+  test("partition evolution: finer-grained later generation coexists; reads + pruning sound") {
+    // The Iceberg partition-spec-evolution analog. CONTRACT: p_cell values
+    // across spec generations must be namespace-disjoint, or a new-spec
+    // append would supersede an old-spec partition that happens to share
+    // the integer key (level-2 rowmajor ids 0..15 are a subset of
+    // level-4's 0..255). The engine's level-TAGGED cell id (CellIndex
+    // top-4-bits level, the H3 shape) provides that for free — this test
+    // pins both the coexistence and the stats-based pruning across mixed
+    // granularities.
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val root = tmpRoot("evolve")
+    val even = IngestJob.pagesWithPartitions(spark, sf0001) // gen 1: level 2, rowmajor
+      .filter(col("doc_id") % 2 === 0)
+    IngestJob.runPages(spark, even, root, "gen1")
+    val gen1 = SnapshotTable.currentSnapshot(root).get
+
+    // gen 2: odd docs partitioned at LEVEL 4 with the level-tagged id
+    val odd = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("p_cell", GraftFunctions.cell_id(col("ilat"), col("ilon"), lit(4)))
+      .withColumn("p_date", date_format(col("warc_ts"), "yyyy-MM-dd"))
+    IngestJob.runPages(spark, odd, root, "gen2")
+    val gen2 = SnapshotTable.currentSnapshot(root).get
+
+    // coexistence: every gen-1 entry survived the gen-2 append untouched
+    assert(gen1.parts.map(_.path).toSet.subsetOf(gen2.parts.map(_.path).toSet),
+      "new-spec append must not supersede old-spec partitions")
+    val all = IngestJob.pagesWithPartitions(spark, sf0001)
+    assert(SnapshotTable.read(spark, root)._1.count() === all.count())
+
+    // pruning across MIXED granularities: per-entry stats are spec-free
+    val (pruned, kept, total) = SnapshotTable.read(spark, root,
+      Pruning(minIlat = Some(0), maxIlat = Some(299)))
+    assert(kept < total, s"pruning had no effect: $kept/$total")
+    assert(pruned.filter(col("ilat").between(0, 299)).count() ===
+      all.filter(col("ilat").between(0, 299)).count())
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
 }
