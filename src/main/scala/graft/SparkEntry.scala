@@ -118,6 +118,7 @@ object SparkEntry {
     "q89_repetition" -> ((s, d) => TextQueries.repetitionSignals(s, d)),
     "q90_crawl_corridor" -> ((s, d) => GeoQueries.crawlCorridor(s, d)),
     "q91_mor_upsert" -> ((s, d) => graft.jobs.IngestJob.morUpsertQuery(s, d)),
+    "q92_changelog" -> ((s, d) => graft.jobs.IngestJob.changelogQuery(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -302,6 +303,20 @@ object SparkEntry {
         "CAST((x1 - x0 + 1) AS BIGINT) * (y1 - y0 + 1) AS area, count(p.url) AS n_pages " +
         "FROM pr LEFT JOIN pages p ON p.ilon BETWEEN x0 AND x1 AND p.ilat BETWEEN y0 AND y1 " +
         "GROUP BY pr.fp_a, pr.fp_b, area ORDER BY fp_a, fp_b"),
+    // q92: net row-level changes of base -> upsert(+1000 on evens) ->
+    // delete(%5==3), recomputed arithmetically. op semantics: D = was in
+    // s1, gone in s3; I = new key surviving; U = content differs;
+    // unchanged and insert-then-deleted keys net out.
+    "q92_changelog" ->
+      (s"$P, ch AS (" +
+        "SELECT 'D' AS op, doc_id, lang, n_chars FROM pages WHERE doc_id % 3 <> 0 AND doc_id % 5 = 3 " +
+        "UNION ALL SELECT 'I', doc_id, lang, n_chars + 1000 FROM pages " +
+        "WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND doc_id % 5 <> 3 " +
+        "UNION ALL SELECT 'U', doc_id, lang, n_chars + 1000 FROM pages " +
+        "WHERE doc_id % 3 <> 0 AND doc_id % 2 = 0 AND doc_id % 5 <> 3) " +
+        "SELECT op, lang, count(*) AS n_keys, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM ch GROUP BY op, lang ORDER BY op, lang"),
     // q91: SAME arithmetic as q61 — the MOR upsert must be row-identical
     // to the COW merge (cross-implementation gate)
     "q91_mor_upsert" ->

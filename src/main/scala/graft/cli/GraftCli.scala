@@ -114,6 +114,14 @@ object GraftCli {
       val (df, dp, tp) = SnapshotTable.changesBetween(spark, root,
         num(a)(_.toLong), num(b)(_.toLong))
       println(s"changes $a -> $b: ${df.count()} rows from $dp/$tp partitions")
+    case "changelog" :: root :: a :: b :: Nil =>
+      // row-level CDC: net I/U/D keys between two snapshots
+      val ch = SnapshotTable.changelogBetween(spark, root,
+        num(a)(_.toLong), num(b)(_.toLong))
+      ch.groupBy(org.apache.spark.sql.functions.col("op")).count()
+        .orderBy("op").collect()
+        .foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)} keys"))
+      graft.util.CacheBag.release()
     case "branch" :: root :: name :: seq :: Nil =>
       SnapshotTable.createBranch(root, name, num(seq)(_.toLong))
       println(s"branch: $name created at snap-$seq (write-audit-publish: " +
@@ -173,6 +181,7 @@ object GraftCli {
       |  merge     <sfDir> <root> <jobId> COW upsert of re-crawled docs into the table
       |  merge-global <sfDir> <root> <jobId> upsert with partition-moving keys (global anti-join)
       |  changes   <root> <seqA> <seqB>   CDC: file-level delta between two snapshots
+      |  changelog <root> <seqA> <seqB>   row-level CDC: net I/U/D keys between snapshots
       |  zorder    <sfDir> <outDir>       z-order clustered parquet export
       |  delete    <root> <maxDocId> <jobId>  merge-on-read delete of doc_id < maxDocId
       |  rollback  <root> <seq>           set-current: new snapshot restoring <seq>'s content

@@ -712,6 +712,30 @@ object IngestJob {
       .orderBy(col("lang"))
   }
 
+  /** Row-level CDC end to end (oracle-gated q92): base ingest → MOR upsert
+    * → MOR delete, then `SnapshotTable.changelogBetween(1, 3)` must emit
+    * exactly the NET per-key I/U/D set — inserts that were later deleted
+    * net out, carried-over rows never appear, updates are detected across
+    * the delete-vector + append layering. The oracle recomputes the net
+    * change set arithmetically from the pages CTE. */
+  def changelogQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    def prepared = pagesWithPartitions(spark, sfDir)
+      .withColumn("p_date", lit("all"))
+    val root = cachedTable("graft-cdc", sfDir, 3L, ver = 1) { (stage, _) =>
+      runPages(spark, prepared.filter(col("doc_id") % 3 =!= 0), stage, "base")
+      mergeUpsertMor(spark, stage,
+        prepared.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), "up")
+      deleteWhere(spark, stage, col("doc_id") % 5 === 3, "del")
+      ()
+    }
+    SnapshotTable.changelogBetween(spark, root, 1L, 3L)
+      .groupBy(col("op"), col("lang"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("op"), col("lang"))
+  }
+
   /** Merge-on-read delete end to end (oracle-gated q87): base table
     * through the real ingest, every 10th-mod-3 doc deleted WITHOUT
     * rewriting a data file (delete vectors layered in a delta commit),

@@ -59,6 +59,35 @@ class ZorderSpec extends SparkTestBase {
     // the plan reads ONLY delta partition files
     val plan = delta.queryExecution.executedPlan.toString
     assert(!plan.contains("/j1/"), "CDC read touched a base-snapshot file")
+
+    // ROW-level changelog over the same window: exactly the appended keys
+    // as 'I'; carried-over rows (file-level noise) net out
+    val ch = SnapshotTable.changelogBetween(spark, root, s1, s2).collect()
+    assert(ch.forall(_.getString(0) == "I"))
+    assert(ch.map(_.getLong(1)).toSet === newIds)
+    graft.util.CacheBag.release()
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("row-level changelog: compaction and no-op windows net to EMPTY") {
+    val root = Files.createTempDirectory("cdc-row").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    // delete-only window: changelog = exactly the deleted keys as 'D'
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 7 === 0, "del")
+    val s2 = SnapshotTable.currentSeq(root).get
+    val dels = SnapshotTable.changelogBetween(spark, root, s1, s2).collect()
+    assert(dels.forall(_.getString(0) == "D"))
+    assert(dels.map(_.getLong(1)).toSet ===
+      base.filter(col("doc_id") % 7 === 0).select("doc_id")
+        .collect().map(_.getLong(0)).toSet)
+    // compaction rewrites every file yet changes no row: file-level CDC is
+    // all noise, the ROW-level changelog must be empty
+    val s3 = SnapshotTable.compact(spark, root)(_ => true).get.seq
+    assert(SnapshotTable.changesBetween(spark, root, s2, s3)._2 > 0)
+    assert(SnapshotTable.changelogBetween(spark, root, s2, s3).count() === 0)
+    graft.util.CacheBag.release()
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
 }
