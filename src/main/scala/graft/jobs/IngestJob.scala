@@ -575,17 +575,8 @@ object IngestJob {
     val hits = byDate.filter(cond).select(col("doc_id"), col("p_cell"), col("p_date"))
       .persist()
     if (hits.isEmpty) { hits.unpersist(false); return current } // nothing matched
-    // uuid-tokenized like every other data write: a reused jobId must not
-    // overwrite delete files a committed snapshot still references
-    val dir = s"$root/data/deletes/$jobId-${java.util.UUID.randomUUID().toString.take(8)}"
-    hits.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
-      .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
+    val (dir, touched) = writeDeleteVectors(spark, root, hits, jobId)
     hits.unpersist(false)
-    // touched keys from the files actually written (data columns — dir
-    // keys are type-inference hazards)
-    val touched = spark.read.parquet(dir)
-      .select(col("p_cell"), col("p_date")).distinct()
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     // FULL-entry base set (path AND existing delete refs): a concurrent
     // deleteWhere layers refs without moving the path — committing our
     // stale copy would drop its refs and resurrect its deleted rows
@@ -597,15 +588,42 @@ object IngestJob {
       updated, p => touched((p.pCell, p.pDate)),
       removePCells = Some(touched.map(_._1)),
       schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
-      validate = affected => affected.foreach { p =>
-        val k = (p.pCell, p.pDate)
-        if (touched(k) && !baseSet.contains(p))
-          throw new java.util.ConcurrentModificationException(
-            s"delete conflict: partition $k was written (rewrite or another " +
-              "delete) after this delete computed its row set — re-run " +
-              "against the new snapshot")
-      })
+      validate = morConflictValidator(touched, baseSet, "delete"))
   }
+
+  /** Write one delete-vector file per touched partition for `hits`
+    * (doc_id, p_cell, p_date) under a FRESH uuid-tokenized commit dir (a
+    * reused jobId must not overwrite vector files a committed snapshot
+    * still references), and read the touched keys back from the files
+    * actually written (data columns — dir keys are type-inference
+    * hazards). The pc=/pd= layout under ONE commit dir is load-bearing:
+    * `applyDeletes` scopes delete sequencing by the commit dir (the ref's
+    * parent), while per-entry refs point at the pc/pd leaf. Shared by
+    * [[deleteWhere]] and [[mergeUpsertMor]]. */
+  private def writeDeleteVectors(spark: SparkSession, root: String,
+      hits: DataFrame, jobId: String): (String, Set[(Long, String)]) = {
+    val dir = s"$root/data/deletes/$jobId-${java.util.UUID.randomUUID().toString.take(8)}"
+    hits.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
+    val touched = spark.read.parquet(dir)
+      .select(col("p_cell"), col("p_date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    (dir, touched)
+  }
+
+  /** Shared MOR optimistic-concurrency rule: a touched partition whose
+    * FULL entry changed since this writer computed its row set (rewritten,
+    * delete-layered, or created concurrently) aborts the commit. */
+  private def morConflictValidator(touched: Set[(Long, String)],
+      baseSet: Set[PartitionEntry],
+      what: String): Seq[PartitionEntry] => Unit =
+    affected => affected.foreach { p =>
+      val k = (p.pCell, p.pDate)
+      if (touched(k) && !baseSet.contains(p))
+        throw new java.util.ConcurrentModificationException(
+          s"$what conflict: partition $k was written after this $what " +
+            "computed its row set — re-run against the new snapshot")
+    }
 
   /** Merge-on-read MERGE (the Iceberg v2 MOR upsert, completing the
     * write-path matrix: COW merge `mergeInto`, global COW `mergeIntoGlobal`,
@@ -643,13 +661,8 @@ object IngestJob {
         val h = h0.persist()
         if (h.isEmpty) { h.unpersist(false); (Seq.empty[PartitionEntry], Set.empty[(Long, String)]) }
         else {
-          val dir = s"$root/data/deletes/$jobId-${java.util.UUID.randomUUID().toString.take(8)}"
-          h.withColumn("pc", col("p_cell")).withColumn("pd", col("p_date"))
-            .write.mode(SaveMode.Overwrite).partitionBy("pc", "pd").parquet(dir)
+          val (dir, touched) = writeDeleteVectors(spark, root, h, jobId)
           h.unpersist(false)
-          val touched = spark.read.parquet(dir)
-            .select(col("p_cell"), col("p_date")).distinct()
-            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
           val refs = current.parts.filter(p => touched((p.pCell, p.pDate)))
             .sortBy(e => (e.pCell, e.pDate))
             .map(p => p.copy(deletes = p.deletes :+ s"$dir/pc=${p.pCell}/pd=${p.pDate}"))
@@ -681,13 +694,7 @@ object IngestJob {
       removePCells = if (touchedDel.isEmpty) Some(Set.empty[Long])
         else Some(touchedDel.map(_._1)),
       schemaVer = Some(current.schemaVer), schemaDdl = Some(current.schemaDdl),
-      validate = affected => affected.foreach { p =>
-        val k = (p.pCell, p.pDate)
-        if (touchedDel(k) && !baseSet.contains(p))
-          throw new java.util.ConcurrentModificationException(
-            s"MOR upsert conflict: partition $k was written after this upsert " +
-              "computed its masked row set — re-run against the new snapshot")
-      })
+      validate = morConflictValidator(touchedDel, baseSet, "MOR upsert"))
   }
 
   /** MOR upsert end to end (oracle-gated q91): SAME base + update sets as

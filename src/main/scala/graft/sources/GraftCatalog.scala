@@ -60,6 +60,7 @@ class GraftCatalog extends TableCatalog {
         case "partitions" => Some(GraftMetaTable.partitions(baseRoot, snap))
         case "snapshots" => Some(GraftMetaTable.snapshots(baseRoot))
         case "manifests" => Some(GraftMetaTable.manifests(baseRoot, snap))
+        case "refs" => Some(GraftMetaTable.refs(baseRoot))
         case _ => None
       }
     }

@@ -46,6 +46,17 @@ object GraftMetaTable {
     new GraftMetaTable(s"graft.`$root`.snapshots", schema, rows)
   }
 
+  /** Named refs — tags (immutable pins) and branches (mutable WAP heads)
+    * — as one inspectable table, the Iceberg `refs` metadata analog. */
+  def refs(root: String): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, false), StructField("type", StringType, false),
+      StructField("seq", LongType, false)))
+    val rows = SnapshotTable.listTags(root).map { case (n, s) => Row(n, "tag", s) } ++
+      SnapshotTable.listBranches(root).map { case (n, s) => Row(n, "branch", s) }
+    new GraftMetaTable(s"graft.`$root`.refs", schema, rows)
+  }
+
   def manifests(root: String, snap: SnapshotTable.Snapshot): Table = {
     val schema = StructType(Seq(
       StructField("path", StringType, false), StructField("n_parts", IntegerType, false),

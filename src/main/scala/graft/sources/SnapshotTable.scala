@@ -338,7 +338,11 @@ object SnapshotTable {
     var attempt = 0
     while (true) {
       val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
-      val base = if (seq > 1) snapshotMetaAt(root, seq - 1) else None
+      // base on MAIN's CURRENT ref, NEVER the latest seq file: branch
+      // commits (and orphaned lost-race branch snapshots) share the seq
+      // space without advancing CURRENT — basing on seq-1 would silently
+      // merge unpublished branch content into the next main commit
+      val base = currentSeq(root).flatMap(snapshotMetaAt(root, _))
       val baseRefs: Seq[ManifestRef] = base match {
         case Some(b) if b.manifestRefs.nonEmpty => b.manifestRefs
         case Some(b) if b.parts.nonEmpty => Seq(writeManifest(root, b.parts))
@@ -497,7 +501,7 @@ object SnapshotTable {
     * cost is bounded by partition pruning only (a doc_id-keyed skipping
     * index would cut it further — future work, documented, not silent). */
   def changelogBetween(spark: SparkSession, root: String, fromSeq: Long,
-      toSeq: Long): DataFrame = {
+      toSeq: Long, payload: Seq[String] = Seq("lang", "n_chars")): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromSeq < toSeq, s"fromSeq $fromSeq must precede toSeq $toSeq")
     val from = snapshotAt(root, fromSeq).getOrElse(
@@ -505,45 +509,74 @@ object SnapshotTable {
     val to = snapshotAt(root, toSeq).getOrElse(
       throw new IllegalStateException(s"no snapshot $toSeq under $root"))
     val fromPaths = from.parts.map(_.path).toSet
-    val added = to.parts.filterNot(e => fromPaths(e.path))
+    val toPaths = to.parts.map(_.path).toSet
+    // candidate keys: everything a file-level change between the two
+    // snapshots can possibly touch — rows of ADDED files, rows of REMOVED
+    // files (a compact that materialized deletes, a rollback that dropped
+    // an append), and ids in delete vectors layered OR un-layered in the
+    // window (an un-layered vector = a rollback resurrecting rows).
+    val added = to.parts.filterNot(e => fromPaths(e.path)).map(_.path)
+    val removed = from.parts.filterNot(e => toPaths(e.path)).map(_.path)
     val fromDelRefs = from.parts.flatMap(_.deletes).toSet
-    val newDels = to.parts.flatMap(_.deletes).distinct.filterNot(fromDelRefs)
-    val cands = (
-      (if (added.isEmpty) None
-       else Some(spark.read.parquet(added.map(_.path): _*).select(col("doc_id")))) ++
-      (if (newDels.isEmpty) None
-       else Some(spark.read.parquet(newDels: _*).select(col("doc_id"))))
-    ).reduceOption(_.unionByName(_)).map(_.distinct())
-    def state(s: Snapshot, c: DataFrame): DataFrame =
-      if (s.parts.isEmpty)
-        spark.range(0).selectExpr("id AS doc_id", "CAST('' AS STRING) AS lang",
-          "CAST(0 AS BIGINT) AS n_chars", "CAST('' AS STRING) AS h")
-      else applyDeletes(spark, s.parts)
-        .join(c, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+    val toDelRefs = to.parts.flatMap(_.deletes).toSet
+    val changedDels =
+      ((toDelRefs -- fromDelRefs) ++ (fromDelRefs -- toDelRefs)).toSeq.sorted
+    val cands = (Seq(added, removed, changedDels).filter(_.nonEmpty).map(ps =>
+      spark.read.parquet(ps: _*).select(col("doc_id"))))
+      .reduceOption(_.unionByName(_)).map(_.distinct())
     cands match {
-      case None => // no delta at all: empty changelog with the full shape
-        spark.range(0).selectExpr("CAST('' AS STRING) AS op", "id AS doc_id",
-          "CAST('' AS STRING) AS lang", "CAST(0 AS BIGINT) AS n_chars")
-          .limit(0)
+      case None => // no file-level delta at all: empty changelog
+        spark.range(0).selectExpr(
+          Seq("CAST('' AS STRING) AS op", "id AS doc_id") ++
+            payload.map(p => s"CAST(NULL AS STRING) AS $p"): _*)
       case Some(c0) =>
         val c = c0.persist()
         graft.util.CacheBag.register(c)
-        val o = state(from, c)
-        val n = state(to, c)
-        o.select(col("doc_id"), col("lang").as("o_lang"), col("n_chars").as("o_chars"),
-            col("h").as("o_h"))
-          .join(n.select(col("doc_id"), col("lang").as("n_lang"),
-            col("n_chars").as("n_chars2"), col("h").as("n_h")), Seq("doc_id"), "full_outer")
+        val oAll = if (from.parts.isEmpty) None else Some(applyDeletes(spark, from.parts))
+        val nAll = if (to.parts.isEmpty) None else Some(applyDeletes(spark, to.parts))
+        // generic over the table shape: only doc_id is required; content
+        // equality is an md5 over ALL shared columns (sorted for a
+        // deterministic JSON rendering), so an update to ANY column —
+        // not just text — surfaces as U. Payload columns are reported
+        // when the schema has them.
+        val shared: Seq[String] = ((oAll, nAll) match {
+          case (Some(o), Some(n)) => o.columns.intersect(n.columns).toSeq
+          case (Some(o), None) => o.columns.toSeq
+          case (None, Some(n)) => n.columns.toSeq
+          case _ => Seq("doc_id")
+        }).sorted
+        require(shared.contains("doc_id"),
+          "changelog needs the doc_id row-identity column")
+        val pay = payload.filter(shared.contains)
+        def st(df: DataFrame): DataFrame = {
+          // binary columns (html) hash through md5 first — to_json has no
+          // stable rendering for BinaryType
+          val fields = shared.map(cn => df.schema(cn).dataType match {
+            case org.apache.spark.sql.types.BinaryType => md5(col(cn)).as(cn)
+            case _ => col(cn)
+          })
+          df.join(c, Seq("doc_id"), "left_semi")
+            .select(Seq(col("doc_id"),
+              md5(to_json(struct(fields: _*))).as("h")) ++ pay.map(col): _*)
+        }
+        val (o, n) = (oAll, nAll) match {
+          case (Some(of), Some(nf)) => (st(of), st(nf))
+          case (Some(of), None) => val s = st(of); (s, s.limit(0))
+          case (None, Some(nf)) => val s = st(nf); (s.limit(0), s)
+          case _ => val e = spark.range(0).selectExpr("id AS doc_id",
+            "CAST('' AS STRING) AS h"); (e, e)
+        }
+        o.select(Seq(col("doc_id"), col("h").as("o_h")) ++
+            pay.map(p => col(p).as(s"o_$p")): _*)
+          .join(n.select(Seq(col("doc_id"), col("h").as("n_h")) ++
+            pay.map(p => col(p).as(s"n_$p")): _*), Seq("doc_id"), "full_outer")
           .withColumn("op",
             when(col("o_h").isNull, lit("I"))
               .when(col("n_h").isNull, lit("D"))
-              .when(col("o_h") =!= col("n_h") || col("o_chars") =!= col("n_chars2"),
-                lit("U")))
+              .when(col("o_h") =!= col("n_h"), lit("U")))
           .filter(col("op").isNotNull) // unchanged carried-over rows net out
-          .select(col("op"), col("doc_id"),
-            coalesce(col("n_lang"), col("o_lang")).as("lang"),
-            coalesce(col("n_chars2"), col("o_chars")).as("n_chars"))
+          .select(Seq(col("op"), col("doc_id")) ++
+            pay.map(p => coalesce(col(s"n_$p"), col(s"o_$p")).as(p)): _*)
     }
   }
 
@@ -708,8 +741,23 @@ object SnapshotTable {
       .sortBy(_._1)
   }
 
-  def dropBranch(root: String, name: String): Boolean =
-    Files.deleteIfExists(Paths.get(root, "meta", "branches", name))
+  /** Takes the same per-ref locks as [[casBranch]]: a drop racing a
+    * commitToBranch between its ref check and its atomic move must not be
+    * overwritten by the move (which would resurrect the dropped branch). */
+  def dropBranch(root: String, name: String): Boolean = {
+    val key = Paths.get(root).toAbsolutePath.normalize.toString + "#branch:" + name
+    val mon = currentAdvanceLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val dir = Paths.get(root, "meta", "branches")
+      if (!Files.exists(dir)) return false
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(s".$name.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try Files.deleteIfExists(dir.resolve(name)) finally lock.release()
+      } finally ch.close()
+    }
+  }
 
   /** Read the branch head with the usual pruning surface. */
   def readBranch(spark: SparkSession, root: String, name: String,
@@ -911,7 +959,9 @@ object SnapshotTable {
     var attempt = 0
     while (attempt <= 10) {
       val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
-      val latest = snapshotAt(root, seq - 1).getOrElse(snap)
+      // MAIN's CURRENT, never seq-1: an unpublished branch snapshot at the
+      // top of the seq space must not leak into the compacted main state
+      val latest = currentSnapshot(root).getOrElse(snap)
       // abort (and clean up our orphaned rewrite) if a concurrent writer
       // changed ANY selected entry — full case-class equality, not path
       // equality: a deleteWhere layers delete refs WITHOUT moving the

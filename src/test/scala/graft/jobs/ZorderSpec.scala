@@ -87,6 +87,36 @@ class ZorderSpec extends SparkTestBase {
     val s3 = SnapshotTable.compact(spark, root)(_ => true).get.seq
     assert(SnapshotTable.changesBetween(spark, root, s2, s3)._2 > 0)
     assert(SnapshotTable.changelogBetween(spark, root, s2, s3).count() === 0)
+    // STRADDLING window (delete at s2, compact at s3): the vectors are
+    // materialized away by s3, but the s1->s3 changelog must still emit
+    // the D rows (candidates come from REMOVED files too)
+    val straddle = SnapshotTable.changelogBetween(spark, root, s1, s3).collect()
+    assert(straddle.forall(_.getString(0) == "D"))
+    assert(straddle.map(_.getLong(1)).toSet === dels.map(_.getLong(1)).toSet)
+    // UN-DELETE window: rollback to the pre-delete snapshot — the
+    // resurrected keys surface as I (candidates from un-layered vectors)
+    val s4 = SnapshotTable.rollback(root, s1).seq
+    val undel = SnapshotTable.changelogBetween(spark, root, s3, s4).collect()
+    assert(undel.forall(_.getString(0) == "I"))
+    assert(undel.map(_.getLong(1)).toSet === dels.map(_.getLong(1)).toSet)
+    graft.util.CacheBag.release()
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("row-level changelog: an update to ANY column surfaces as U (not just text)") {
+    val root = Files.createTempDirectory("cdc-anycol").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    // re-crawl doc 5 with IDENTICAL text and n_chars but corrected lang
+    val fix = base.filter(col("doc_id") === 5)
+      .withColumn("lang", org.apache.spark.sql.functions.lit("xx"))
+    IngestJob.mergeUpsertMor(spark, root, fix, "langfix")
+    val s2 = SnapshotTable.currentSeq(root).get
+    val ch = SnapshotTable.changelogBetween(spark, root, s1, s2).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getString(0) === "U" && ch.head.getLong(1) === 5L)
+    assert(ch.head.getString(2) === "xx", "payload must report the NEW value")
     graft.util.CacheBag.release()
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }

@@ -80,6 +80,38 @@ class BranchSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
 
+  test("main writes after a branch commit never absorb unpublished branch content") {
+    // the delta-commit base is main's CURRENT ref, NEVER the latest seq
+    // file — an unpublished branch snapshot (or an orphaned lost-race
+    // snapshot) sitting at the top of the seq space must not leak into
+    // the next main commit
+    val root = Files.createTempDirectory("branch-leak").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    val total = base.count()
+    SnapshotTable.createBranch(root, "wip", s1)
+    val dropCell = SnapshotTable.currentSnapshot(root).get.parts.head.pCell
+    SnapshotTable.commitToBranch(root, "wip") { (seq, head) =>
+      SnapshotTable.Snapshot(seq, head.schemaVer,
+        head.parts.filterNot(_.pCell == dropCell), head.schemaDdl)
+    }
+    val branchCount = SnapshotTable.readBranch(spark, root, "wip")._1.count()
+
+    // a MAIN delta commit (MOR delete) right after the branch commit
+    val deleted = base.filter(col("doc_id") % 10 === 0).count()
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 10 === 0, "del")
+    val mainCount = SnapshotTable.read(spark, root)._1.count()
+    assert(mainCount === total - deleted,
+      "main absorbed the branch's partition drop — delta base must be CURRENT")
+    // a MAIN compact commit, same invariant
+    SnapshotTable.compact(spark, root)(_ => true)
+    assert(SnapshotTable.read(spark, root)._1.count() === total - deleted)
+    // the branch itself is untouched by either main write
+    assert(SnapshotTable.readBranch(spark, root, "wip")._1.count() === branchCount)
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
   test("expire pins branch heads; dropBranch releases them") {
     val root = Files.createTempDirectory("branch-expire").toString
     val base = IngestJob.pagesWithPartitions(spark, sf0001)

@@ -62,6 +62,16 @@ class GraftCatalogSpec extends SparkTestBase {
     val n = s.sql(s"SELECT sum(rows) AS r FROM graft.`$tbl`.`partitions`")
       .head.getLong(0)
     assert(n === snap.parts.map(_.rows).sum)
+    // refs metadata table: tags + branches with their kinds
+    SnapshotTable.tagSnapshot(root, "v1", snap.seq)
+    SnapshotTable.createBranch(root, "wip", snap.seq)
+    try {
+      val refs = s.sql(s"SELECT * FROM graft.`$tbl`.`refs` ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(refs.toSeq === Seq(("v1", "tag", snap.seq), ("wip", "branch", snap.seq)))
+    } finally {
+      SnapshotTable.dropTag(root, "v1"); SnapshotTable.dropBranch(root, "wip")
+    }
   }
 
   test("time travel via option(snapshot, seq) pins the old snapshot") {
