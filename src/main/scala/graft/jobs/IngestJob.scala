@@ -75,17 +75,44 @@ object IngestJob {
 
   /** Same contract as `run`, over an already-prepared pages frame (must
     * carry the `p_cell`/`p_date` partition columns). */
+  /** Bloom capacity per partition (the key-skipping index): 4096 keys at
+    * 1e-3 fpp ≈ 7 KB serialized. A fixture-scale default — size by real
+    * rows-per-partition in production; an over-full bloom saturates
+    * toward prune-nothing, which is SAFE (no false negatives). */
+  final val BloomKeys = 4096L
+
+  /** Typed aggregator building the per-partition doc_id bloom inside the
+    * SAME stats shuffle (no extra pass; partials merge bitwise). */
+  private object DocBloomAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    override def zero = org.apache.spark.util.sketch.BloomFilter.create(BloomKeys, 0.001)
+    override def reduce(b: org.apache.spark.util.sketch.BloomFilter, a: Long) = {
+      b.putLong(a); b
+    }
+    override def merge(b1: org.apache.spark.util.sketch.BloomFilter,
+        b2: org.apache.spark.util.sketch.BloomFilter) = { b1.mergeInPlace(b2); b1 }
+    override def finish(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.javaSerialization[org.apache.spark.util.sketch.BloomFilter]
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
   def runPages(spark: SparkSession, pages: DataFrame, root: String, jobId: String,
       failAfter: Option[Int] = None): RunReport = {
 
     // pass 1 — single stats aggregation; tiny (bucket x date) metadata rows
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(DocBloomAgg)
     val cellDate = pages.groupBy(col("p_cell"), col("p_date"))
       .agg(count(lit(1)).as("rows"),
         min(col("ilat")).as("mina"), max(col("ilat")).as("maxa"),
         min(col("ilon")).as("mino"), max(col("ilon")).as("maxo"),
         min(col("ts_sec")).as("mint"), max(col("ts_sec")).as("maxt"),
         min(col("doc_id")).as("mind"), max(col("doc_id")).as("maxd"),
-        sum(col("doc_id")).as("sumd"), sum(col("n_chars")).as("sumc"))
+        sum(col("doc_id")).as("sumd"), sum(col("n_chars")).as("sumc"),
+        bloomUdaf(col("doc_id")).as("bloom"))
       .collect()
 
     // per-bucket fingerprints: driver-side fold of the stats rows
@@ -148,7 +175,8 @@ object IngestJob {
         val (cell, date) = (r.getLong(0), r.getString(1))
         PartitionEntry(cell, date, s"${cellPath(cell)}/p_date=$date",
           r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
-          r.getLong(7), r.getLong(8))
+          r.getLong(7), r.getLong(8), bloom = Option(r.getAs[Array[Byte]]("bloom"))
+            .map(java.util.Base64.getEncoder.encodeToString))
       }
       .sortBy(e => (e.pCell, e.pDate))
 
@@ -375,7 +403,8 @@ object IngestJob {
     val targetKeys = updates.select(col("p_cell"), col("p_date")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val updKeys = updates.select(col(key))
-    val staleKeys: Set[(Long, String)] = current.parts.groupBy(_.pDate).toSeq
+    val staleKeys: Set[(Long, String)] = bloomScanSet(current.parts, updKeys)
+      .groupBy(_.pDate).toSeq
       .sortBy(_._1).flatMap { case (d, es) =>
         SnapshotTable.applyDeletes(spark, es)
           .select(col(key), col("p_cell"))
@@ -611,6 +640,22 @@ object IngestJob {
     (dir, touched)
   }
 
+  /** Key-skipping via per-partition blooms: when the update key set is
+    * small enough to collect (point lookups — exactly where skipping
+    * matters), partitions whose bloom provably holds none of the keys are
+    * pruned from the old-location DISCOVERY scan; larger key sets fall
+    * back to the full scan they would touch anyway. Entries without a
+    * bloom (COW rewrites, compaction output) always scan. */
+  private def bloomScanSet(parts: Seq[PartitionEntry], updKeys: DataFrame,
+      cap: Int = 10000): Seq[PartitionEntry] = {
+    val sample = updKeys.limit(cap + 1).collect()
+    if (sample.length > cap) parts
+    else {
+      val ks = sample.map(_.getLong(0)).toSeq
+      parts.filter(p => SnapshotTable.mightContainAny(p, ks))
+    }
+  }
+
   /** Shared MOR optimistic-concurrency rule: a touched partition whose
     * FULL entry changed since this writer computed its row set (rewritten,
     * delete-layered, or created concurrently) aborts the commit. */
@@ -648,8 +693,10 @@ object IngestJob {
       throw new IllegalStateException(s"no snapshot under $root"))
     val updates = updates0.persist()
     val updKeys = updates.select(col(key))
-    // old LIVE locations of updated keys -> one delete vector per partition
-    val hits0 = current.parts.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
+    // old LIVE locations of updated keys -> one delete vector per
+    // partition; the discovery scan is bloom-pruned for small key sets
+    val hits0 = bloomScanSet(current.parts, updKeys)
+      .groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
       SnapshotTable.applyDeletes(spark, es)
         .select(col(key), col("p_cell"))
         .join(updKeys, Seq(key), "left_semi")

@@ -37,10 +37,29 @@ object SnapshotTable {
     * shape: a few deleted rows must not rewrite a 100 TB partition).
     * `rows` stays the PHYSICAL row count; min/max stats remain valid
     * supersets of the live rows. */
+  /** `bloom`: optional base64 doc_id bloom filter (the key-skipping
+    * index): point-lookup writers (MOR upsert/global MERGE with small key
+    * sets) prune partitions that provably hold none of their keys WITHOUT
+    * scanning them. Absent = always scanned (safe default — COW rewrites
+    * and compaction drop it). Sized for [[graft.jobs.IngestJob.BloomKeys]]
+    * keys; an over-full bloom degrades toward prune-nothing, never toward
+    * a false negative. Stored in the manifest (file-level pruning BEFORE
+    * planning); at extreme partition counts push blooms into parquet
+    * footers instead and accept scan-time-only skipping. */
   final case class PartitionEntry(
       pCell: Long, pDate: String, path: String, rows: Long,
       minIlat: Int, maxIlat: Int, minIlon: Int, maxIlon: Int,
-      minTs: Long, maxTs: Long, deletes: Seq[String] = Seq.empty)
+      minTs: Long, maxTs: Long, deletes: Seq[String] = Seq.empty,
+      bloom: Option[String] = None)
+
+  /** Driver-side bloom test: could this entry hold ANY of `keys`?
+    * Entries without a bloom always qualify. */
+  def mightContainAny(e: PartitionEntry, keys: Seq[Long]): Boolean =
+    e.bloom.forall { b64 =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
+      keys.exists(bf.mightContainLong)
+    }
 
   /** Two-level metadata (the Iceberg manifest-list shape, round-2 verdict
     * ask #5): a snapshot may reference MANIFEST FILES (each holding a
@@ -73,8 +92,9 @@ object SnapshotTable {
       "min_ilon" -> Integer.valueOf(p.minIlon), "max_ilon" -> Integer.valueOf(p.maxIlon),
       "min_ts" -> java.lang.Long.valueOf(p.minTs), "max_ts" -> java.lang.Long.valueOf(p.maxTs)
     )
-    // absent key = no deletes: old manifests parse unchanged (back-compat)
-    (if (p.deletes.isEmpty) base else base + ("deletes" -> p.deletes.asJava)).asJava
+    // absent keys = no deletes / no bloom: old manifests parse unchanged
+    val withDel = if (p.deletes.isEmpty) base else base + ("deletes" -> p.deletes.asJava)
+    p.bloom.fold(withDel)(b => withDel + ("bloom" -> b)).asJava
   }
 
   def snapshotJson(s: Snapshot): String = {
@@ -103,7 +123,8 @@ object SnapshotTable {
       n.get("min_ilon").asInt(), n.get("max_ilon").asInt(),
       n.get("min_ts").asLong(), n.get("max_ts").asLong(),
       Option(n.get("deletes")).map(_.elements().asScala.map(_.asText()).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      Option(n.get("bloom")).map(_.asText()))
 
   /** Parse a snapshot file. Two-level snapshots resolve their manifest
     * files (absolute paths) into the flat `parts` view every existing
