@@ -119,6 +119,8 @@ object SparkEntry {
     "q90_crawl_corridor" -> ((s, d) => GeoQueries.crawlCorridor(s, d)),
     "q91_mor_upsert" -> ((s, d) => graft.jobs.IngestJob.morUpsertQuery(s, d)),
     "q92_changelog" -> ((s, d) => graft.jobs.IngestJob.changelogQuery(s, d)),
+    "q93_ann_sq8" -> ((s, d) => SimilarityQueries.sq8TopK(s, d)),
+    "q94_vectorize" -> ((s, d) => GeoQueries.vectorizeRaster(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -180,6 +182,22 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d2, fp_id) AS rn FROM d) " +
         "SELECT fp_id, count(*) AS n_pages, min(d2) AS min_d2, max(d2) AS max_d2 " +
         "FROM r WHERE rn = 1 GROUP BY fp_id ORDER BY fp_id"),
+    "q94_vectorize" -> {
+      val cell = Pages.sqlCell("ilat", "ilon", 6)
+      s"WITH RECURSIVE pages AS (${Pages.oracleCte}), " +
+        s"occ AS (SELECT $cell AS cell, count(*) AS n_pages FROM pages GROUP BY 1), " +
+        "c AS (SELECT cell, n_pages, least(n_pages // 3, 3) AS cls FROM occ), " +
+        "e0 AS (SELECT a.cell AS u, b.cell AS v FROM c a JOIN c b ON a.cls = b.cls " +
+        "AND abs(a.cell % 64 - b.cell % 64) <= 1 AND abs(a.cell // 64 - b.cell // 64) <= 1 " +
+        "AND a.cell <> b.cell), " +
+        "reach(u, v) AS (SELECT cell, cell FROM c UNION SELECT e0.u, r.v FROM e0 JOIN reach r ON e0.v = r.u), " +
+        "lab AS (SELECT u AS cell, min(v) AS region FROM reach GROUP BY u), " +
+        "reg AS (SELECT c.cls, lab.region, count(*) AS n_cells, sum(c.n_pages) AS sp " +
+        "FROM c JOIN lab ON c.cell = lab.cell GROUP BY 1, 2) " +
+        "SELECT cls, count(*) AS n_regions, CAST(sum(n_cells) AS BIGINT) AS n_cells, " +
+        "CAST(max(n_cells) AS BIGINT) AS max_region_cells, CAST(sum(sp) AS BIGINT) AS sum_pages " +
+        "FROM reg GROUP BY cls ORDER BY cls"
+    },
     "q69_dense_clusters" -> {
       val side = 1L << GeoQueries.JoinLevel
       s"WITH RECURSIVE pages AS (${Pages.oracleCte}), " +

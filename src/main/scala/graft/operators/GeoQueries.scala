@@ -373,6 +373,56 @@ object GeoQueries {
       .orderBy(col("cluster"))
   }
 
+  /** q94 — raster VECTORIZE (the missing direction of the raster<->vector
+    * loop: q34 rasterizes, q35 mosaics, this extracts vector regions back
+    * out of the raster): occupied level-`level` cells class-bucket on
+    * their page count (intensity classes, `least(n div classDiv,
+    * maxClass)`), and contiguous same-class cells (8-adjacency) dissolve
+    * into regions — the GDAL polygonize analog in cell space. Per class:
+    * region count, cell count, largest region, page total.
+    *
+    * Scale shape: identical to q69's dense-cluster machinery — neighbor
+    * generation is a 8-way explode on the (shrunken) occupied-cell set,
+    * the region label is the distributed min-label CC fixpoint
+    * ([[GraphQueries.connectedComponents]] — the documented eager
+    * exception), and class equality just filters the edge set, so regions
+    * can never span classes and the min-cell label stays unique without
+    * class-qualifying it. */
+  def vectorizeRaster(spark: SparkSession, sfDir: String, level: Int = 6,
+      classDiv: Int = 3, maxClass: Int = 3): DataFrame = {
+    val side = 1L << level
+    val occ = Pages.fromDocuments(spark, sfDir)
+      .groupBy(pageCell(level).as("cell"))
+      .agg(count(lit(1)).as("n_pages"))
+      .withColumn("cls", least(expr(s"n_pages div $classDiv"), lit(maxClass.toLong)))
+      .persist()
+    graft.util.CacheBag.register(occ)
+    val cx = col("cell") % side
+    val cy = expr(s"cell div $side")
+    val nbrExprs = for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) yield {
+      val (nx, ny) = (cx + dx, cy + dy)
+      when(nx >= 0 && nx < side && ny >= 0 && ny < side, ny * side + nx)
+        .otherwise(lit(null))
+    }
+    val edges = occ
+      .select(col("cell"), col("cls"), explode(array(nbrExprs: _*)).as("ncell"))
+      .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
+      .join(occ.select(col("cell").as("ncell"), col("cls").as("ncls")), Seq("ncell"))
+      .filter(col("cls") === col("ncls"))
+      .select(col("cell").as("src"), col("ncell").as("dst"))
+    val comps = GraphQueries.connectedComponents(edges)
+    val regions = occ
+      .join(comps, occ("cell") === comps("node"), "left")
+      .select(col("cls"), coalesce(col("comp"), col("cell")).as("region"),
+        col("n_pages"))
+      .groupBy(col("cls"), col("region"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_pages")).as("sp"))
+    regions.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_regions"), sum(col("n_cells")).as("n_cells"),
+        max(col("n_cells")).as("max_region_cells"), sum(col("sp")).as("sum_pages"))
+      .orderBy(col("cls"))
+  }
+
   /** D+assign — nearest-footprint assignment: every page assigned to the
     * footprint with the nearest CENTROID (argmin over a broadcast of the
     * tiny footprint set — the Voronoi/nearest-site partitioning question,

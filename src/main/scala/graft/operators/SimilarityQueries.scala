@@ -53,6 +53,51 @@ object SimilarityQueries {
     (0 until NumPlanes).map(b =>
       when(planeDot(qv, b) >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
 
+  final val SqCand = 4 // SQ8 candidate multiplier before exact re-rank
+
+  /** q93 — SQ8 scalar-quantized ANN (the FAISS SQ8 index shape,
+    * completing the family: brute q31, LSH multi-probe q32, banded LSH
+    * q41, IVF q46, IVF-PQ q63): per-dimension corpus min/max train one
+    * 8-bit code per dimension; candidates rank on a span-weighted integer
+    * code distance — a monotone surrogate needing only the 64-BYTE code
+    * vector per row (at scale the codes are a materialized column and the
+    * scan reads 4x less than float32) — then the SqCand*k survivors
+    * re-rank exactly. Training is ONE metadata-sized aggregate (128 longs
+    * to the driver — the documented trainer exception, like q46/q63).
+    * Deterministic end to end: milli-unit quantization, non-negative
+    * integer code division, vec_id tiebreaks; the oracle replays the
+    * identical math so hash equality proves codes, surrogate ranking AND
+    * re-rank. Recall vs brute is additionally ST-gated. */
+  def sq8TopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e0 = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val mm = e0.agg(
+      array((0 until Dims).map(i => min(element_at(col("qv"), i + 1))): _*).as("mn"),
+      array((0 until Dims).map(i => max(element_at(col("qv"), i + 1))): _*).as("mx")).head()
+    val mn = mm.getSeq[Long](0)
+    val mx = mm.getSeq[Long](1)
+    val spans = (0 until Dims).map(i => math.max(mx(i) - mn(i), 1L))
+    val mnS = mn.mkString("array(", "L,", "L)")
+    val spS = spans.mkString("array(", "L,", "L)")
+    val enc = e0.withColumn("cv", expr(
+      s"zip_with(zip_with(qv, $mnS, (v, m) -> v - m), $spS, (d, s) -> (d * 255) div s)"))
+    val q = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("cv").as("cq"))
+    val approx = expr(
+      s"aggregate(zip_with(zip_with(cq, cv, (a, b) -> a - b), $spS, (d, s) -> d * s), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    val wA = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    q.crossJoin(enc)
+      .withColumn("approx", approx)
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= SqCand * k)
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Brute-force exact L2 top-k for query vectors (vec_id < nQueries). */
   def l2TopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -463,6 +508,21 @@ object SimilarityQueries {
     s"(CASE WHEN ${sqlPlaneDot(b)} >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q93_ann_sq8" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "w AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS d FROM e), " +
+        "mm AS (SELECT d, min(v) AS mn, greatest(max(v) - min(v), 1) AS s FROM w GROUP BY d), " +
+        "cd AS (SELECT w.vec_id, w.d, ((w.v - mm.mn) * 255) // mm.s AS c, mm.s AS s FROM w JOIN mm ON w.d = mm.d), " +
+        "cl AS (SELECT vec_id, list(c ORDER BY d) AS cv, list(s ORDER BY d) AS sp FROM cd GROUP BY vec_id), " +
+        "q AS (SELECT e.vec_id AS qid, e.qv AS qvec, cl.cv AS cq FROM e JOIN cl ON e.vec_id = cl.vec_id WHERE e.vec_id < 10), " +
+        "a AS (SELECT q.qid, q.qvec, cl.vec_id, e2.qv AS qv2, " +
+        "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+        "i -> ((q.cq[i+1] - cl.cv[i+1]) * cl.sp[i+1]) * ((q.cq[i+1] - cl.cv[i+1]) * cl.sp[i+1]))), (x, y) -> x + y) AS approx " +
+        "FROM q CROSS JOIN cl JOIN e e2 ON cl.vec_id = e2.vec_id), " +
+        "r1 AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx, vec_id) AS arnk FROM a), " +
+        s"dd AS (SELECT qid, vec_id, CAST(${sqlL2c("qvec", "qv2")} AS BIGINT) AS dist FROM r1 WHERE arnk <= ${SqCand * 5}), " +
+        "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM dd) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
     "q31_ann_l2" ->
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < 10), " +

@@ -70,6 +70,22 @@ class GeoOpsSpec extends SparkTestBase {
     assert(got.length === 3 && got.forall(_.getInt(0) == 6))
   }
 
+  test("vectorizeRaster: conservation laws (cells, pages, region bounds)") {
+    val out = GeoQueries.vectorizeRaster(spark, sf001).collect()
+    val occ = Pages.fromDocuments(spark, sf001)
+      .groupBy(expr("CAST(floor((ilat + 900) * 64 / 1800.0) AS BIGINT) * 64 + " +
+        "CAST(floor((ilon + 1800) * 64 / 3600.0) AS BIGINT)").as("cell"))
+      .count()
+    assert(out.map(_.getLong(2)).sum === occ.count(), "regions must cover every occupied cell once")
+    assert(out.map(_.getLong(4)).sum ===
+      spark.read.parquet(s"$sf001/documents.parquet").count(), "page totals conserve")
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "region count bounded by cell count")
+      assert(r.getLong(3) <= r.getLong(2), "largest region bounded by class cells")
+    }
+    graft.util.CacheBag.release()
+  }
+
   test("crawlCorridor matches an independent driver-side simulation (sf0.001)") {
     // The DuckDB oracle mirrors the same SQL formula; this sim is the
     // INDEPENDENT check — Math.floorDiv over materialized hops, no shared

@@ -21,6 +21,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.5, s"mean recall $mean")
   }
 
+  test("SQ8 recall@5 >= 0.9 vs brute force; self always rank 1 at dist 0") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val brute = topSets(SimilarityQueries.l2TopK(spark, sf001))
+    val sq8rows = SimilarityQueries.sq8TopK(spark, sf001).collect()
+    val sq8 = sq8rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = brute.map { case (q, t) => (t & sq8.getOrElse(q, Set())).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean — the span-weighted surrogate should be tight")
+    // every query finds itself first: surrogate distance 0 implies exact 0
+    sq8rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) && r.getLong(3) === 0L)
+    }
+  }
+
   test("bucket histogram covers every vector exactly once") {
     val stats = SimilarityQueries.bucketStats(spark, sf001).collect()
     val total = stats.map(_.getLong(1)).sum
