@@ -121,6 +121,7 @@ object SparkEntry {
     "q92_changelog" -> ((s, d) => graft.jobs.IngestJob.changelogQuery(s, d)),
     "q93_ann_sq8" -> ((s, d) => SimilarityQueries.sq8TopK(s, d)),
     "q94_vectorize" -> ((s, d) => GeoQueries.vectorizeRaster(s, d)),
+    "q95_corridor_sweep" -> ((s, d) => GeoQueries.corridorSweep(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -220,6 +221,20 @@ object SparkEntry {
         "FROM l WHERE plat IS NOT NULL) " +
         "SELECT source, count(*) AS n_hops, CAST(sum(d2) AS BIGINT) AS sum_d2, max(d2) AS max_d2 " +
         "FROM d GROUP BY source ORDER BY source"),
+    "q95_corridor_sweep" ->
+      (s"$P, l AS (SELECT source, doc_id, ilat, ilon, " +
+        "lag(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plat, " +
+        "lag(ilon) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plon FROM pages), " +
+        "st AS (SELECT source, doc_id, ilat, ilon, plat, plon, " +
+        "greatest(abs(ilat - plat), abs(ilon - plon), 1) AS n FROM l WHERE plat IS NOT NULL), " +
+        "e AS (SELECT st.*, unnest(generate_series(0, st.n)) AS i FROM st), " +
+        "pt AS (SELECT source, doc_id, n, plat * n + (ilat - plat) * i AS latn, " +
+        "plon * n + (ilon - plon) * i AS lonn FROM e) " +
+        s"SELECT source, fp.fp_id AS fp_id, count(DISTINCT doc_id) AS n_segments, " +
+        "CAST(count(*) AS BIGINT) AS n_steps " +
+        s"FROM pt JOIN $FP ON fp.ilat0 * n <= latn AND latn <= fp.ilat1 * n " +
+        "AND fp.ilon0 * n <= lonn AND lonn <= fp.ilon1 * n " +
+        "GROUP BY source, fp.fp_id ORDER BY source, fp_id"),
     "q90_crawl_corridor" ->
       (s"$P, l AS (SELECT source, doc_id, ilat, ilon, " +
         "lag(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id) AS plat, " +

@@ -507,6 +507,61 @@ object GeoQueries {
       .orderBy(col("source"))
   }
 
+  /** q95 — corridor×footprint SWEEP: which footprints does each crawler's
+    * straight-line trajectory cross, even where no page was captured? The
+    * q90 corridor composes with the PIP machinery: corridor steps
+    * equi-join the footprints' COVER CELLS at the corridor level (the
+    * broadcast-cover PIP shape — never a nested-loop range join against
+    * the exploded corridor), then refine with the EXACT rational
+    * point-in-box test — the step point's latitude is latn/n, compared
+    * against box edges by cross-multiplying with the (positive)
+    * denominator, so the refine is pure integer arithmetic both engines
+    * evaluate identically. Spatial-only by design (validity windows are
+    * the range join's q05 concern). Per (source, footprint): crossing
+    * segments and in-box steps. */
+  def corridorSweep(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
+    val p = 1L << level
+    val w = Window.partitionBy(col("source")).orderBy(col("ts_sec"), col("doc_id"))
+    val steps = Pages.fromDocuments(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
+      .withColumn("plat", lag(col("ilat"), 1).over(w))
+      .withColumn("plon", lag(col("ilon"), 1).over(w))
+      .filter(col("plat").isNotNull)
+      .selectExpr("source", "doc_id",
+        "CAST(ilat AS BIGINT) AS ilat", "CAST(ilon AS BIGINT) AS ilon",
+        "CAST(plat AS BIGINT) AS plat", "CAST(plon AS BIGINT) AS plon")
+      .selectExpr("source", "doc_id",
+        "greatest(abs(ilat - plat), abs(ilon - plon), CAST(1 AS BIGINT)) AS n",
+        "ilat", "ilon", "plat", "plon")
+      .withColumn("i", explode(expr("sequence(CAST(0 AS BIGINT), n)")))
+      .selectExpr("source", "doc_id", "n",
+        "plat * n + (ilat - plat) * i AS latn",
+        "plon * n + (ilon - plon) * i AS lonn")
+      .withColumn("cell", expr(
+        s"(((latn + 900 * n) * $p) div (1800 * n)) * $p + (((lonn + 1800 * n) * $p) div (3600 * n))"))
+    // footprint cover cells at the corridor level: corner-cell ranges (cell
+    // row/col are monotone in lat/lon, so the corner cells bound every cell
+    // a box point can fall in); a few hundred rows, broadcast
+    val cover = Footprints.boxes.flatMap { b =>
+      val y0 = (b.ilat0 + 900).toLong * p / 1800
+      val y1 = (b.ilat1 + 900).toLong * p / 1800
+      val x0 = (b.ilon0 + 1800).toLong * p / 3600
+      val x1 = (b.ilon1 + 1800).toLong * p / 3600
+      for (y <- y0 to y1; x <- x0 to x1)
+        yield (b.fpId, y * p + x, b.ilat0.toLong, b.ilat1.toLong, b.ilon0.toLong, b.ilon1.toLong)
+    }
+    val coverDf = spark.createDataFrame(cover)
+      .toDF("fp_id", "cell", "b_lat0", "b_lat1", "b_lon0", "b_lon1")
+    steps.join(broadcast(coverDf), Seq("cell"))
+      .filter(col("b_lat0") * col("n") <= col("latn") &&
+        col("latn") <= col("b_lat1") * col("n") &&
+        col("b_lon0") * col("n") <= col("lonn") &&
+        col("lonn") <= col("b_lon1") * col("n"))
+      .groupBy(col("source"), col("fp_id"))
+      .agg(countDistinct(col("doc_id")).as("n_segments"), count(lit(1)).as("n_steps"))
+      .orderBy(col("source"), col("fp_id"))
+  }
+
   /** D6-table — kNN where the QUERY SIDE IS A TABLE: every 10th page
     * finds its k nearest pages (self-kNN — the "similar locations"
     * query). Exercises the two-phase exact shape with a DISTRIBUTED query

@@ -94,4 +94,68 @@ class EndToEndSpec extends SparkTestBase {
       .orderBy(col("fp_id")).collect().map(_.toSeq).toSeq
     assert(got === want)
   }
+
+  test("production-day scenario: WAP branch -> publish -> MOR upsert -> delete -> changelog -> compact -> expire") {
+    import graft.jobs.IngestJob
+    import graft.sources.SnapshotTable
+    // The whole round-3 table surface composed end to end, with the
+    // expected LIVE row set tracked arithmetically at every stage.
+    val root = java.nio.file.Files.createTempDirectory("day").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    def live() = SnapshotTable.read(spark, root)._1
+
+    // 1. morning ingest
+    IngestJob.runPages(spark, base, root, "ingest")
+    val s1 = SnapshotTable.currentSeq(root).get
+    val total = base.count()
+    assert(live().count() === total)
+
+    // 2. a risky cleanup staged on a BRANCH (write-audit-publish): drop
+    //    the hot-cell partition, audit the row delta, then publish
+    SnapshotTable.createBranch(root, "cleanup", s1)
+    val hotCell = SnapshotTable.currentSnapshot(root).get.parts
+      .groupBy(_.pCell).view.mapValues(_.map(_.rows).sum).maxBy(_._2)._1
+    SnapshotTable.commitToBranch(root, "cleanup") { (seq, head) =>
+      SnapshotTable.Snapshot(seq, head.schemaVer,
+        head.parts.filterNot(_.pCell == hotCell), head.schemaDdl)
+    }
+    assert(live().count() === total, "main unchanged until publish")
+    val afterDrop = SnapshotTable.readBranch(spark, root, "cleanup")._1.count()
+    assert(afterDrop < total)
+    SnapshotTable.fastForward(root, "cleanup")
+    val sPub = SnapshotTable.currentSeq(root).get
+    assert(live().count() === afterDrop)
+
+    // 3. afternoon re-crawl: MOR upsert of surviving even docs (+1000 chars)
+    val surviving = live().select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ups = base.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    IngestJob.mergeUpsertMor(spark, root, ups, "recrawl")
+    val upserted = base.filter(col("doc_id") % 2 === 0).count()
+    val expectAfterUpsert = afterDrop +
+      (upserted - surviving.count(_ % 2 == 0)) // re-inserts of dropped evens
+    assert(live().count() === expectAfterUpsert)
+
+    // 4. takedown: MOR delete of doc_id % 9 == 4
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 9 === 4, "takedown")
+    val afterDelete = live().count()
+    assert(afterDelete < expectAfterUpsert)
+
+    // 5. audit: the published-to-now changelog nets to the takedowns (D),
+    //    re-crawled content (U) and re-inserted evens (I) — no phantom ops
+    val sNow = SnapshotTable.currentSeq(root).get
+    val ch = SnapshotTable.changelogBetween(spark, root, sPub, sNow)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(ch.getOrElse("D", 0) > 0 && ch.getOrElse("U", 0) > 0 && ch.getOrElse("I", 0) > 0)
+    assert(afterDelete === afterDrop + ch.getOrElse("I", 0) - ch.getOrElse("D", 0),
+      "changelog must balance the live-count movement")
+
+    // 6. maintenance: compact materializes, expire GCs — content unchanged
+    SnapshotTable.compact(spark, root)(_ => true)
+    SnapshotTable.expire(root, keep = 1, olderThanMs = 0L)
+    assert(live().count() === afterDelete)
+    assert(live().filter(col("doc_id") % 9 === 4).count() === 0)
+    graft.util.CacheBag.release()
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
 }
