@@ -73,20 +73,22 @@ object IngestJob {
       failAfter: Option[Int] = None): RunReport =
     runPages(spark, pagesWithPartitions(spark, sfDir), root, jobId, failAfter)
 
-  /** Same contract as `run`, over an already-prepared pages frame (must
-    * carry the `p_cell`/`p_date` partition columns). */
-  /** Bloom capacity per partition (the key-skipping index): 4096 keys at
-    * 1e-3 fpp ≈ 7 KB serialized. A fixture-scale default — size by real
+  /** Bloom capacity per partition (the key-skipping index): 1024 keys at
+    * 1% fpp ≈ 1.2 KB serialized (~1.6 KB base64 in the manifest entry) —
+    * the deliberate trade: inline blooms keep the prune a pure metadata
+    * read, at ~1.6 KB/entry of manifest weight. Size by real
     * rows-per-partition in production; an over-full bloom saturates
-    * toward prune-nothing, which is SAFE (no false negatives). */
-  final val BloomKeys = 4096L
+    * toward prune-nothing, which is SAFE (no false negatives); at extreme
+    * partition counts (1e6+) drop inline blooms for parquet-footer blooms
+    * and accept scan-time-only skipping. */
+  final val BloomKeys = 1024L
 
   /** Typed aggregator building the per-partition doc_id bloom inside the
     * SAME stats shuffle (no extra pass; partials merge bitwise). */
   private object DocBloomAgg
       extends org.apache.spark.sql.expressions.Aggregator[
         Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
-    override def zero = org.apache.spark.util.sketch.BloomFilter.create(BloomKeys, 0.001)
+    override def zero = org.apache.spark.util.sketch.BloomFilter.create(BloomKeys, 0.01)
     override def reduce(b: org.apache.spark.util.sketch.BloomFilter, a: Long) = {
       b.putLong(a); b
     }
@@ -100,6 +102,8 @@ object IngestJob {
     override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** Same contract as `run`, over an already-prepared pages frame (must
+    * carry the `p_cell`/`p_date` partition columns). */
   def runPages(spark: SparkSession, pages: DataFrame, root: String, jobId: String,
       failAfter: Option[Int] = None): RunReport = {
 
