@@ -407,7 +407,7 @@ object IngestJob {
     val targetKeys = updates.select(col("p_cell"), col("p_date")).distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val updKeys = updates.select(col(key))
-    val staleKeys: Set[(Long, String)] = bloomScanSet(current.parts, updKeys)
+    val staleKeys: Set[(Long, String)] = bloomScanSet(current.parts, updKeys, key)
       .groupBy(_.pDate).toSeq
       .sortBy(_._1).flatMap { case (d, es) =>
         SnapshotTable.applyDeletes(spark, es)
@@ -651,7 +651,11 @@ object IngestJob {
     * back to the full scan they would touch anyway. Entries without a
     * bloom (COW rewrites, compaction output) always scan. */
   private def bloomScanSet(parts: Seq[PartitionEntry], updKeys: DataFrame,
-      cap: Int = 10000): Seq[PartitionEntry] = {
+      key: String, cap: Int = 10000): Seq[PartitionEntry] = {
+    // the manifest blooms index doc_id SPECIFICALLY — pruning with any
+    // other merge key would be a FALSE NEGATIVE (silently skipped old
+    // locations, the bug class the global merge exists to prevent)
+    if (key != "doc_id") return parts
     val sample = updKeys.limit(cap + 1).collect()
     if (sample.length > cap) parts
     else {
@@ -699,7 +703,7 @@ object IngestJob {
     val updKeys = updates.select(col(key))
     // old LIVE locations of updated keys -> one delete vector per
     // partition; the discovery scan is bloom-pruned for small key sets
-    val hits0 = bloomScanSet(current.parts, updKeys)
+    val hits0 = bloomScanSet(current.parts, updKeys, key)
       .groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
       SnapshotTable.applyDeletes(spark, es)
         .select(col(key), col("p_cell"))

@@ -336,6 +336,22 @@ object GeoQueries {
     * aggregation (small — bounded by cell count at the level), adjacency
     * is an 8-key explode + equi-join (never all-pairs), clustering is the
     * distributed min-label CC. Oracle: DuckDB recursive-CTE closure. */
+  /** 8-neighbor candidate pairs over a `cell` frame on a row-major
+    * level-`side` grid: undirected (cell < ncell), clipped at the grid
+    * border. The shared q69/q94 expansion — any extra columns on `cells`
+    * are carried through for the caller's own occupancy/equality joins. */
+  private def adjacentPairs(cells: DataFrame, side: Long): DataFrame = {
+    val cx = col("cell") % side
+    val cy = expr(s"cell div $side") // integral division (Column `/` is double)
+    val nbrExprs = for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) yield {
+      val (nx, ny) = (cx + dx, cy + dy)
+      when(nx >= 0 && nx < side && ny >= 0 && ny < side, ny * side + nx)
+        .otherwise(lit(null))
+    }
+    cells.select(cells.columns.map(col) :+ explode(array(nbrExprs: _*)).as("ncell"): _*)
+      .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
+  }
+
   def denseCellClusters(spark: SparkSession, sfDir: String, level: Int = 6,
       minPages: Int = 5): DataFrame = {
     val side = 1L << level
@@ -344,16 +360,7 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_pages"))
       .filter(col("n_pages") >= minPages)
       .persist()
-    val cx = col("cell") % side
-    val cy = expr(s"cell div $side") // integral division (Column `/` is double)
-    val nbrExprs = for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) yield {
-      val (nx, ny) = (cx + dx, cy + dy)
-      when(nx >= 0 && nx < side && ny >= 0 && ny < side, ny * side + nx)
-        .otherwise(lit(null))
-    }
-    val edges = dense
-      .select(col("cell"), explode(array(nbrExprs: _*)).as("ncell"))
-      .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
+    val edges = adjacentPairs(dense.select(col("cell")), side)
       .join(dense.select(col("cell").as("ncell")), Seq("ncell"))
       .select(col("cell").as("src"), col("ncell").as("dst"))
     // connectedComponents is eager (iterative fixpoint — the documented
@@ -397,16 +404,7 @@ object GeoQueries {
       .withColumn("cls", least(expr(s"n_pages div $classDiv"), lit(maxClass.toLong)))
       .persist()
     graft.util.CacheBag.register(occ)
-    val cx = col("cell") % side
-    val cy = expr(s"cell div $side")
-    val nbrExprs = for (dy <- -1 to 1; dx <- -1 to 1 if dx != 0 || dy != 0) yield {
-      val (nx, ny) = (cx + dx, cy + dy)
-      when(nx >= 0 && nx < side && ny >= 0 && ny < side, ny * side + nx)
-        .otherwise(lit(null))
-    }
-    val edges = occ
-      .select(col("cell"), col("cls"), explode(array(nbrExprs: _*)).as("ncell"))
-      .filter(col("ncell").isNotNull && col("cell") < col("ncell"))
+    val edges = adjacentPairs(occ.select(col("cell"), col("cls")), side)
       .join(occ.select(col("cell").as("ncell"), col("cls").as("ncls")), Seq("ncell"))
       .filter(col("cls") === col("ncls"))
       .select(col("cell").as("src"), col("ncell").as("dst"))
@@ -485,6 +483,23 @@ object GeoQueries {
     * keyed on source. Nothing touches the driver. */
   def crawlCorridor(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
     val p = 1L << level
+    corridorSteps(spark, sfDir)
+      .selectExpr("source", "doc_id",
+        s"(((latn + 900 * n) * $p) div (1800 * n)) * $p + " +
+          s"(((lonn + 1800 * n) * $p) div (3600 * n)) AS cell")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_segments"),
+        count(lit(1)).as("n_steps"),
+        countDistinct(col("cell")).as("n_cells"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared q90/q95 corridor-step frame: per consecutive same-source hop,
+    * every interpolation point as a RATIONAL with denominator n — latn/n
+    * is the point's latitude, and (latn + 900n) stays provably
+    * non-negative so downstream floor divisions agree across engines.
+    * This is the FIXTURES §3 determinism-critical block; ONE copy. */
+  private def corridorSteps(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("ts_sec"), col("doc_id"))
     Pages.fromDocuments(spark, sfDir)
       .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
@@ -497,14 +512,9 @@ object GeoQueries {
       .selectExpr("source", "doc_id", "ilat", "ilon", "plat", "plon",
         "greatest(abs(ilat - plat), abs(ilon - plon), CAST(1 AS BIGINT)) AS n")
       .withColumn("i", explode(expr("sequence(CAST(0 AS BIGINT), n)")))
-      .selectExpr("source", "doc_id",
-        s"((((plat + 900) * n + (ilat - plat) * i) * $p) div (1800 * n)) * $p + " +
-          s"((((plon + 1800) * n + (ilon - plon) * i) * $p) div (3600 * n)) AS cell")
-      .groupBy(col("source"))
-      .agg(countDistinct(col("doc_id")).as("n_segments"),
-        count(lit(1)).as("n_steps"),
-        countDistinct(col("cell")).as("n_cells"))
-      .orderBy(col("source"))
+      .selectExpr("source", "doc_id", "n",
+        "plat * n + (ilat - plat) * i AS latn",
+        "plon * n + (ilon - plon) * i AS lonn")
   }
 
   /** q95 — corridor×footprint SWEEP: which footprints does each crawler's
@@ -521,22 +531,7 @@ object GeoQueries {
     * segments and in-box steps. */
   def corridorSweep(spark: SparkSession, sfDir: String, level: Int = 6): DataFrame = {
     val p = 1L << level
-    val w = Window.partitionBy(col("source")).orderBy(col("ts_sec"), col("doc_id"))
-    val steps = Pages.fromDocuments(spark, sfDir)
-      .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
-      .withColumn("plat", lag(col("ilat"), 1).over(w))
-      .withColumn("plon", lag(col("ilon"), 1).over(w))
-      .filter(col("plat").isNotNull)
-      .selectExpr("source", "doc_id",
-        "CAST(ilat AS BIGINT) AS ilat", "CAST(ilon AS BIGINT) AS ilon",
-        "CAST(plat AS BIGINT) AS plat", "CAST(plon AS BIGINT) AS plon")
-      .selectExpr("source", "doc_id",
-        "greatest(abs(ilat - plat), abs(ilon - plon), CAST(1 AS BIGINT)) AS n",
-        "ilat", "ilon", "plat", "plon")
-      .withColumn("i", explode(expr("sequence(CAST(0 AS BIGINT), n)")))
-      .selectExpr("source", "doc_id", "n",
-        "plat * n + (ilat - plat) * i AS latn",
-        "plon * n + (ilon - plon) * i AS lonn")
+    val steps = corridorSteps(spark, sfDir)
       .withColumn("cell", expr(
         s"(((latn + 900 * n) * $p) div (1800 * n)) * $p + (((lonn + 1800 * n) * $p) div (3600 * n))"))
     // footprint cover cells at the corridor level: corner-cell ranges (cell

@@ -69,7 +69,12 @@ object SimilarityQueries {
     * identical math so hash equality proves codes, surrogate ranking AND
     * re-rank. Recall vs brute is additionally ST-gated. */
   def sq8TopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // persist: e0 feeds the min/max training agg, the query side AND the
+    // corpus side of the scan — quantization must run once per vector
+    // (the q46 pattern), not three times
     val e0 = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist()
+    graft.util.CacheBag.register(e0)
     val mm = e0.agg(
       array((0 until Dims).map(i => min(element_at(col("qv"), i + 1))): _*).as("mn"),
       array((0 until Dims).map(i => max(element_at(col("qv"), i + 1))): _*).as("mx")).head()

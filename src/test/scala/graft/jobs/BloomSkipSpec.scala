@@ -26,7 +26,7 @@ class BloomSkipSpec extends SparkTestBase {
     val holder = snap.parts.find(e => e.pCell == r42.getLong(0) && e.pDate == r42.getString(1)).get
     assert(SnapshotTable.mightContainAny(holder, Seq(42L)))
     // an absent key prunes most partitions (deterministic: fixed fixture +
-    // fixed key = fixed bloom bits; fpp 1e-3 across ~16 entries)
+    // fixed key = fixed bloom bits; fpp 1% across ~16 entries)
     val qualifying = snap.parts.count(e => SnapshotTable.mightContainAny(e, Seq(999999999L)))
     assert(qualifying < snap.parts.length / 2,
       s"bloom pruned nothing: $qualifying/${snap.parts.length}")

@@ -86,6 +86,40 @@ class GeoOpsSpec extends SparkTestBase {
     graft.util.CacheBag.release()
   }
 
+  test("corridorSweep matches an independent driver-side simulation (sf0.001)") {
+    // The oracle replays the same SQL formula; this sim is the independent
+    // check: per step, exact rational point-in-box by cross-multiplying
+    // with the denominator, no shared expression text with the operator.
+    val boxes = Footprints.boxes
+    val agg = scala.collection.mutable.Map[(String, Int), (Set[Long], Long)]()
+    Pages.fromDocuments(spark, sf0001)
+      .select(col("source"), col("doc_id"), col("ts_sec"), col("ilat"), col("ilon"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+      .foreach { case (src, rows) =>
+        val ordered = rows.sortBy(r => (r._3, r._2))
+        for (Array((_, _, _, plat, plon), (_, did, _, ilat, ilon)) <- ordered.sliding(2)) {
+          val n = math.max(math.max(math.abs(ilat - plat).toLong, math.abs(ilon - plon).toLong), 1L)
+          for (i <- 0L to n) {
+            val latn = plat * n + (ilat - plat) * i
+            val lonn = plon * n + (ilon - plon) * i
+            for (b <- boxes
+                 if b.ilat0 * n <= latn && latn <= b.ilat1 * n &&
+                   b.ilon0 * n <= lonn && lonn <= b.ilon1 * n) {
+              val k = (src, b.fpId)
+              val (segs, steps) = agg.getOrElse(k, (Set.empty[Long], 0L))
+              agg(k) = (segs + did, steps + 1)
+            }
+          }
+        }
+      }
+    val got = GeoQueries.corridorSweep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val want = agg.map { case (k, (segs, steps)) => k -> ((segs.size.toLong, steps)) }.toMap
+    assert(got === want)
+  }
+
   test("crawlCorridor matches an independent driver-side simulation (sf0.001)") {
     // The DuckDB oracle mirrors the same SQL formula; this sim is the
     // INDEPENDENT check — Math.floorDiv over materialized hops, no shared
