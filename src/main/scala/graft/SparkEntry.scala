@@ -122,6 +122,7 @@ object SparkEntry {
     "q93_ann_sq8" -> ((s, d) => SimilarityQueries.sq8TopK(s, d)),
     "q94_vectorize" -> ((s, d) => GeoQueries.vectorizeRaster(s, d)),
     "q95_corridor_sweep" -> ((s, d) => GeoQueries.corridorSweep(s, d)),
+    "q96_cosine_topk" -> ((s, d) => SimilarityQueries.cosineTopK(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -103,6 +103,36 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q96 — COSINE top-k (the metric the brief names for embedding
+    * similarity; everything else here ranks by L2): rank = signed
+    * dot²/|v|² — `d·|d| / nn` is monotone in cos = d/(|q||v|) for a fixed
+    * query, needs NO square root, and both engines compute it as exact
+    * integer products, ONE IEEE double division, a 1e6 scale and a floor
+    * (the q49 pattern; the integer inputs are ≤ 4e15 < 2^53 so their
+    * double images are exact — the division MUST precede the scale, or
+    * the 1e6-scaled numerator leaves the exact range and self-cos floors
+    * to 999999). Ties after the permicro floor collapse identically in both
+    * engines (ORDER BY cos_m DESC, vec_id). Self-match reports exactly
+    * 1e6. */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .persist()
+    graft.util.CacheBag.register(e)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("nn").as("nq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_m").desc, col("vec_id"))
+    q.crossJoin(e)
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qvec, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_m", expr(
+        "CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_m"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Brute-force exact L2 top-k for query vectors (vec_id < nQueries). */
   def l2TopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -479,8 +509,10 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("bucket"))
 
-  /** Float cosine top-k (ST-only; float-sum order is engine-specific). */
-  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+  /** Float cosine top-k (ST-only; float-sum order is engine-specific —
+    * q96's integer/one-division formulation is the oracle-gated one, and
+    * the ST asserts the two agree on ranking). */
+  def cosineTopKFloat(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
@@ -513,6 +545,19 @@ object SimilarityQueries {
     s"(CASE WHEN ${sqlPlaneDot(b)} >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") + " AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q96_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "en AS (SELECT vec_id, qv, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nn FROM e), " +
+        "q AS (SELECT vec_id AS qid, qv AS qvec, nn AS nq FROM en WHERE vec_id < 10), " +
+        "d AS (SELECT q.qid, en.vec_id, " +
+        "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+        "i -> q.qvec[i+1] * en.qv[i+1])), (a, b) -> a + b) AS dot, q.nq, en.nn " +
+        "FROM q CROSS JOIN en), " +
+        "c AS (SELECT qid, vec_id, CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / " +
+        "CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT) AS cos_m FROM d), " +
+        "r AS (SELECT qid, vec_id, cos_m, row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, vec_id) AS rnk FROM c) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cos_m FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
     "q93_ann_sq8" ->
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
         "w AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS d FROM e), " +

@@ -118,8 +118,10 @@ class PlanShapeSpec extends SparkTestBase {
     //  - q93: the SQ8 code scan cross-joins the corpus against the
     //    BROADCAST 10-row query-code set (the q31/q63 scan shape); the
     //    point of SQ8 is the per-row payload is 64 bytes, not fewer rows
+    //  - q96: cosine brute scan — the q31 shape with the cosine metric
     val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
-      "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint", "q93_ann_sq8")
+      "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint", "q93_ann_sq8",
+      "q96_cosine_topk")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

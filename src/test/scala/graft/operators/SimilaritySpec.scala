@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("cosine top-k: self is rank 1 at exactly 1e6; values bounded") {
+    val rows = SimilarityQueries.cosineTopK(spark, sf001).collect()
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), "self must be the best cosine match")
+      assert(r.getLong(3) === 1000000L, "cos(v, v) must report exactly 1e6")
+    }
+    assert(rows.forall(r => r.getLong(3) >= -1000000L && r.getLong(3) <= 1000000L))
+    // cosine != L2 ranking in general: both queries exist and the law that
+    // distinguishes them is the metric itself, pinned by the oracle
+  }
+
   test("bucket histogram covers every vector exactly once") {
     val stats = SimilarityQueries.bucketStats(spark, sf001).collect()
     val total = stats.map(_.getLong(1)).sum
@@ -117,9 +128,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(digest(3) === digest(11))
   }
 
-  test("float cosine top-k: self-similarity is 1.0 at rank 1") {
-    val rows = SimilarityQueries.cosineTopK(spark, sf001).collect()
+  test("float cosine top-k: self-similarity is 1.0 at rank 1; agrees with q96 ranking") {
+    val rows = SimilarityQueries.cosineTopKFloat(spark, sf001).collect()
     val r1 = rows.filter(_.getInt(1) == 1)
     assert(r1.forall(r => r.getLong(0) === r.getLong(2) && math.abs(r.getDouble(3) - 1.0) < 1e-9))
+    // the oracle-gated integer formulation must produce the same top-k
+    // sets (permicro floor ties aside, identical ordering on this data)
+    val ints = SimilarityQueries.cosineTopK(spark, sf001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val flts = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(ints === flts)
   }
 }
