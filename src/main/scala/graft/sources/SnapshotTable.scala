@@ -522,7 +522,8 @@ object SnapshotTable {
     * cost is bounded by partition pruning only (a doc_id-keyed skipping
     * index would cut it further — future work, documented, not silent). */
   def changelogBetween(spark: SparkSession, root: String, fromSeq: Long,
-      toSeq: Long, payload: Seq[String] = Seq("lang", "n_chars")): DataFrame = {
+      toSeq: Long, payload: Seq[String] = Seq("lang", "n_chars"),
+      cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromSeq < toSeq, s"fromSeq $fromSeq must precede toSeq $toSeq")
     val from = snapshotAt(root, fromSeq).getOrElse(
@@ -551,8 +552,12 @@ object SnapshotTable {
           Seq("CAST('' AS STRING) AS op", "id AS doc_id") ++
             payload.map(p => s"CAST(NULL AS STRING) AS $p"): _*)
       case Some(c0) =>
-        val c = c0.persist()
-        graft.util.CacheBag.register(c)
+        // cache=false: single-consumption callers (the CDC stream — no
+        // per-batch CacheBag release point) recompute the candidate scan
+        // per semi-join instead of holding a cache entry
+        val c = if (cache) {
+          val p = c0.persist(); graft.util.CacheBag.register(p); p
+        } else c0
         val oAll = if (from.parts.isEmpty) None else Some(applyDeletes(spark, from.parts))
         val nAll = if (to.parts.isEmpty) None else Some(applyDeletes(spark, to.parts))
         // generic over the table shape: only doc_id is required; content

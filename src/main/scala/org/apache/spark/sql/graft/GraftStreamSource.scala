@@ -90,6 +90,83 @@ private[graft] case class GraftSourceOffset(seq: Long) extends Offset {
   override def json: String = seq.toString
 }
 
+/** Streaming ROW-LEVEL CDC (the Delta Change-Data-Feed analog):
+  *
+  * {{{
+  * spark.readStream.format("graft-cdc").option("path", root).load()
+  * }}}
+  *
+  * Offsets are snapshot seqs like `graft-stream`, but each micro-batch is
+  * `SnapshotTable.changelogBetween(lo, hi)` — the NET per-key (op,
+  * doc_id, lang, n_chars) changes with op ∈ I/U/D. Unlike the file-level
+  * stream, a COW rewrite or compaction commit produces an EMPTY batch
+  * (carried-over rows net out) and deletes surface as explicit D rows
+  * instead of silently vanishing. The first batch is the full state as
+  * 'I' rows (the CDF initial-snapshot convention); `fromSeq` skips the
+  * backfill and streams changes committed after that snapshot. */
+class GraftCdcProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-cdc requires .option(\"path\", <table root>)"))
+
+  val cdcSchema: StructType = new StructType()
+    .add("op", org.apache.spark.sql.types.StringType)
+    .add("doc_id", org.apache.spark.sql.types.LongType)
+    .add("lang", org.apache.spark.sql.types.StringType)
+    .add("n_chars", org.apache.spark.sql.types.LongType)
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), cdcSchema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val fromSeq = parameters.get("fromSeq").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-cdc option fromSeq must be a snapshot seq number, got '$v'")
+      }
+    }.getOrElse(0L)
+    new GraftCdcSource(sqlContext, root(parameters), cdcSchema, fromSeq)
+  }
+}
+
+private[graft] class GraftCdcSource(sqlContext: SQLContext, root: String,
+    override val schema: StructType, fromSeq: Long) extends Source {
+
+  private def seqOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] =
+    SnapshotTable.currentSeq(root).filter(_ > fromSeq).map(GraftSourceOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val spark = sqlContext.sparkSession
+    val lo = start.map(seqOf).getOrElse(fromSeq)
+    val hi = seqOf(end)
+    val df =
+      if (lo == 0L) {
+        // initial snapshot: every live row as 'I' (the CDF convention)
+        val to = SnapshotTable.snapshotAt(root, hi).getOrElse(
+          throw new IllegalStateException(s"no snapshot $hi under $root"))
+        if (to.parts.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else SnapshotTable.applyDeletes(spark, to.parts)
+          .select(lit("I").as("op"), col("doc_id"),
+            col("lang"), col("n_chars"))
+      } else
+        SnapshotTable.changelogBetween(spark, root, lo, hi, cache = false)
+    // V1 streaming contract: the batch frame must carry isStreaming=true
+    sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private[graft] class GraftStreamSource(sqlContext: SQLContext, root: String,
     override val schema: StructType, fromSeq: Long) extends Source {
 

@@ -106,4 +106,59 @@ class StreamReadSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
   }
+
+  test("graft-cdc: initial I snapshot, NET row ops per commit, compaction = empty batch") {
+    val root = Files.createTempDirectory("cdcstream").toString
+    val ckpt = Files.createTempDirectory("cdcstream-ckpt").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+      .withColumn("p_date", lit("all"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def runCdc(): Seq[(String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      val q = spark.readStream.format("graft-cdc").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("op", "doc_id").collect()
+            .foreach(r => buf.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+
+    IngestJob.runPages(spark, base.filter(col("doc_id") % 3 =!= 0), root, "j1")
+    val first = runCdc()
+    assert(first.forall(_._1 == "I"), "initial batch is the full state as I")
+    assert(first.map(_._2).toSet === ids(base.filter(col("doc_id") % 3 =!= 0)))
+
+    // MOR upsert of evens: NET ops = U for existing keys, I for new ones
+    IngestJob.mergeUpsertMor(spark, root,
+      base.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(100L)), "up")
+    val second = runCdc().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(second.getOrElse("U", Set.empty) ===
+      ids(base.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 =!= 0)))
+    assert(second.getOrElse("I", Set.empty) ===
+      ids(base.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)))
+    assert(!second.contains("D"))
+
+    // MOR delete: explicit D rows (the file-level stream shows NOTHING here)
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 5 === 0, "del")
+    val third = runCdc()
+    assert(third.nonEmpty && third.forall(_._1 == "D"))
+    assert(third.map(_._2).toSet === ids(base.filter(col("doc_id") % 5 === 0 &&
+      (col("doc_id") % 3 =!= 0 || col("doc_id") % 2 === 0))))
+
+    // compaction rewrites every file but changes no row: EMPTY batch, yet
+    // the offset advances (a fresh run delivers nothing new)
+    assert(SnapshotTable.compact(spark, root)(_ => true).isDefined)
+    assert(runCdc().isEmpty, "compaction must not produce phantom CDC rows")
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(ckpt))
+  }
 }
