@@ -117,6 +117,9 @@ object SimilarityQueries {
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("nn", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      // zero-norm vectors have no cosine: exclude them (mirrored in the
+      // oracle) rather than let 0/0 -> NaN abort the ANSI BIGINT cast
+      .filter(col("nn") > 0)
       .persist()
     graft.util.CacheBag.register(e)
     val q = e.filter(col("vec_id") < nQueries)
@@ -547,8 +550,9 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "q96_cosine_topk" ->
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
-        "en AS (SELECT vec_id, qv, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "en0 AS (SELECT vec_id, qv, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
         "list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nn FROM e), " +
+        "en AS (SELECT * FROM en0 WHERE nn > 0), " +
         "q AS (SELECT vec_id AS qid, qv AS qvec, nn AS nq FROM en WHERE vec_id < 10), " +
         "d AS (SELECT q.qid, en.vec_id, " +
         "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +

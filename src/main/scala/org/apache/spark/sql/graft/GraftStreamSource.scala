@@ -64,8 +64,7 @@ class GraftStreamProvider extends StreamSourceProvider
   }
 
   private def root(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-stream requires .option(\"path\", <table root>)"))
+    GraftStreamCommon.root(parameters, shortName())
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
@@ -75,14 +74,9 @@ class GraftStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val r = root(parameters)
-    val fromSeq = parameters.get("fromSeq").map { v =>
-      try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft-stream option fromSeq must be a snapshot seq number, got '$v'")
-      }
-    }.getOrElse(0L)
     new GraftStreamSource(sqlContext, r,
-      schema.getOrElse(GraftSource.tableSchema(r)), fromSeq)
+      schema.getOrElse(GraftSource.tableSchema(r)),
+      GraftStreamCommon.fromSeq(parameters, shortName()))
   }
 }
 
@@ -107,46 +101,72 @@ private[graft] case class GraftSourceOffset(seq: Long) extends Offset {
 class GraftCdcProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
 
-  private def root(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-cdc requires .option(\"path\", <table root>)"))
-
-  val cdcSchema: StructType = new StructType()
-    .add("op", org.apache.spark.sql.types.StringType)
-    .add("doc_id", org.apache.spark.sql.types.LongType)
-    .add("lang", org.apache.spark.sql.types.StringType)
-    .add("n_chars", org.apache.spark.sql.types.LongType)
-
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), cdcSchema)
+    (shortName(), GraftCdcProvider.cdcSchemaFor(
+      GraftStreamCommon.root(parameters, shortName())))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val fromSeq = parameters.get("fromSeq").map { v =>
-      try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft-cdc option fromSeq must be a snapshot seq number, got '$v'")
-      }
-    }.getOrElse(0L)
-    new GraftCdcSource(sqlContext, root(parameters), cdcSchema, fromSeq)
+    val r = GraftStreamCommon.root(parameters, shortName())
+    new GraftCdcSource(sqlContext, r, GraftCdcProvider.cdcSchemaFor(r),
+      GraftStreamCommon.fromSeq(parameters, shortName()))
   }
 }
 
-private[graft] class GraftCdcSource(sqlContext: SQLContext, root: String,
-    override val schema: StructType, fromSeq: Long) extends Source {
+private[graft] object GraftCdcProvider {
+  /** CDC schema is DERIVED from the table: op + doc_id + whichever payload
+    * columns the table actually has, with the table's own types — a table
+    * without n_chars (or with an int n_chars) must not be reinterpreted
+    * under a hardcoded 4-field long layout. */
+  def cdcSchemaFor(root: String): StructType = {
+    val t = GraftSource.tableSchema(root)
+    Seq("lang", "n_chars").filter(t.fieldNames.contains)
+      .foldLeft(new StructType()
+        .add("op", org.apache.spark.sql.types.StringType)
+        .add("doc_id", org.apache.spark.sql.types.LongType)) { (s, p) => s.add(t(p)) }
+  }
+}
 
-  private def seqOf(o: Offset): Long = o.json.trim.toLong
+/** Helpers shared by the two stream providers — the offset/option
+  * semantics MUST stay identical between the file-level and row-level
+  * sources. */
+private[graft] object GraftStreamCommon {
+  def root(parameters: Map[String, String], fmt: String): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(s"$fmt requires .option(\"path\", <table root>)"))
 
+  def fromSeq(parameters: Map[String, String], fmt: String): Long =
+    parameters.get("fromSeq").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$fmt option fromSeq must be a snapshot seq number, got '$v'")
+      }
+    }.getOrElse(0L)
+}
+
+/** Offset plumbing shared by both sources (seqs in, seqs out). */
+private[graft] trait SeqOffsetSource { self: Source =>
+  protected def tableRoot: String
+  protected def startSeq: Long
+  protected def seqOf(o: Offset): Long = o.json.trim.toLong
   override def getOffset: Option[Offset] =
-    SnapshotTable.currentSeq(root).filter(_ > fromSeq).map(GraftSourceOffset)
+    SnapshotTable.currentSeq(tableRoot).filter(_ > startSeq).map(GraftSourceOffset)
+}
+
+private[graft] class GraftCdcSource(sqlContext: SQLContext, root: String,
+    override val schema: StructType, fromSeq: Long)
+    extends Source with SeqOffsetSource {
+  override protected def tableRoot: String = root
+  override protected def startSeq: Long = fromSeq
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = sqlContext.sparkSession
     val lo = start.map(seqOf).getOrElse(fromSeq)
     val hi = seqOf(end)
-    val df =
+    val payload = schema.fieldNames.toSeq.drop(2)
+    val df0 =
       if (lo == 0L) {
         // initial snapshot: every live row as 'I' (the CDF convention)
         val to = SnapshotTable.snapshotAt(root, hi).getOrElse(
@@ -154,10 +174,17 @@ private[graft] class GraftCdcSource(sqlContext: SQLContext, root: String,
         if (to.parts.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         else SnapshotTable.applyDeletes(spark, to.parts)
-          .select(lit("I").as("op"), col("doc_id"),
-            col("lang"), col("n_chars"))
+          .select(Seq(lit("I").as("op"), col("doc_id")) ++ payload.map(col): _*)
       } else
-        SnapshotTable.changelogBetween(spark, root, lo, hi, cache = false)
+        // cache=false is deliberate: the candidate set is delta-bounded,
+        // so the double scan (one per endpoint semi-join) is cheap, while
+        // a per-batch cache in a long-running stream has no release point
+        SnapshotTable.changelogBetween(spark, root, lo, hi, payload, cache = false)
+    // pin the positional layout to the declared schema (types included):
+    // internalCreateDataFrame reinterprets rows POSITIONALLY, so any
+    // drift between the produced frame and `schema` must surface as an
+    // analysis error here, never as silent field corruption downstream
+    val df = df0.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
     // V1 streaming contract: the batch frame must carry isStreaming=true
     sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
@@ -168,14 +195,12 @@ private[graft] class GraftCdcSource(sqlContext: SQLContext, root: String,
 }
 
 private[graft] class GraftStreamSource(sqlContext: SQLContext, root: String,
-    override val schema: StructType, fromSeq: Long) extends Source {
-
+    override val schema: StructType, fromSeq: Long)
+    extends Source with SeqOffsetSource {
   // concrete offset may be ours or the engine's checkpoint-restored
-  // SerializedOffset — both carry the seq as their json
-  private def seqOf(o: Offset): Long = o.json.trim.toLong
-
-  override def getOffset: Option[Offset] =
-    SnapshotTable.currentSeq(root).filter(_ > fromSeq).map(GraftSourceOffset)
+  // SerializedOffset — both carry the seq as their json (seqOf, shared)
+  override protected def tableRoot: String = root
+  override protected def startSeq: Long = fromSeq
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(seqOf).getOrElse(fromSeq)

@@ -28,7 +28,7 @@ class StreamReadSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
     import scala.jdk.CollectionConverters._
     buf.asScala.map(_.longValue()).toSet
   }
@@ -98,7 +98,7 @@ class StreamReadSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
     val got = spark.table("sr4").select("doc_id").collect().map(_.getLong(0)).toSet
     val want = base.filter(col("doc_id") % 3 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -126,7 +126,7 @@ class StreamReadSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000), "CDC stream did not finish within 60s")
       import scala.jdk.CollectionConverters._
       buf.asScala.toSeq
     }
