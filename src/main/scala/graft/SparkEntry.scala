@@ -123,6 +123,7 @@ object SparkEntry {
     "q94_vectorize" -> ((s, d) => GeoQueries.vectorizeRaster(s, d)),
     "q95_corridor_sweep" -> ((s, d) => GeoQueries.corridorSweep(s, d)),
     "q96_cosine_topk" -> ((s, d) => SimilarityQueries.cosineTopK(s, d)),
+    "q97_tfidf_pairs" -> ((s, d) => TextQueries.tfidfPairSim(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

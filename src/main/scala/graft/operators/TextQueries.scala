@@ -403,6 +403,37 @@ object TextQueries {
         "CAST(size(grams) - size(array_distinct(grams)) AS BIGINT) * 1000 div size(grams) AS dup2_pm")
       .orderBy(col("doc_id"))
 
+  /** q97 — sparse TF-IDF document similarity (the IR complement to the
+    * dense-embedding cosine q96): per query doc, the top-3 most similar
+    * docs by the SPARSE weighted dot — sim(a, b) = Σ_t w(a,t)·w(b,t) with
+    * q57's integer weight w = tf·1e6 div df. The pair space is generated
+    * by the shared-TOKEN equi-join (never an all-pairs product): at scale
+    * the shuffle keys on token, stopword rows carry near-zero weight, and
+    * the query side is the small filtered subset. All-integer (products
+    * ≤ ~1e17), vec_id-tiebroken. */
+  def tfidfPairSim(spark: SparkSession, sfDir: String, topK: Int = 3,
+      nQueries: Int = 20): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = tf.join(dfreq, Seq("token"))
+      .select(col("doc_id"), col("token"), expr("tf * 1000000 div df").as("w"))
+      .persist()
+    graft.util.CacheBag.register(w)
+    val q = w.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did"))
+    q.join(w.select(col("doc_id").as("did"), col("token"), col("w")), Seq("token"))
+      .filter(col("qid") =!= col("did"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("qw") * col("w")).as("sim"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("did"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   private[operators] val shCte =
@@ -429,6 +460,17 @@ object TextQueries {
       "FROM pairs JOIN m m1 ON m1.doc_id = d1 JOIN m m2 ON m2.doc_id = d2)"
 
   val oracle: Map[String, String] = Map(
+    "q97_tfidf_pairs" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token), " +
+        "w AS (SELECT tf.doc_id, tf.token, CAST(tf.tf * 1000000 // df.df AS BIGINT) AS w " +
+        "FROM tf JOIN df ON tf.token = df.token), " +
+        "q AS (SELECT * FROM w WHERE doc_id < 20), " +
+        "p AS (SELECT q.doc_id AS qid, w.doc_id AS did, CAST(sum(q.w * w.w) AS BIGINT) AS sim " +
+        "FROM q JOIN w ON q.token = w.token AND q.doc_id <> w.doc_id GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rnk FROM p) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, did, sim FROM r WHERE rnk <= 3 ORDER BY qid, rnk"),
     "q88_chunk_dedup" ->
       (s"WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
         "generate_subscripts(string_split(text, ' '), 1) AS ord FROM documents), " +

@@ -53,6 +53,23 @@ class TextOpsSpec extends SparkTestBase {
     for (r <- fp) assert(r.getLong(2) <= r.getLong(1))
   }
 
+  test("tfidf pair similarity: symmetric dot, self-excluded, positive weights") {
+    // topK above corpus size: the top-k cut keeps EVERY pair, so both
+    // directions of each query-query pair are present for the symmetry law
+    val out = TextQueries.tfidfPairSim(spark, sf001, topK = 600, nQueries = 20).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self pairs must be excluded")
+    assert(out.forall(_.getLong(3) > 0), "shared-token pairs carry positive sim")
+    // symmetry law of the sparse dot: for pairs where BOTH ends are query
+    // docs AND both directions survived the top-k cut, sim(a,b) == sim(b,a)
+    val sims = out.filter(r => r.getLong(2) < 20)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    var checked = 0
+    for (((a, b), s) <- sims; rev <- sims.get((b, a))) { assert(rev === s, s"asym $a,$b"); checked += 1 }
+    assert(checked > 0, "no symmetric pair survived — law untested")
+    graft.util.CacheBag.release()
+  }
+
   test("chunk dedup: conservation laws + exact-dup doc keeps zero chunks (sf0.1)") {
     import spark.implicits._
     val sf01 = "/root/testdata/sf0.1"
