@@ -94,20 +94,45 @@ object Bench {
     val headlineSec = joinSec + tileSec
     val rate = (joinRows + tileRows) / headlineSec
 
+    // 3. scale probe: same pipeline at 4x input on the SAME session —
+    // throughput should hold or rise (fixed overheads amortizing), the
+    // sandbox's best stand-in evidence for the N->4N cluster-size gate.
+    // One sample (already warm from the standard leg); skipped on small
+    // runners to bound wall time.
+    val probe4x = if (cpus.toInt >= 8 && sys.env.getOrElse("SPARK_GRAFT_4X", "1") == "1") {
+      def pages4x = Pages.synthetic(spark, headlineRows * 4, parts)
+        .select("doc_id", "ts_sec", "ilat", "ilon")
+      val (js4, jr4) = secsOf(GeoQueries.pipJoinTimelessOn(spark, pages4x).count())
+      val (ts4, tr4) = secsOf(Tiling.rasterizeLongOn(spark, pages4x).count())
+      val rate4 = (jr4 + tr4) / (js4 + ts4)
+      Some((jr4 + tr4, js4 + ts4, rate4))
+    } else None
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}}"""
-    // Belt and braces for the driver's parser: persist the line to a known
-    // file, stop Spark FIRST (so no shutdown chatter can trail it), then
-    // print the JSON as the very last stdout line of the process.
+    val p4Json = probe4x.map { case (r, s, rt) =>
+      f""","headline_4x":{"rows":$r,"sec":$s%.3f,"tiles_join_rows_per_sec":$rt%.1f}"""
+    }.getOrElse("")
+    val headlineJson =
+      f""""headline":{"rows":$headlineRows,"join_rows":$joinRows,"tile_rows":$tileRows,"join_sec":$joinSec%.3f,"tile_sec":$tileSec%.3f,"sec":$headlineSec%.3f,"tiles_join_rows_per_sec":$rate%.1f}$p4Json"""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir","cpus":$cpus,$headlineJson}"""
+    // Short (<1 KB) headline-only line: the driver captures only a ~3 KB
+    // stdout tail, so the per-query map must NOT be on the final line.
+    val shortLine =
+      f"""{"metric":"tiles+join-rows/sec","value":$rate%.1f,"unit":"rows/sec","suite_sec":$total%.3f,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,$headlineJson}"""
+    // Belt and braces for the driver's parser: persist the full line to a
+    // known file, print it (earlier line), stop Spark (so no shutdown
+    // chatter can trail), then print the SHORT JSON as the very last
+    // stdout line of the process.
     try {
       val out = java.nio.file.Paths.get("BENCH/last.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    println(fullLine)
     spark.stop()
-    println(line)
+    println(shortLine)
   }
 }

@@ -207,7 +207,7 @@ object CorpusQueries {
       (s"WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok FROM d) " +
-        s"SELECT start_tok // $ShardTokens AS shard, count(*) AS n_docs, " +
+        s"SELECT CAST(start_tok // $ShardTokens AS BIGINT) AS shard, count(*) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS sum_tok, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM c GROUP BY shard ORDER BY shard"),
     "q78_decontaminate" -> {
@@ -261,7 +261,7 @@ object CorpusQueries {
         s"(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk FROM cl) WHERE rnk <= $DomainCap), " +
         "c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok FROM cap) " +
-        s"SELECT start_tok // $ShardTokens AS shard, count(*) AS n_docs, " +
+        s"SELECT CAST(start_tok // $ShardTokens AS BIGINT) AS shard, count(*) AS n_docs, " +
         "CAST(sum(n_tok) AS BIGINT) AS sum_tok, min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
         "FROM c GROUP BY shard ORDER BY shard"
     },

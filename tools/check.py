@@ -54,6 +54,19 @@ for name, sql in sorted(oracle.items()):
     wc, gc = sorted(want.columns), sorted(got.columns)
     if wc != gc:
         print(f"[FAIL] {name}: columns {gc} vs oracle {wc}"); fails += 1; continue
+    # Dtype-kind strictness: the driver hashes raw values, so an oracle
+    # column that fetches as float64 while Spark wrote int64 (e.g. an
+    # uncast DuckDB HUGEINT) must fail HERE, not only driver-side.
+    def kindcls(k):
+        if k in "iu": return "int"
+        if k in "OUS": return "str"
+        return k
+    kind_mismatch = [
+        (c, str(want[c].dtype), str(got[c].dtype)) for c in wc
+        if kindcls(want[c].dtype.kind) != kindcls(got[c].dtype.kind)]
+    if kind_mismatch:
+        print(f"[FAIL] {name}: dtype kind mismatch (oracle vs spark): {kind_mismatch}")
+        fails += 1; continue
     w = want[wc].values.tolist()
     g = got[wc].values.tolist()
     wn = sorted([tuple(norm(v) for v in row) for row in w])
