@@ -124,6 +124,7 @@ object SparkEntry {
     "q95_corridor_sweep" -> ((s, d) => GeoQueries.corridorSweep(s, d)),
     "q96_cosine_topk" -> ((s, d) => SimilarityQueries.cosineTopK(s, d)),
     "q97_tfidf_pairs" -> ((s, d) => TextQueries.tfidfPairSim(s, d)),
+    "q98_cosine_ann" -> ((s, d) => SimilarityQueries.cosineIvfTopK(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -44,30 +44,42 @@ object GraphQueries {
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
       .localCheckpoint(true)
-    if (sym.count() <= driverCap) {
-      import spark.implicits._
-      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
-      return out.toDF("node", "comp")
-    }
+    if (sym.count() <= driverCap)
+      return unionFindLocal(spark, sym.collect().map(r => (r.getLong(0), r.getLong(1))))
     val symB = sym
       .unionByName(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
     connectedComponentsDistributed(symB, maxIter)
+  }
+
+  /** Driver union-find over a bounded edge list (both driver paths). */
+  private def unionFindLocal(spark: SparkSession,
+      es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val m = unionFindMap(es)
+    m.keys.toSeq.sorted.map(n => (n, m(n))).toDF("node", "comp")
+  }
+
+  /** Pure union-find: node -> min-id component label, for every edge
+    * endpoint. The seam q69/q94's driver-assembled cluster step shares
+    * with the CC driver fast path (labels pinned identical to the
+    * distributed loop by `GraphSpec`). */
+  private[operators] def unionFindMap(es: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
   }
 
   /** The distributed min-label + pointer-jumping loop (beyond-cap path;

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -55,6 +56,48 @@ object SimilarityQueries {
 
   final val SqCand = 4 // SQ8 candidate multiplier before exact re-rank
 
+  /** One (sort-key, id) entry of the bounded top-k state. */
+  final case class TopPair(a: Long, b: Long)
+
+  /** Bounded partial top-k aggregate: keeps the k lexicographically
+    * smallest (a, b) pairs per group. The scale fix for the corpus-scan
+    * ranking stages (verdict r3 #5): `row_number() OVER (PARTITION BY
+    * qid)` shuffles nQueries partitions each holding the FULL corpus —
+    * a 10-partition hotspot at 100x. This aggregate is map-side
+    * combinable (ObjectHashAggregate partial -> merge), so each map task
+    * emits at most k rows per qid and the qid shuffle carries
+    * nQueries x k x nMapPartitions rows — bounded, never
+    * corpus-proportional. State is a sorted Seq capped at k (k <= 20
+    * everywhere), so reduce/merge are O(k). Deterministic: unique `b`
+    * tiebreak, insertion-order-independent sorted merge. */
+  class TopKAgg(k: Int) extends Aggregator[TopPair, Seq[TopPair], Seq[TopPair]] {
+    private def lt(x: TopPair, y: TopPair): Boolean =
+      x.a < y.a || (x.a == y.a && x.b < y.b)
+    override def zero: Seq[TopPair] = Nil
+    override def reduce(buf: Seq[TopPair], x: TopPair): Seq[TopPair] =
+      if (buf.length >= k && !lt(x, buf.last)) buf
+      else {
+        val (sm, ge) = buf.span(p => lt(p, x))
+        ((sm :+ x) ++ ge).take(k)
+      }
+    override def merge(a: Seq[TopPair], b: Seq[TopPair]): Seq[TopPair] =
+      (a ++ b).sortBy(p => (p.a, p.b)).take(k)
+    override def finish(r: Seq[TopPair]): Seq[TopPair] = r
+    override def bufferEncoder: Encoder[Seq[TopPair]] = ExpressionEncoder[Seq[TopPair]]()
+    override def outputEncoder: Encoder[Seq[TopPair]] = ExpressionEncoder[Seq[TopPair]]()
+  }
+
+  /** groupBy(gid).agg(top-k of (a, b)) -> exploded (gid, rnk, a, b). */
+  private def topKByGroup(df: DataFrame, gid: String, a: Column, b: Column,
+      k: Int): DataFrame = {
+    val top = udaf(new TopKAgg(k), Encoders.product[TopPair])
+    df.groupBy(col(gid))
+      .agg(top(a, b).as("top"))
+      .select(col(gid), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(gid), (col("pos") + 1).cast("int").as("rnk"),
+        col("t.a").as("a"), col("t.b").as("b"))
+  }
+
   /** q93 — SQ8 scalar-quantized ANN (the FAISS SQ8 index shape,
     * completing the family: brute q31, LSH multi-probe q32, banded LSH
     * q41, IVF q46, IVF-PQ q63): per-dimension corpus min/max train one
@@ -90,12 +133,19 @@ object SimilarityQueries {
     val approx = expr(
       s"aggregate(zip_with(zip_with(cq, cv, (a, b) -> a - b), $spS, (d, s) -> d * s), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
-    val wA = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
+    // candidate selection: bounded partial top-k per qid (see TopKAgg) —
+    // the corpus-wide surrogate scan never feeds a qid-partitioned window
+    val cands = topKByGroup(
+      q.select(col("qid"), col("cq")).crossJoin(enc.select(col("vec_id"), col("cv")))
+        .withColumn("approx", approx),
+      "qid", col("approx"), col("vec_id"), SqCand * k)
+      .select(col("qid"), col("b").as("vec_id"))
+    // exact re-rank of the BOUNDED survivor set (SqCand*k per qid): join
+    // the vectors back by key — the candidate side is tiny, broadcast it
     val wR = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    q.crossJoin(enc)
-      .withColumn("approx", approx)
-      .withColumn("arnk", row_number().over(wA))
-      .filter(col("arnk") <= SqCand * k)
+    broadcast(cands)
+      .join(q.select(col("qid"), col("qvec")), Seq("qid"))
+      .join(enc.select(col("vec_id"), col("qv")), Seq("vec_id"))
       .withColumn("dist", l2(col("qvec"), col("qv")))
       .withColumn("rnk", row_number().over(wR))
       .filter(col("rnk") <= k)
@@ -124,16 +174,79 @@ object SimilarityQueries {
     graft.util.CacheBag.register(e)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qvec"), col("nn").as("nq"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_m").desc, col("vec_id"))
-    q.crossJoin(e)
+    // ranking: bounded partial top-k per qid on (-cos_m, vec_id) — the
+    // lexicographic sort key reproduces ORDER BY cos_m DESC, vec_id ASC
+    // (cos_m is in [-1e6, 1e6], negation is overflow-safe). The corpus
+    // scan map-side-combines to k rows per qid per task; no window ever
+    // sees corpus-proportional rows (verdict r3 #5).
+    topKByGroup(
+      q.crossJoin(e)
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qvec, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("cos_m", expr(
+          "CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT)")),
+      "qid", -col("cos_m"), col("vec_id"), k)
+      .select(col("qid"), col("rnk"), col("b").as("vec_id"), (-col("a")).as("cos_m"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Normalization scale for the cosine->L2 bridge: unit vectors in
+    * 1e-5 units. Components are exact through the double pipeline
+    * (|qv_i| * 1e5 <= ~1e9 << 2^53; sqrt and / are IEEE
+    * correctly-rounded in both engines, floor collapses identically). */
+  final val NormScale = 100000L
+
+  /** q98 — cosine ANN through the IVF index (verdict r3 #4): on UNIT
+    * vectors L2² = 2·S²(1 − cos), so the normalize-then-L2 bridge lets
+    * the trained coarse quantizer (same deterministic k-means as q46,
+    * sqrt(n) centroids, sublinear probe cost) serve the brief's named
+    * metric — candidate generation is IVF probes over integer-normalized
+    * vectors, final ranking is q96's EXACT integer cosine (dot·|dot|/nq·nn
+    * permicro floor) of the original quantized vectors, so output columns
+    * and tie rules match q96's row-for-row wherever recall hits. Ranking
+    * is the bounded partial top-k aggregate (TopKAgg), never a
+    * qid-partitioned window over probed lists. Fully mirrored by the
+    * DuckDB oracle (iterated-CTE k-means like q46 + the q96 cosine);
+    * recall@5 vs the exact q96 is additionally ST-gated. */
+  def cosineIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // e feeds k-means, assignment AND the probes: persist so quantization
+    // + normalization run once per vector (the q46 pattern)
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv0"))
+      .withColumn("nn", expr("aggregate(qv0, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .filter(col("nn") > 0) // zero-norm vectors have no cosine (q96 rule)
+      .withColumn("qv", expr(
+        s"transform(qv0, x -> CAST(floor(CAST(x AS DOUBLE) * $NormScale / sqrt(CAST(nn AS DOUBLE))) AS BIGINT))"))
+      .persist()
+    val c = ivfCentroidCount(emb(spark, sfDir).count())
+    val cents = kmeansCentroids(e.select(col("vec_id"), col("qv")), c, IvfIters)
+    // inverted-list assignment on the normalized vectors; carry the
+    // ORIGINAL quantized vector + norm through for the exact cosine
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cd", l2(col("qv"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("qv0"), col("nn")), struct(col("cd"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.qv0").as("qv0"), col("best.nn").as("nn"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qnorm"),
+        col("qv0").as("qvec"), col("nn").as("nq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cd", l2(col("qnorm"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfProbes)
+      .select(col("qid"), col("qvec"), col("nq"), col("cid"))
+    val scored = probes.join(assigned, Seq("cid"))
       .withColumn("dot", expr(
-        "aggregate(zip_with(qvec, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        "aggregate(zip_with(qvec, qv0, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("cos_m", expr(
         "CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_m"))
+    val out = topKByGroup(scored, "qid", -col("cos_m"), col("vec_id"), k)
+      .select(col("qid"), col("rnk"), col("b").as("vec_id"), (-col("a")).as("cos_m"))
       .orderBy(col("qid"), col("rnk"))
+      .persist()
+    out.count() // materialize the tiny result, then drop the big cache
+    e.unpersist(false)
+    graft.util.CacheBag.register(out)
   }
 
   /** Brute-force exact L2 top-k for query vectors (vec_id < nQueries). */
@@ -623,6 +736,43 @@ object SimilarityQueries {
         "d AS (SELECT p.qid, af.vec_id, CAST(" + sqlL2c("p.qvec", "af.qv") + " AS BIGINT) AS dist FROM p JOIN af ON p.cid = af.cid), " +
         "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM d) " +
         "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+    },
+    "q98_cosine_ann" -> {
+      // q46's trained-IVF twin re-based on the integer-normalized vectors
+      // (cosine->L2 bridge), with q96's exact integer cosine as the final
+      // ranking. Same deterministic k-means (seed = first c, (cd, cid)
+      // ties, floor mean, empty clusters drop).
+      val csub = "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      def assign(out: String, cin: String) =
+        s"$out AS (SELECT vec_id, qv, cid FROM (SELECT e.vec_id, e.qv, c.cid, " +
+          "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + sqlL2c("e.qv", "c.cv") +
+          s", c.cid) AS rn FROM e CROSS JOIN $cin c) WHERE rn = 1)"
+      def update(out: String, ain: String) =
+        s"$out AS (SELECT cid, list(m ORDER BY i) AS cv FROM (" +
+          "SELECT cid, i, CAST(floor(1.0 * sum(qv[i]) / count(*)) AS BIGINT) AS m " +
+          s"FROM $ain CROSS JOIN range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)"
+      val kmeans = (1 to IvfIters).map(it =>
+        assign(s"a$it", if (it == 1) "c0" else s"c${it - 1}") + ", " + update(s"c$it", s"a$it"))
+        .mkString(", ")
+      "WITH e0 AS (SELECT vec_id, " + sqlQuant + " AS qv0 FROM embeddings), " +
+        "en AS (SELECT vec_id, qv0, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "list_transform(qv0, x -> x * x)), (a, b) -> a + b) AS nn FROM e0), " +
+        "e AS (SELECT vec_id, qv0, nn, list_transform(qv0, " +
+        s"x -> CAST(floor(CAST(x AS DOUBLE) * $NormScale / sqrt(CAST(nn AS DOUBLE))) AS BIGINT)) AS qv " +
+        "FROM en WHERE nn > 0), " +
+        s"c0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM e WHERE vec_id < $csub), " +
+        s"$kmeans, " +
+        assign("af", s"c$IvfIters") + ", " +
+        "qd AS (SELECT e.vec_id AS qid, e.qv0 AS qvec, e.nn AS nq, c.cid, " + sqlL2c("e.qv", "c.cv") +
+        s" AS cd FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < 10), " +
+        s"p AS (SELECT qid, qvec, nq, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS prn FROM qd) WHERE prn <= $IvfProbes), " +
+        "d AS (SELECT p.qid, e2.vec_id, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "list_transform(range(64), i -> p.qvec[i+1] * e2.qv0[i+1])), (a, b) -> a + b) AS dot, " +
+        "p.nq, e2.nn FROM p JOIN af ON p.cid = af.cid JOIN e e2 ON af.vec_id = e2.vec_id), " +
+        "cm AS (SELECT qid, vec_id, CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / " +
+        "CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT) AS cos_m FROM d), " +
+        "r AS (SELECT qid, vec_id, cos_m, row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, vec_id) AS rnk FROM cm) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cos_m FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
     },
     "q41_embedding_neardup" -> {
       def pd2(b: Int): String =

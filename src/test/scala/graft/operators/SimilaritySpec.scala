@@ -120,6 +120,40 @@ class SimilaritySpec extends SparkTestBase {
         s"re-ranked dist mismatch for ${(r.getLong(0), r.getLong(2))}")
   }
 
+  test("cosine IVF ANN (q98): recall@5 >= 0.9 vs exact q96; self rank 1 at 1e6") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = topSets(SimilarityQueries.cosineTopK(spark, sf001))
+    val annRows = SimilarityQueries.cosineIvfTopK(spark, sf001).collect()
+    val ann = annRows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // the query's own (normalized) vector always lands in its probed list
+    annRows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0), "self must be the best cosine match")
+      assert(r.getLong(3) === 1000000L, "cos(v, v) must report exactly 1e6")
+    }
+    val recalls = exact.map { case (q, t) => (t & ann.getOrElse(q, Set())).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 $mean vs exact cosine")
+  }
+
+  test("TopKAgg: bounded state, order-invariant merge, matches a full sort") {
+    val agg = new SimilarityQueries.TopKAgg(5)
+    import SimilarityQueries.TopPair
+    val xs = (0 until 200).map(i => TopPair((i * 7919L) % 101, i.toLong))
+    val want = xs.sortBy(p => (p.a, p.b)).take(5)
+    // single-pass reduce
+    val r1 = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(r1 === want)
+    assert(r1.length <= 5, "state must stay bounded")
+    // arbitrary split + merge (the map-side-combine path)
+    for (cut <- Seq(1, 50, 137, 199)) {
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.reverse.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === want, s"merge at $cut diverged")
+    }
+  }
+
   test("synthetic pages generator is partitioning-invariant") {
     import org.apache.spark.sql.functions._
     def digest(parts: Int) = graft.sources.Pages.synthetic(spark, 5000, parts)
