@@ -66,6 +66,8 @@ object RowMajorOfCellIdRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RowMajorOfCellIdRule)
+    // SQL MERGE on graft catalog tables -> the delta-commit merge writer
+    e.injectResolutionRule(_ => GraftMergeRule)
     graft.functions.GraftFunctions.fns.foreach { case (name, builder) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -18,10 +18,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Each table is a directory under the warehouse containing the snapshot
   * layout (meta/CURRENT + manifests + data). Reads route through the same
   * DSv2 [[GraftTable]] as `format("graft")`, so SQL WHERE clauses drive
-  * the manifest prune identically. Read-only by design: writes go through
-  * the ingest/merge/streaming commit paths (which own atomicity and
-  * lineage), not SQL DML — create/alter/drop fail loudly instead of
-  * bypassing them. */
+  * the manifest prune identically.
+  *
+  * DML: `INSERT INTO graft.<t> ...` appends through the DSv2 write path
+  * (delta commit, schema contract enforced); with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, `MERGE INTO
+  * graft.<t> ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` routes to the global-key COW merge writer
+  * ([[graft.plans.GraftMergeRule]]). DDL (create/alter/drop/rename)
+  * stays refused: table lifecycle belongs to the ingest layer, which
+  * owns layout, lineage, and retention — a SQL DROP that bypassed
+  * expire/rollback would orphan snapshots silently. */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -86,8 +93,9 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only ($op): write through IngestJob/mergeInto/" +
-        "streaming sinks, which own commit atomicity and lineage")
+      s"graft catalog refuses DDL ($op): table lifecycle goes through " +
+        "IngestJob/SnapshotTable (layout, lineage, retention). " +
+        "SQL INSERT INTO and MERGE INTO are supported; see GraftCatalog docs.")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table =

@@ -100,6 +100,13 @@ object GraftSource {
     if (base.fieldNames.contains("p_date")) base else base.add("p_date", StringType)
   }
 
+  /** Merge-rule seam: the snapshot root of a graft DSv2 table, if the
+    * given connector table is one (GraftTable is package-private). */
+  def tableRoot(t: org.apache.spark.sql.connector.catalog.Table): Option[String] = t match {
+    case g: GraftTable => Some(g.rootPath)
+    case _ => None
+  }
+
   /** Test seam: (partitionsKept, partitionsTotal) of the most recent scan
     * PLANNED in this JVM — the plan-shape STs assert manifest pruning
     * actually dropped partitions without reaching into Catalyst. */
@@ -109,6 +116,7 @@ object GraftSource {
 private[sources] class GraftTable(root: String, schema0: StructType,
     snap: Option[SnapshotTable.Snapshot]) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private[sources] def rootPath: String = root
   override def name(): String = s"graft.`$root`"
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
