@@ -130,8 +130,8 @@ object GraftCli {
       val bs = SnapshotTable.listBranches(root)
       if (bs.isEmpty) println(s"no branches under $root")
       else bs.foreach { case (n, s) => println(s"$n -> snap-$s") }
-    case "fast-forward" :: root :: name :: Nil =>
-      val s = SnapshotTable.fastForward(root, name)
+    case "fast-forward" :: root :: name :: rest if rest.isEmpty || rest == List("--force") =>
+      val s = SnapshotTable.fastForward(root, name, force = rest.nonEmpty)
       println(s"fast-forward: main snapshot ${s.seq} publishes branch '$name'")
     case "rollback" :: root :: seq :: Nil =>
       // set-current: new snapshot with snapshot <seq>'s content; history
@@ -187,7 +187,8 @@ object GraftCli {
       |  rollback  <root> <seq>           set-current: new snapshot restoring <seq>'s content
       |  branch    <root> <name> <seq>    create a writable branch at snapshot <seq>
       |  branches  <root>                 list branches
-      |  fast-forward <root> <name>       publish a branch's content to main
+      |  fast-forward <root> <name> [--force]  publish a branch to main (aborts
+      |                                   if main moved since the branch was cut)
       |  tag       <root> <name> <seq>    pin a snapshot under a stable name
       |  tags      <root>                 list named snapshot refs
       |  compact-cells <sfDir>            H3-style occupied-cell compaction summary

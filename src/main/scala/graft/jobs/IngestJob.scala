@@ -656,8 +656,14 @@ object IngestJob {
     // other merge key would be a FALSE NEGATIVE (silently skipped old
     // locations, the bug class the global merge exists to prevent)
     if (key != "doc_id") return parts
+    // an all-bloomless table (COW rewrites, compaction output) can't be
+    // pruned at all — don't pay the key collect just to keep everything
+    if (!parts.exists(_.bloom.isDefined)) return parts
     val sample = updKeys.limit(cap + 1).collect()
-    if (sample.length > cap) parts
+    // empty key set: nothing can match anywhere, but `exists` over zero
+    // keys is false — which would prune every BLOOMED entry and keep the
+    // bloomless ones, an inverted (if harmless) scan set. Keep all.
+    if (sample.isEmpty || sample.length > cap) parts
     else {
       val ks = sample.map(_.getLong(0)).toSeq
       parts.filter(p => SnapshotTable.mightContainAny(p, ks))
@@ -697,6 +703,17 @@ object IngestJob {
   def mergeUpsertMor(spark: SparkSession, root: String, updates0: DataFrame,
       jobId: String, key: String = "doc_id",
       beforeCommit: () => Unit = () => ()): Snapshot = {
+    // delete vectors ARE doc_id sets: writeDeleteVectors persists the hit
+    // keys under the merge key's column name, but applyDeletes anti-joins
+    // every layered vector on doc_id. A non-doc_id MOR upsert would
+    // therefore COMMIT vectors that every subsequent read of the table
+    // fails (or worse, mis-masks) on — refuse up front instead of
+    // persisting a broken snapshot. COW merges (mergeInto/mergeIntoGlobal)
+    // rewrite rows and stay key-generic.
+    require(key == "doc_id",
+      s"mergeUpsertMor requires key=doc_id (got '$key'): delete vectors are " +
+        "doc_id row-identity sets (SnapshotTable.applyDeletes). Use " +
+        "mergeIntoGlobal for non-doc_id merge keys (copy-on-write, key-generic).")
     val current = SnapshotTable.currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot under $root"))
     val updates = updates0.persist()

@@ -73,8 +73,15 @@ object SnapshotTable {
   final case class ManifestRef(path: String, nParts: Int,
       minPCell: Long, maxPCell: Long)
 
+  /** `origin` marks which ref produced the snapshot ("main", or the
+    * branch name for commitToBranch snapshots): branch commits live in
+    * the same global seq space (time travel + manifest reuse need that),
+    * so without the marker, seq-based time travel and the `snapshots`
+    * metatable could surface unpublished branch content
+    * indistinguishably from published main history. */
   final case class Snapshot(seq: Long, schemaVer: Int, parts: Seq[PartitionEntry],
-      schemaDdl: String = "", manifestRefs: Seq[ManifestRef] = Seq.empty)
+      schemaDdl: String = "", manifestRefs: Seq[ManifestRef] = Seq.empty,
+      origin: String = "main")
 
   /** Entries per manifest file when a full commit auto-groups (a ~1000-
     * entry manifest is ~200 KB — the Iceberg default ballpark). */
@@ -98,10 +105,12 @@ object SnapshotTable {
   }
 
   def snapshotJson(s: Snapshot): String = {
-    val base = Map[String, Object](
+    val base0 = Map[String, Object](
       "seq" -> java.lang.Long.valueOf(s.seq),
       "schema_ver" -> Integer.valueOf(s.schemaVer),
       "schema_ddl" -> s.schemaDdl)
+    // absent key = "main": pre-origin snapshot files parse unchanged
+    val base = if (s.origin == "main") base0 else base0 + ("origin" -> s.origin)
     val m =
       (if (s.manifestRefs.nonEmpty)
         base + ("manifests" -> s.manifestRefs.map(refToMap).asJava)
@@ -150,7 +159,8 @@ object SnapshotTable {
     val inline =
       if (refs.nonEmpty) Seq.empty
       else root.get("parts").elements().asScala.map(nodeToPart).toSeq
-    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), inline, ddl, refs)
+    Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), inline, ddl, refs,
+      Option(root.get("origin")).map(_.asText()).getOrElse("main"))
   }
 
   private def snapshotMetaAt(root: String, seq: Long): Option[Snapshot] = {
@@ -548,9 +558,23 @@ object SnapshotTable {
       .reduceOption(_.unionByName(_)).map(_.distinct())
     cands match {
       case None => // no file-level delta at all: empty changelog
+        // payload columns keep the TABLE's types (from the endpoint
+        // snapshot's DDL), not a blanket STRING — callers that union
+        // windows or schema-match must see the same frame shape as the
+        // populated branch
+        val ddlTypes: Map[String, String] =
+          Option(to.schemaDdl).filter(_.nonEmpty)
+            .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+              .fields.map(f => f.name -> f.dataType.sql).toMap)
+            .getOrElse(Map.empty)
+        // and like the populated branch, payload columns the table doesn't
+        // have are dropped, not null-padded
+        val pay0 =
+          if (ddlTypes.isEmpty) payload
+          else payload.filter(ddlTypes.contains)
         spark.range(0).selectExpr(
           Seq("CAST('' AS STRING) AS op", "id AS doc_id") ++
-            payload.map(p => s"CAST(NULL AS STRING) AS $p"): _*)
+            pay0.map(p => s"CAST(NULL AS ${ddlTypes.getOrElse(p, "STRING")}) AS `$p`"): _*)
       case Some(c0) =>
         // cache=false: single-consumption callers (the CDC stream — no
         // per-batch CacheBag release point) recompute the candidate scan
@@ -751,6 +775,17 @@ object SnapshotTable {
         throw new IllegalArgumentException(s"branch '$name' already exists under $root")
     }
     Files.deleteIfExists(tmp)
+    // record the creation base: fastForward's publish guard (the Iceberg
+    // fast_forward ancestry check) compares main's CURRENT against it
+    Files.writeString(dir.resolve(s".$name.base"), fromSeq.toString)
+  }
+
+  /** The seq main's CURRENT pointed at when the branch was cut (or last
+    * published) — the fast-forward guard's comparison point. Absent for
+    * branches created before the guard existed. */
+  def branchBase(root: String, name: String): Option[Long] = {
+    val p = Paths.get(root, "meta", "branches", s".$name.base")
+    if (!Files.exists(p)) None else Some(Files.readString(p).trim.toLong)
   }
 
   def resolveBranch(root: String, name: String): Option[Long] = {
@@ -780,7 +815,10 @@ object SnapshotTable {
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try Files.deleteIfExists(dir.resolve(name)) finally lock.release()
+        try {
+          Files.deleteIfExists(dir.resolve(s".$name.base"))
+          Files.deleteIfExists(dir.resolve(name))
+        } finally lock.release()
       } finally ch.close()
     }
   }
@@ -806,7 +844,10 @@ object SnapshotTable {
       val head = snapshotAt(root, headSeq).getOrElse(
         throw new IllegalStateException(s"branch '$name' head snap-$headSeq missing"))
       val seq = snapshotSeqs(root).lastOption.getOrElse(0L) + 1
-      val snap = build(seq, head)
+      // stamp the branch as the snapshot's origin: metadata consumers and
+      // seq-based time travel can then tell unpublished branch content
+      // from main history (a fastForward re-commits it origin=main)
+      val snap = build(seq, head).copy(origin = name)
       try {
         commitSnapshot(root, snap, advanceCurrent = false)
         if (casBranch(root, name, headSeq, snap.seq)) return snap
@@ -818,12 +859,36 @@ object SnapshotTable {
   }
 
   /** Publish: main takes the branch head's CONTENT as a new commit (the
-    * same O(1) manifest re-reference as [[rollback]]). No ancestry DAG is
-    * recorded, so this is an unconditional set-current — run it only from
-    * the writer that owns the publish step (the WAP contract). */
-  def fastForward(root: String, name: String): Snapshot =
-    rollback(root, resolveBranch(root, name).getOrElse(
-      throw new IllegalStateException(s"no branch '$name' under $root")))
+    * same O(1) manifest re-reference as [[rollback]]).
+    *
+    * Guarded like Iceberg's `fast_forward`: publishing is only safe when
+    * main has NOT moved since the branch was cut — a main commit that
+    * landed in between would be silently reverted by the set-current.
+    * The branch's creation base (recorded by [[createBranch]], refreshed
+    * on publish) stands in for the ancestry DAG: main's CURRENT must
+    * still equal it, else this aborts. `force = true` restores the old
+    * unconditional set-current for deliberate overwrite-publishes (and is
+    * the implicit behavior for pre-guard branches with no recorded
+    * base). */
+  def fastForward(root: String, name: String, force: Boolean = false): Snapshot = {
+    val headSeq = resolveBranch(root, name).getOrElse(
+      throw new IllegalStateException(s"no branch '$name' under $root"))
+    if (!force) branchBase(root, name).foreach { base =>
+      val main = currentSeq(root)
+      require(main.contains(base),
+        s"fast-forward aborted: main moved ${main.getOrElse("?")} since branch " +
+          s"'$name' was cut at $base — its commits would be silently reverted. " +
+          "Rebase (re-create the branch from current main and re-apply) or " +
+          "publish with force=true to deliberately overwrite.")
+    }
+    val published = rollback(root, headSeq)
+    // refresh the base so a continued WAP loop on the same branch can
+    // publish again (main's head is now the branch content we just set)
+    val dir = Paths.get(root, "meta", "branches")
+    if (Files.exists(dir.resolve(name)))
+      Files.writeString(dir.resolve(s".$name.base"), published.seq.toString)
+    published
+  }
 
   /** Atomic branch-ref advance: succeeds only if the ref still points at
     * `expect`. Same two-level locking as the CURRENT advance (per-ref JVM

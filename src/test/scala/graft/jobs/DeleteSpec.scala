@@ -105,6 +105,23 @@ class DeleteSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root2))
   }
 
+  test("MOR upsert refuses non-doc_id keys BEFORE committing anything") {
+    // advice r3 (medium): delete vectors are doc_id row-identity sets —
+    // a non-doc_id MOR upsert would commit vectors applyDeletes then
+    // fails every read on. The guard must fire before any snapshot lands.
+    val root = Files.createTempDirectory("mor-key").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "base")
+    val seqBefore = SnapshotTable.currentSeq(root)
+    val e = intercept[IllegalArgumentException](
+      IngestJob.mergeUpsertMor(spark, root, base.limit(5), "badkey", key = "url"))
+    assert(e.getMessage.contains("mergeUpsertMor requires key=doc_id"))
+    assert(SnapshotTable.currentSeq(root) === seqBefore, "no snapshot may land")
+    // the table still reads fine (nothing half-committed)
+    assert(SnapshotTable.read(spark, root)._1.count() === base.count())
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
   test("MOR upsert: vectors mask old rows, appends never rewrite, sequencing layers") {
     val root = Files.createTempDirectory("mor-upsert").toString
     val base = IngestJob.pagesWithPartitions(spark, sf0001)

@@ -99,6 +99,16 @@ class ZorderSpec extends SparkTestBase {
     val undel = SnapshotTable.changelogBetween(spark, root, s3, s4).collect()
     assert(undel.forall(_.getString(0) == "I"))
     assert(undel.map(_.getLong(1)).toSet === dels.map(_.getLong(1)).toSet)
+    // window with NO file-level delta at all (rollback to current content):
+    // the empty frame must carry the TABLE's payload types, same as the
+    // populated branch — callers that union windows depend on it (advice r3)
+    val s5 = SnapshotTable.rollback(root, s4).seq
+    val emptyWin = SnapshotTable.changelogBetween(spark, root, s4, s5)
+    assert(emptyWin.count() === 0)
+    val popTypes = SnapshotTable.changelogBetween(spark, root, s3, s4)
+      .schema.map(f => (f.name, f.dataType))
+    assert(emptyWin.schema.map(f => (f.name, f.dataType)) === popTypes,
+      "empty-window changelog schema diverged from the populated branch")
     graft.util.CacheBag.release()
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }

@@ -112,6 +112,67 @@ class BranchSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
 
+  test("fast-forward aborts when main moved since the branch was cut (force overrides)") {
+    val root = Files.createTempDirectory("branch-ff-guard").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    val total = base.count()
+    SnapshotTable.createBranch(root, "wip", s1)
+    assert(SnapshotTable.branchBase(root, "wip") === Some(s1))
+    SnapshotTable.commitToBranch(root, "wip") { (seq, head) =>
+      SnapshotTable.Snapshot(seq, head.schemaVer, head.parts.take(1), head.schemaDdl)
+    }
+    // a MAIN commit lands between branch creation and publish
+    val deleted = base.filter(col("doc_id") % 10 === 0).count()
+    IngestJob.deleteWhere(spark, root, col("doc_id") % 10 === 0, "del")
+    val mainAfter = SnapshotTable.currentSeq(root).get
+    // the unconditional set-current would silently revert that delete —
+    // the Iceberg-style ancestry guard must refuse instead
+    val e = intercept[IllegalArgumentException](SnapshotTable.fastForward(root, "wip"))
+    assert(e.getMessage.contains("fast-forward aborted"))
+    assert(SnapshotTable.currentSeq(root) === Some(mainAfter), "guard must not move main")
+    assert(SnapshotTable.read(spark, root)._1.count() === total - deleted)
+    // deliberate overwrite still available
+    val ff = SnapshotTable.fastForward(root, "wip", force = true)
+    assert(SnapshotTable.currentSeq(root) === Some(ff.seq))
+    // publish refreshed the base: a continued WAP loop publishes cleanly
+    assert(SnapshotTable.branchBase(root, "wip") === Some(ff.seq))
+    SnapshotTable.commitToBranch(root, "wip") { (seq, head) =>
+      SnapshotTable.Snapshot(seq, head.schemaVer, head.parts, head.schemaDdl)
+    }
+    SnapshotTable.fastForward(root, "wip") // must NOT throw
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
+  test("snapshots carry their origin ref: branch commits are distinguishable from main") {
+    val root = Files.createTempDirectory("branch-origin").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf0001)
+    IngestJob.runPages(spark, base, root, "j1")
+    val s1 = SnapshotTable.currentSeq(root).get
+    SnapshotTable.createBranch(root, "exp", s1)
+    val bs = SnapshotTable.commitToBranch(root, "exp") { (seq, head) =>
+      SnapshotTable.Snapshot(seq, head.schemaVer, head.parts.take(1), head.schemaDdl)
+    }
+    // persisted AND round-tripped through the JSON codec
+    assert(bs.origin === "exp")
+    assert(SnapshotTable.snapshotAt(root, bs.seq).get.origin === "exp")
+    assert(SnapshotTable.snapshotAt(root, s1).get.origin === "main")
+    // publish re-commits the content as MAIN history
+    val ff = SnapshotTable.fastForward(root, "exp")
+    assert(SnapshotTable.snapshotAt(root, ff.seq).get.origin === "main")
+    // the snapshots metatable surfaces the marker
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.gor", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gor.warehouse",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val tbl = java.nio.file.Paths.get(root).getFileName.toString
+    val origins = s.sql(s"SELECT seq, origin FROM gor.`$tbl`.snapshots ORDER BY seq")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(origins(bs.seq) === "exp" && origins(s1) === "main" && origins(ff.seq) === "main")
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
   test("expire pins branch heads; dropBranch releases them") {
     val root = Files.createTempDirectory("branch-expire").toString
     val base = IngestJob.pagesWithPartitions(spark, sf0001)
