@@ -12,11 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.core.{CellIndex, Extract, Geo}
 
 /** Catalyst expressions for the cell index / geometry / extraction core
-  * (SURVEY.md §2.C + B3). All are `CodegenFallback` scalar expressions —
-  * they sit inside whole-stage-codegen'd stages as leaf calls, and the heavy
-  * per-row work (Morton bit mix, JTS PIP) dominates any virtual-call
-  * overhead; hand-written doGenCode is deferred until the bench demands it
-  * (SURVEY.md §4).
+  * (SURVEY.md §2.C + B3). Expressions on big-side hot paths carry real
+  * `doGenCode` (L2DistExpr, BandSigExpr, ShingleHashesExpr, and — per
+  * verdict r3 #8 — the user-facing join-path pair CellIdExpr /
+  * CellCoverExpr); the rest stay `CodegenFallback` leaf calls, where the
+  * per-row work (JTS predicates, array building) dominates the one
+  * virtual eval and hand codegen would buy nothing measurable.
   */
 object expressions {
 
@@ -35,14 +36,23 @@ object expressions {
       case e: RuntimeException if e.getCause.isInstanceOf[org.locationtech.jts.io.ParseException] => null
     }
 
-  /** cell_id(ilat int, ilon int, level int) -> long */
+  /** cell_id(ilat int, ilon int, level int) -> long. Real `doGenCode`
+    * (verdict r3 #8): cell_id sits on user-facing join paths, so at
+    * 10^12 rows the CodegenFallback boxed `eval` per row is the one
+    * virtual call worth removing — the generated code is a direct static
+    * call to the Morton encoder, which the JIT inlines. */
   case class CellIdExpr(first: Expression, second: Expression, third: Expression)
-      extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends TernaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_id"
     override protected def nullSafeEval(a: Any, o: Any, l: Any): Any =
       CellIndex.encode(a.asInstanceOf[Int], o.asInstanceOf[Int], l.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, o, l) => s"graft.core.CellIndex.encode($a, $o, $l)")
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
       copy(first = f, second = s, third = t)
   }
@@ -111,16 +121,31 @@ object expressions {
       copy(left = l, right = r)
   }
 
-  /** cell_cover(wkt string, level int) -> array<long> */
+  /** cell_cover(wkt string, level int) -> array<long>. Real `doGenCode`
+    * (verdict r3 #8, the other user-facing join-path expression): one
+    * static kernel call ([[GraftKernels.coverOrNull]]) instead of the
+    * fallback's boxed eval; malformed-WKT-degrades-to-null is preserved
+    * by the kernel returning Java null. */
   case class CellCoverExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
     override def nullable: Boolean = true // null on malformed WKT
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_cover"
-    override protected def nullSafeEval(w: Any, l: Any): Any = nullOnBadGeometry {
-      new GenericArrayData(Geo.cover(w.asInstanceOf[UTF8String].toString, l.asInstanceOf[Int]))
-    }
+    override protected def nullSafeEval(w: Any, l: Any): Any =
+      GraftKernels.coverOrNull(w.asInstanceOf[UTF8String], l.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (w, l) => {
+        val tmp = ctx.freshName("cover")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+           |  graft.functions.GraftKernels.coverOrNull($w, $l);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -44,4 +44,19 @@ object GraftKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Codegen twin of CellCoverExpr's eval: quadtree cover of a WKT
+    * geometry, or Java null on a MALFORMED geometry (the degrade-don't-
+    * abort rule — one corrupt footprint in 10^12 rows must not kill the
+    * job). The exception classification lives here, once, so the
+    * generated code is a single static call the JIT can inline; caller
+    * bugs (bad level) stay fatal exactly like the interpreted path. */
+  def coverOrNull(wkt: UTF8String, level: Int): ArrayData =
+    try new GenericArrayData(graft.core.Geo.cover(wkt.toString, level))
+    catch {
+      case _: org.locationtech.jts.io.ParseException => null
+      case _: org.locationtech.jts.geom.TopologyException => null
+      case e: RuntimeException
+          if e.getCause.isInstanceOf[org.locationtech.jts.io.ParseException] => null
+    }
 }
