@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusQueries, GeoQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{CorpusQueries, GeoQueries, GeoSemanticQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -125,6 +125,10 @@ object SparkEntry {
     "q96_cosine_topk" -> ((s, d) => SimilarityQueries.cosineTopK(s, d)),
     "q97_tfidf_pairs" -> ((s, d) => TextQueries.tfidfPairSim(s, d)),
     "q98_cosine_ann" -> ((s, d) => SimilarityQueries.cosineIvfTopK(s, d)),
+    "q99_cell_centroids" -> ((s, d) => GeoSemanticQueries.cellCentroids(s, d)),
+    "q100_geo_outliers" -> ((s, d) => GeoSemanticQueries.geoOutliers(s, d)),
+    "q101_dominant_lang" -> ((s, d) => GeoSemanticQueries.dominantLang(s, d)),
+    "q102_semantic_drift" -> ((s, d) => GeoSemanticQueries.semanticDrift(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -383,6 +387,6 @@ object SparkEntry {
         "SELECT level, cell_rm FROM k ORDER BY level, cell_rm"
     },
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ CorpusQueries.oracle ++
-    SimilarityQueries.oracle ++
+    SimilarityQueries.oracle ++ GeoSemanticQueries.oracle ++
     Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
 }

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Pages
+
+/** Geo × embedding fusion operators — the axis the brief crosses
+  * (geospatial × webtext): what does the corpus LOOK like per region,
+  * and which documents don't belong where they were crawled.
+  *
+  *  - q99 `cellCentroids`: per-cell semantic centroid — the elementwise
+  *    integer mean of the (milli-quantized) embeddings of every page in
+  *    a spatial cell. ONE map-side-combinable vector-sum shuffle
+  *    ([[VecSumAgg]], a typed Aggregator over long[64] state) — never a
+  *    64× dim-explode (which would inflate the shuffle 64-fold) and
+  *    never a collect: the result is ≤ 4^level rows by construction.
+  *  - q100 `geoOutliers`: geographically anomalous content — the top-k
+  *    documents per cell by squared L2 distance from their own cell's
+  *    centroid (mis-geotagged pages, geo-spam, boilerplate injected
+  *    across regions; the training-data curation signal). Centroids are
+  *    metadata-sized → broadcast back; ranking windows partition by
+  *    CELL (cardinality grows with the grid, per-cell rows shrink as
+  *    the grid refines — the q80 domain-cap shape, not a corpus-wide
+  *    single partition).
+  *  - q101 `dominantLang`: per-cell dominant language + integer permille
+  *    share — the regional language-mix audit every multilingual corpus
+  *    rebalance starts from.
+  *
+  * Determinism (FIXTURES.md §3): milli-quantized BIGINT vectors, floored
+  * double division for the mean (sums ≪ 2^53 — exact in IEEE double,
+  * identical floor in both engines), BIGINT distances, explicit unique
+  * tiebreaks everywhere. */
+object GeoSemanticQueries {
+
+  /** Grid level for the fusion queries: 4^2·4 = 16 cells keeps every
+    * cell populated at the 500-doc fixtures while the shapes (one
+    * vector-sum shuffle, per-cell windows) are level-independent. */
+  final val Level = 2
+  final val OutlierK = 3
+
+  /** Elementwise sum of long vectors — map-side combinable, O(dims)
+    * state per group. Empty zero adapts to the first vector's length so
+    * the aggregator is dimension-agnostic. */
+  class VecSumAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    private def add(a: Array[Long], b: IndexedSeq[Long]): Array[Long] =
+      if (a.isEmpty) b.toArray
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] =
+      add(buf, v.toIndexedSeq)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      add(a, scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
+    override def finish(r: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(r)
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** (cell, vec_id, qv, ts_sec): embeddings milli-quantized and located
+    * via the pages equi-join on doc_id (vec_id ≡ doc_id in the fixture).
+    * Column pruning keeps the pages side at (doc_id, ilat, ilon, ts). */
+  private def embCells(spark: SparkSession, sfDir: String, level: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val p = Pages.fromDocuments(spark, sfDir)
+      .select(col("doc_id"), col("ts_sec"),
+        Pages.cellCol(col("ilat"), col("ilon"), level).as("cell"))
+    e.join(p, e("vec_id") === p("doc_id"))
+      .select(col("cell"), col("vec_id"), col("qv"), col("ts_sec"))
+  }
+
+  /** Internal: (cell, n_docs, centroid) — the one-shuffle aggregate both
+    * q99 and q100 build on. */
+  private def centroids(spark: SparkSession, sfDir: String, level: Int): DataFrame = {
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    embCells(spark, sfDir, level)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"), vecSum(col("qv")).as("sv"))
+      .selectExpr("cell", "n_docs",
+        "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n_docs) AS BIGINT)) AS centroid")
+  }
+
+  /** q99 — regional semantic centroids. */
+  def cellCentroids(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame =
+    centroids(spark, sfDir, level).orderBy(col("cell"))
+
+  /** q100 — geo-semantic outliers: top-k per cell by distance from the
+    * cell's own centroid (ties → lower vec_id). The centroid side is
+    * ≤ 4^level rows — broadcast; the corpus-side work is one scan + the
+    * per-cell ranking window. */
+  def geoOutliers(spark: SparkSession, sfDir: String, level: Int = Level,
+      k: Int = OutlierK): DataFrame = {
+    val c = centroids(spark, sfDir, level).select(col("cell"), col("centroid"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("dist").desc, col("vec_id"))
+    embCells(spark, sfDir, level)
+      .join(broadcast(c), Seq("cell"))
+      .withColumn("dist", graft.functions.GraftFunctions.l2_dist(col("qv"), col("centroid")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("cell"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("cell"), col("rnk"))
+  }
+
+  /** q101 — dominant language + permille share per cell. Integer share:
+    * both engines floor-divide non-negative operands (FIXTURES §3). */
+  def dominantLang(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame = {
+    val counts = Pages.fromDocuments(spark, sfDir)
+      .groupBy(Pages.cellCol(col("ilat"), col("ilon"), level).as("cell"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("n_docs").desc, col("lang"))
+    val wt = Window.partitionBy(col("cell"))
+    counts
+      .withColumn("total_docs", sum(col("n_docs")).over(wt))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cell"), col("lang"), col("n_docs"), col("total_docs"),
+        expr("n_docs * 1000 div total_docs").as("share_permille"))
+      .orderBy(col("cell"))
+  }
+
+  /** q102 — temporal semantic drift per cell: the L2 distance between a
+    * cell's early-crawl and late-crawl centroids (crawl window split at
+    * the integer midpoint of the global ts range). The corpus-drift
+    * monitor a refreshed crawl runs per region before retraining: a
+    * large drift means the region's CONTENT changed, not just its
+    * volume (q68 measures volume). Same one-shuffle vector-sum shape as
+    * q99 with an (cell, era) key; the era split is a broadcast scalar
+    * comparison (2·ts ≤ min+max — no division, overflow-safe at epoch
+    * scale). Cells lacking either era drop (inner join both sides). */
+  def semanticDrift(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame = {
+    val ec = embCells(spark, sfDir, level)
+    val bounds = ec.agg(min(col("ts_sec")).as("mn"), max(col("ts_sec")).as("mx"))
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    val byEra = ec.crossJoin(broadcast(bounds))
+      .withColumn("era", when(col("ts_sec") * 2 <= col("mn") + col("mx"), 0).otherwise(1))
+      .groupBy(col("cell"), col("era"))
+      .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
+      .selectExpr("cell", "era", "n",
+        "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS c")
+    val early = byEra.filter(col("era") === 0)
+      .select(col("cell"), col("n").as("n_early"), col("c").as("c0"))
+    val late = byEra.filter(col("era") === 1)
+      .select(col("cell"), col("n").as("n_late"), col("c").as("c1"))
+    early.join(late, Seq("cell"))
+      .select(col("cell"), col("n_early"), col("n_late"),
+        graft.functions.GraftFunctions.l2_dist(col("c0"), col("c1")).as("drift"))
+      .orderBy(col("cell"))
+  }
+
+  // ---- DuckDB oracle twins --------------------------------------------------
+
+  private val sqlQuantE =
+    "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT))"
+  private def sqlL2(a: String, b: String): String =
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+      s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1]))), (x, y) -> x + y)"
+
+  private def centroidCtes(level: Int): String =
+    s"pages AS (${Pages.oracleCte}), " +
+      s"e AS (SELECT vec_id, $sqlQuantE AS qv FROM embeddings), " +
+      s"j AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", level)} AS cell, e.vec_id, e.qv " +
+      "FROM e JOIN pages p ON e.vec_id = p.doc_id), " +
+      "s AS (SELECT cell, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m, " +
+      "count(*) AS n FROM j CROSS JOIN range(1, 65) t(i) GROUP BY cell, i), " +
+      "c AS (SELECT cell, CAST(max(n) AS BIGINT) AS n_docs, list(m ORDER BY i) AS centroid " +
+      "FROM s GROUP BY cell)"
+
+  def oracle: Map[String, String] = Map(
+    "q99_cell_centroids" ->
+      (s"WITH ${centroidCtes(Level)} " +
+        "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
+    "q100_geo_outliers" ->
+      (s"WITH ${centroidCtes(Level)}, " +
+        s"d AS (SELECT j.cell, j.vec_id, ${sqlL2("j.qv", "c.centroid")} AS dist " +
+        "FROM j JOIN c ON j.cell = c.cell), " +
+        "r AS (SELECT cell, vec_id, dist, row_number() OVER " +
+        "(PARTITION BY cell ORDER BY dist DESC, vec_id) AS rnk FROM d) " +
+        s"SELECT cell, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= $OutlierK " +
+        "ORDER BY cell, rnk"),
+    "q102_semantic_drift" ->
+      (s"WITH pages AS (${Pages.oracleCte}), " +
+        s"e AS (SELECT vec_id, $sqlQuantE AS qv FROM embeddings), " +
+        s"j AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", Level)} AS cell, e.vec_id, e.qv, " +
+        "p.ts_sec FROM e JOIN pages p ON e.vec_id = p.doc_id), " +
+        "b AS (SELECT min(ts_sec) AS mn, max(ts_sec) AS mx FROM j), " +
+        "je AS (SELECT j.*, CASE WHEN j.ts_sec * 2 <= b.mn + b.mx THEN 0 ELSE 1 END AS era " +
+        "FROM j CROSS JOIN b), " +
+        "s AS (SELECT cell, era, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m, " +
+        "count(*) AS n FROM je CROSS JOIN range(1, 65) t(i) GROUP BY cell, era, i), " +
+        "c AS (SELECT cell, era, CAST(max(n) AS BIGINT) AS n, list(m ORDER BY i) AS c " +
+        "FROM s GROUP BY cell, era) " +
+        "SELECT e0.cell AS cell, e0.n AS n_early, e1.n AS n_late, " +
+        sqlL2("e0.c", "e1.c") + " AS drift " +
+        "FROM (SELECT * FROM c WHERE era = 0) e0 JOIN (SELECT * FROM c WHERE era = 1) e1 " +
+        "ON e0.cell = e1.cell ORDER BY cell"),
+    "q101_dominant_lang" ->
+      (s"WITH pages AS (${Pages.oracleCte}), " +
+        s"cnt AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", Level)} AS cell, p.lang, " +
+        "count(*) AS n_docs FROM pages p GROUP BY 1, 2), " +
+        "t AS (SELECT cell, lang, n_docs, CAST(sum(n_docs) OVER (PARTITION BY cell) AS BIGINT) AS total_docs, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY n_docs DESC, lang) AS rnk FROM cnt) " +
+        "SELECT cell, lang, n_docs, total_docs, " +
+        "CAST(n_docs * 1000 // total_docs AS BIGINT) AS share_permille " +
+        "FROM t WHERE rnk = 1 ORDER BY cell"),
+  )
+}

@@ -121,9 +121,13 @@ class PlanShapeSpec extends SparkTestBase {
     //  - q96: cosine brute scan — the q31 shape with the cosine metric
     //  - q98: cosine IVF — the q46 shape (assignment/probes cross-join the
     //    BROADCAST sqrt(n) centroid set) on normalized vectors
+    //  - q102: the era split cross-joins the ONE-row broadcast (min, max)
+    //    ts bounds — a lazy scalar, not an all-pairs product (the
+    //    alternative, a driver-side head(), would break the
+    //    lazy-construction contract for no gain)
     val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
       "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint", "q93_ann_sq8",
-      "q96_cosine_topk", "q98_cosine_ann")
+      "q96_cosine_topk", "q98_cosine_ann", "q102_semantic_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
