@@ -59,12 +59,17 @@ object expressions {
 
   /** cell_parent(cell long, level int) -> long */
   case class CellParentExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = LongType
     override def prettyName: String = "cell_parent"
     override protected def nullSafeEval(c: Any, p: Any): Any =
       CellIndex.parent(c.asInstanceOf[Long], p.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (c, p) => s"graft.core.CellIndex.parent($c, $p)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -97,26 +102,41 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** cell_kring(cell long, k int) -> array<long> */
+  /** cell_kring(cell long, k int) -> array<long>. Codegen'd — sits on the
+    * kNN ring-expansion hot path (q07/q42/q67), where every probe row
+    * builds a ring array. */
   case class CellKRingExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_kring"
     override protected def nullSafeEval(c: Any, k: Any): Any =
       new GenericArrayData(CellIndex.kring(c.asInstanceOf[Long], k.asInstanceOf[Int]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (c, k) =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.CellIndex.kring($c, $k))")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
-  /** cell_ring_shell(cell long, k int) -> array<long> (exactly-distance-k shell) */
+  /** cell_ring_shell(cell long, k int) -> array<long> (exactly-distance-k
+    * shell; codegen'd like kring — the phase-2 kNN expansion path). */
   case class CellRingShellExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_ring_shell"
     override protected def nullSafeEval(c: Any, k: Any): Any =
       new GenericArrayData(CellIndex.ringShell(c.asInstanceOf[Long], k.asInstanceOf[Int]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (c, k) =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.CellIndex.ringShell($c, $k))")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -14,11 +14,14 @@ import graft.testutil.SparkTestBase
 class CellCodegenSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("cell_id/cell_cover are NOT CodegenFallback (join-path exprs stay in codegen)") {
+  test("cell_id/cell_cover/kring/shell/parent are NOT CodegenFallback (join-path exprs stay in codegen)") {
     import graft.functions.expressions._
     val lit1 = org.apache.spark.sql.catalyst.expressions.Literal(1)
     assert(!CellIdExpr(lit1, lit1, lit1).isInstanceOf[CodegenFallback])
     assert(!CellCoverExpr(lit1, lit1).isInstanceOf[CodegenFallback])
+    assert(!CellKRingExpr(lit1, lit1).isInstanceOf[CodegenFallback])
+    assert(!CellRingShellExpr(lit1, lit1).isInstanceOf[CodegenFallback])
+    assert(!CellParentExpr(lit1, lit1).isInstanceOf[CodegenFallback])
   }
 
   test("codegen output == core-library eval on COLUMN input (not constant-folded)") {
@@ -35,11 +38,18 @@ class CellCodegenSpec extends SparkTestBase {
       .withColumn("ilat", (col("id") * 37).cast("int"))
       .withColumn("ilon", (col("id") * -53).cast("int"))
       .selectExpr("id", "wkt", "ilat", "ilon",
-        "cell_id(ilat, ilon, 6) AS cid", "cell_cover(wkt, 4) AS cov")
+        "cell_id(ilat, ilon, 6) AS cid", "cell_cover(wkt, 4) AS cov",
+        "cell_kring(cell_id(ilat, ilon, 6), 1) AS ring",
+        "cell_ring_shell(cell_id(ilat, ilon, 6), 2) AS shell",
+        "cell_parent(cell_id(ilat, ilon, 6), 3) AS par")
       .orderBy("id").collect()
     rows.foreach { r =>
       assert(r.getLong(4) === CellIndex.encode(r.getInt(2), r.getInt(3), 6),
         s"cell_id codegen diverged for id=${r.getLong(0)}")
+      val cid = r.getLong(4)
+      assert(r.getSeq[Long](6) === CellIndex.kring(cid, 1).toSeq)
+      assert(r.getSeq[Long](7) === CellIndex.ringShell(cid, 2).toSeq)
+      assert(r.getLong(8) === CellIndex.parent(cid, 3))
       val want =
         try Some(Geo.cover(r.getString(1), 4).toSeq)
         catch { case _: Exception => None }

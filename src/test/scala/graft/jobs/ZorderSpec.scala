@@ -113,6 +113,29 @@ class ZorderSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
   }
 
+  test("row-level changelog: endpoint scans are bloom-pruned to the delta's partitions") {
+    val root = Files.createTempDirectory("cdc-prune").toString
+    val base = IngestJob.pagesWithPartitions(spark, sf001)
+    IngestJob.runPages(spark, base, root, "j1") // ingest writes doc_id blooms (A24)
+    val s1 = SnapshotTable.currentSeq(root).get
+    // point-lookup-sized delta: upsert 3 keys
+    val ups = base.filter(col("doc_id").isin(3L, 7L, 11L))
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    IngestJob.mergeUpsertMor(spark, root, ups, "up3")
+    val s2 = SnapshotTable.currentSeq(root).get
+    val ch = SnapshotTable.changelogBetween(spark, root, s1, s2).collect()
+    // correctness first: exactly the 3 updated keys, all U
+    assert(ch.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      Seq(("U", 3L), ("U", 7L), ("U", 11L)))
+    // scale shape: the bloom prune kept strictly fewer endpoint partitions
+    // than the two full endpoint states (cost ∝ delta, not table size)
+    val (kept, total) = SnapshotTable.changelogEndpointParts.get()
+    assert(total > 6, s"fixture too small to demonstrate pruning (total=$total)")
+    assert(kept < total, s"endpoint scan not pruned: kept=$kept total=$total")
+    graft.util.CacheBag.release()
+    SnapshotTable.recursiveDelete(java.nio.file.Paths.get(root))
+  }
+
   test("row-level changelog: an update to ANY column surfaces as U (not just text)") {
     val root = Files.createTempDirectory("cdc-anycol").toString
     val base = IngestJob.pagesWithPartitions(spark, sf0001)
