@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -21,17 +22,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the manifest prune identically.
   *
   * DML: `INSERT INTO graft.<t> ...` appends through the DSv2 write path
-  * (delta commit, schema contract enforced); with
+  * (delta commit, schema contract enforced); `DELETE FROM graft.<t>
+  * WHERE ...` routes to the merge-on-read delete writer (delete vectors,
+  * zero rewrites — [[GraftTable]]'s `SupportsDeleteV2`); with
   * `spark.sql.extensions=graft.plans.GraftExtensions`, `MERGE INTO
   * graft.<t> ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
   * INSERT *` routes to the global-key COW merge writer
-  * ([[graft.plans.GraftMergeRule]]). DDL (create/alter/drop/rename)
-  * stays refused: table lifecycle belongs to the ingest layer, which
-  * owns layout, lineage, and retention — a SQL DROP that bypassed
-  * expire/rollback would orphan snapshots silently. */
-class GraftCatalog extends TableCatalog {
+  * ([[graft.plans.GraftMergeRule]]).
+  *
+  * Time travel: `VERSION AS OF <seq|tag|branch>` and `TIMESTAMP AS OF
+  * <ts>` (latest main-origin snapshot at or before the instant) — both
+  * read-only by construction.
+  *
+  * DDL (create/alter/drop/rename) stays refused: table lifecycle belongs
+  * to the ingest layer, which owns layout, lineage, and retention — a
+  * SQL DROP that bypassed expire/rollback would orphan snapshots
+  * silently. */
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** `CALL graft.system.<proc>(...)` — SQL table maintenance, thin skins
+    * over the SnapshotTable entry points ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    (if (ok) GraftProcedures.load(warehouse, ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"no procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
+          s"available: ${GraftProcedures.names.map("system." + _).mkString(", ")}"))
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -57,6 +79,38 @@ class GraftCatalog extends TableCatalog {
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             Seq(catalogName) ++ ident.namespace() :+ ident.name()))
     }
+  }
+
+  /** `SELECT ... FROM graft.t VERSION AS OF <v>` — `<v>` is a snapshot
+    * seq number, a tag name, or a branch name (resolution order: number,
+    * tag, branch). The returned table is read-only: snapshots are
+    * immutable, so DML against a pinned version is refused at the write
+    * builder. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val seq =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else SnapshotTable.resolveTag(root, version)
+        .orElse(SnapshotTable.resolveBranch(root, version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': not a snapshot seq, tag, or branch of $root"))
+    val snap = SnapshotTable.snapshotAt(root, seq).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $seq under $root"))
+    new GraftTable(root, GraftSource.schemaOf(root, snap), Some(snap), timeTravel = true)
+  }
+
+  /** `SELECT ... FROM graft.t TIMESTAMP AS OF <ts>` — resolves to the
+    * latest MAIN-origin snapshot committed at or before the timestamp
+    * (Spark hands micros since epoch); unpublished branch commits never
+    * surface. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    val seq = SnapshotTable.snapshotSeqAsOf(root, timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: no main snapshot of $root committed at or before " +
+          s"${timestampMicros / 1000L} ms"))
+    val snap = SnapshotTable.snapshotAt(root, seq).get
+    new GraftTable(root, GraftSource.schemaOf(root, snap), Some(snap), timeTravel = true)
   }
 
   private def metaTable(ident: Identifier): Option[Table] = {

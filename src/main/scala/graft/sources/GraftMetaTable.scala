@@ -39,11 +39,12 @@ object GraftMetaTable {
       StructField("n_manifests", IntegerType, false),
       StructField("total_rows", LongType, false),
       StructField("is_current", BooleanType, false),
-      StructField("origin", StringType, false)))
+      StructField("origin", StringType, false),
+      StructField("ts_ms", LongType, false)))
     val cur = SnapshotTable.currentSeq(root)
     val rows = SnapshotTable.snapshotSeqs(root).flatMap(SnapshotTable.snapshotAt(root, _))
       .map(s => Row(s.seq, s.schemaVer, s.parts.length, s.manifestRefs.length,
-        s.parts.map(_.rows).sum, cur.contains(s.seq), s.origin))
+        s.parts.map(_.rows).sum, cur.contains(s.seq), s.origin, s.tsMs))
     new GraftMetaTable(s"graft.`$root`.snapshots", schema, rows)
   }
 

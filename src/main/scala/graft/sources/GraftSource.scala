@@ -114,8 +114,10 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(root: String, schema0: StructType,
-    snap: Option[SnapshotTable.Snapshot]) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    snap: Option[SnapshotTable.Snapshot], timeTravel: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   private[sources] def rootPath: String = root
   override def name(): String = s"graft.`$root`"
   override def capabilities(): java.util.Set[TableCapability] =
@@ -127,8 +129,68 @@ private[sources] class GraftTable(root: String, schema0: StructType,
       throw new IllegalStateException(s"no CURRENT snapshot under $root")), schema0)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!timeTravel,
+      s"table $name was loaded VERSION/TIMESTAMP AS OF — snapshots are immutable; " +
+        "write through the current-table reference")
     new GraftWriteBuilder(root)
+  }
+
+  // ---- SQL DELETE (`DELETE FROM graft.t WHERE ...`) -----------------------
+  // Routes to the MERGE-ON-READ delete writer (IngestJob.deleteWhere):
+  // delete vectors + one delta commit, zero data-file rewrites — the same
+  // path the DataFrame API uses, so SQL deletes share conflict validation
+  // and metadata cost. canDeleteWhere accepts only predicates the V1
+  // filter algebra can express COMPLETELY (a partial translation would
+  // delete the wrong row set); anything else fails loudly at analysis.
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    !timeTravel && predicates.forall(p =>
+      org.apache.spark.sql.graft.PredicateBridge.toV1(p)
+        .exists(f => GraftTableDeletes.toColumn(f).isDefined))
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(!timeTravel, s"cannot DELETE from a VERSION/TIMESTAMP AS OF read of $name")
+    val conds = predicates.toSeq.map(p =>
+      org.apache.spark.sql.graft.PredicateBridge.toV1(p)
+        .flatMap(GraftTableDeletes.toColumn)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"graft DELETE cannot express predicate $p; supported: comparisons, IN, " +
+            "NULL tests, string prefix/suffix/contains, AND/OR/NOT")))
+    val cond = conds.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // TRUNCATE path
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.jobs.IngestJob.deleteWhere(spark, root, cond,
+      s"sql-delete-${java.util.UUID.randomUUID().toString.take(8)}")
+  }
+}
+
+/** V1 Filter → Column translation for the SQL DELETE path. Total over
+  * the algebra it claims (None = refuse, never approximate). */
+private[sources] object GraftTableDeletes {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** DSv2 write path: `df.write.format("graft").mode("append"|"overwrite")

@@ -79,9 +79,12 @@ object SnapshotTable {
     * so without the marker, seq-based time travel and the `snapshots`
     * metatable could surface unpublished branch content
     * indistinguishably from published main history. */
+  /** `tsMs` is the wall-clock commit time (stamped by [[commitSnapshot]];
+    * 0 for pre-stamp snapshot files) — the `TIMESTAMP AS OF` resolution
+    * axis. Metadata only: never part of any hash-compared query output. */
   final case class Snapshot(seq: Long, schemaVer: Int, parts: Seq[PartitionEntry],
       schemaDdl: String = "", manifestRefs: Seq[ManifestRef] = Seq.empty,
-      origin: String = "main")
+      origin: String = "main", tsMs: Long = 0L)
 
   /** Entries per manifest file when a full commit auto-groups (a ~1000-
     * entry manifest is ~200 KB — the Iceberg default ballpark). */
@@ -109,8 +112,12 @@ object SnapshotTable {
       "seq" -> java.lang.Long.valueOf(s.seq),
       "schema_ver" -> Integer.valueOf(s.schemaVer),
       "schema_ddl" -> s.schemaDdl)
-    // absent key = "main": pre-origin snapshot files parse unchanged
-    val base = if (s.origin == "main") base0 else base0 + ("origin" -> s.origin)
+    // absent keys = "main" / unstamped: pre-origin snapshot files parse
+    // unchanged
+    val base1 = if (s.origin == "main") base0 else base0 + ("origin" -> s.origin)
+    val base =
+      if (s.tsMs == 0L) base1
+      else base1 + ("ts_ms" -> java.lang.Long.valueOf(s.tsMs))
     val m =
       (if (s.manifestRefs.nonEmpty)
         base + ("manifests" -> s.manifestRefs.map(refToMap).asJava)
@@ -160,13 +167,23 @@ object SnapshotTable {
       if (refs.nonEmpty) Seq.empty
       else root.get("parts").elements().asScala.map(nodeToPart).toSeq
     Snapshot(root.get("seq").asLong(), root.get("schema_ver").asInt(), inline, ddl, refs,
-      Option(root.get("origin")).map(_.asText()).getOrElse("main"))
+      Option(root.get("origin")).map(_.asText()).getOrElse("main"),
+      Option(root.get("ts_ms")).map(_.asLong()).getOrElse(0L))
   }
 
   private def snapshotMetaAt(root: String, seq: Long): Option[Snapshot] = {
     val p = Paths.get(root, "meta", s"snap-$seq.json")
     if (!Files.exists(p)) None else Some(parseSnapshotMeta(Files.readString(p)))
   }
+
+  /** Latest MAIN-origin snapshot committed at or before wall-clock
+    * `tsMs` — the `TIMESTAMP AS OF` resolution rule. Branch-origin
+    * snapshots are excluded (unpublished content must not surface
+    * through time travel by accident), as are pre-stamp files (ts 0). */
+  def snapshotSeqAsOf(root: String, tsMs: Long): Option[Long] =
+    snapshotSeqs(root).flatMap(snapshotMetaAt(root, _))
+      .filter(s => s.origin == "main" && s.tsMs > 0 && s.tsMs <= tsMs)
+      .map(_.seq).sorted.lastOption
 
   /** Test seam: number of manifest files read in this JVM — the
     * ManifestScaleSpec gate on commit metadata READ cost. */
@@ -270,11 +287,15 @@ object SnapshotTable {
     // large FULL commits auto-group their inline entries into manifest
     // files so the snapshot file itself stays metadata-sized; delta
     // commits (refs already set) and small tables pass through unchanged
-    val snap =
+    val snap1 =
       if (snap0.manifestRefs.isEmpty && snap0.parts.length >= 2 * ManifestGroupSize)
         snap0.copy(manifestRefs = snap0.parts.sortBy(e => (e.pCell, e.pDate))
           .grouped(ManifestGroupSize).map(writeManifest(root, _)).toSeq)
       else snap0
+    // stamp the commit time once, here, so EVERY commit path (full,
+    // delta, branch, rollback) gets a TIMESTAMP-AS-OF axis for free
+    val snap = if (snap1.tsMs != 0L) snap1
+      else snap1.copy(tsMs = System.currentTimeMillis())
     val meta = Paths.get(root, "meta")
     Files.createDirectories(meta)
     val target = meta.resolve(s"snap-${snap.seq}.json")

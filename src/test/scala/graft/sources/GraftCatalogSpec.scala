@@ -91,6 +91,109 @@ class GraftCatalogSpec extends SparkTestBase {
     SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF: seq, tag, and instant all pin immutable reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-tt").toString
+    val tbl = java.nio.file.Paths.get(dir).getFileName.toString
+    try {
+      pageRows.filter(col("doc_id") < 100).write.format("graft").mode("append").save(dir)
+      val s1 = SnapshotTable.currentSeq(dir).get
+      Thread.sleep(5) // distinct commit timestamps for the instant test
+      pageRows.filter(col("doc_id") >= 100).write.format("graft").mode("append").save(dir)
+      val s2 = SnapshotTable.currentSeq(dir).get
+      val t1 = SnapshotTable.snapshotAt(dir, s1).get.tsMs
+      assert(t1 > 0 && SnapshotTable.snapshotAt(dir, s2).get.tsMs > t1,
+        "commits must carry increasing wall-clock stamps")
+      SnapshotTable.tagSnapshot(dir, "v1", s1)
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.gtt", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gtt.warehouse",
+        java.nio.file.Paths.get(dir).getParent.toString)
+      def n(q: String) = s.sql(q).collect()(0).getLong(0)
+      val total = pageRows.count()
+      assert(n(s"SELECT count(*) FROM gtt.`$tbl`") === total)
+      assert(n(s"SELECT count(*) FROM gtt.`$tbl` VERSION AS OF $s1") === 100L)
+      assert(n(s"SELECT count(*) FROM gtt.`$tbl` VERSION AS OF 'v1'") === 100L)
+      // the instant between the commits resolves to the FIRST snapshot
+      val mid = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(t1))
+      assert(n(s"SELECT count(*) FROM gtt.`$tbl` TIMESTAMP AS OF '$mid'") === 100L)
+      // unknown version and a write against a pinned version both refuse
+      assert(intercept[Exception](
+        s.sql(s"SELECT * FROM gtt.`$tbl` VERSION AS OF 'nope'").collect())
+        .getMessage.contains("VERSION AS OF"))
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
+  test("DELETE FROM routes to the MOR delete writer: vectors, no rewrites, rows gone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-del").toString
+    val tbl = java.nio.file.Paths.get(dir).getFileName.toString
+    try {
+      pageRows.write.format("graft").mode("append").save(dir)
+      val before = SnapshotTable.currentSnapshot(dir).get
+      val total = pageRows.count()
+      val toDelete = pageRows.filter(col("n_chars") > 500 && col("lang") === "en").count()
+      assert(toDelete > 0, "fixture must have rows matching the delete predicate")
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.gdel", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdel.warehouse",
+        java.nio.file.Paths.get(dir).getParent.toString)
+      s.sql(s"DELETE FROM gdel.`$tbl` WHERE n_chars > 500 AND lang = 'en'")
+      val after = SnapshotTable.currentSnapshot(dir).get
+      assert(after.seq > before.seq, "DELETE must land exactly one new commit")
+      // merge-on-read: every pre-existing data file is still referenced,
+      // the masked partitions carry delete vectors
+      assert(before.parts.map(_.path).toSet.subsetOf(after.parts.map(_.path).toSet))
+      assert(after.parts.exists(_.deletes.nonEmpty))
+      assert(SnapshotTable.read(spark, dir)._1.count() === total - toDelete)
+      assert(s.sql(s"SELECT count(*) FROM gdel.`$tbl` WHERE n_chars > 500 AND lang = 'en'")
+        .collect()(0).getLong(0) === 0L)
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
+  test("CALL graft.system.*: SQL maintenance procedures share the Scala entry points") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-call").toString
+    val tbl = java.nio.file.Paths.get(dir).getFileName.toString
+    try {
+      pageRows.filter(col("doc_id") < 50).write.format("graft").mode("append").save(dir)
+      val s1 = SnapshotTable.currentSeq(dir).get
+      pageRows.filter(col("doc_id") >= 50).write.format("graft").mode("append").save(dir)
+      val s2 = SnapshotTable.currentSeq(dir).get
+      val s = spark.newSession()
+      s.conf.set("spark.sql.catalog.gp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gp.warehouse",
+        java.nio.file.Paths.get(dir).getParent.toString)
+      def one(q: String) = s.sql(q).collect()(0)
+      // tag, then rollback to it — result row carries the new seq
+      assert(one(s"CALL gp.system.create_tag('$tbl', 'v1', $s1)").getLong(0) === s1)
+      val rolled = one(s"CALL gp.system.rollback('$tbl', $s1)").getLong(0)
+      assert(rolled > s2 && SnapshotTable.currentSeq(dir).contains(rolled))
+      assert(SnapshotTable.read(spark, dir)._1.count() === 50)
+      // WAP loop through SQL: cut a branch, advance main, guarded publish
+      // refuses, forced publish lands
+      assert(one(s"CALL gp.system.create_branch('$tbl', 'wip', $s1)").getLong(0) === s1)
+      val again = one(s"CALL gp.system.rollback('$tbl', $s2)").getLong(0)
+      assert(again > rolled)
+      val e = intercept[Exception](s.sql(
+        s"CALL gp.system.fast_forward('$tbl', 'wip', false)").collect())
+      assert(e.getMessage.contains("fast-forward aborted"))
+      val ff = one(s"CALL gp.system.fast_forward('$tbl', 'wip', true)").getLong(0)
+      assert(SnapshotTable.currentSeq(dir).contains(ff))
+      // compact everything (one merged partition set = a fresh commit)
+      assert(one(s"CALL gp.system.compact('$tbl')").getLong(0) > ff)
+      // expire keeps tagged + current; drop refs afterwards
+      val r = one(s"CALL gp.system.expire('$tbl', 1, 0)")
+      assert(r.getInt(0) >= 0 && r.getInt(1) >= 0)
+      assert(SnapshotTable.snapshotAt(dir, s1).isDefined, "tagged snapshot must survive expire")
+      assert(one(s"CALL gp.system.drop_tag('$tbl', 'v1')").getBoolean(0))
+      assert(one(s"CALL gp.system.drop_branch('$tbl', 'wip')").getBoolean(0))
+      // unknown procedure fails loudly (Spark wraps the catalog's error in
+      // FAILED_TO_LOAD_ROUTINE; the available-list message rides the cause)
+      val e2 = intercept[Exception](s.sql(s"CALL gp.system.vacuum('$tbl')").collect())
+      val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") || msgs.contains("no procedure"), msgs)
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(dir))
+  }
+
   test("catalog refuses DDL: DROP TABLE fails loudly, never bypasses lifecycle") {
     val (s, tbl) = sql
     val e = intercept[Exception](
