@@ -129,6 +129,7 @@ object SparkEntry {
     "q100_geo_outliers" -> ((s, d) => GeoSemanticQueries.geoOutliers(s, d)),
     "q101_dominant_lang" -> ((s, d) => GeoSemanticQueries.dominantLang(s, d)),
     "q102_semantic_drift" -> ((s, d) => GeoSemanticQueries.semanticDrift(s, d)),
+    "q103_incremental_centroids" -> ((s, d) => GeoSemanticQueries.incrementalCentroids(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -286,7 +286,7 @@ object IngestJob {
     * semantics change, or a warm /tmp keeps serving the previous
     * semantics' table (the source-listing fingerprint only detects INPUT
     * changes). */
-  private def cachedTable(prefix: String, sfDir: String, wantSeq: Long,
+  private[graft] def cachedTable(prefix: String, sfDir: String, wantSeq: Long,
       ver: Int = 1)(build: (String, String) => Unit): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     val src = Paths.get(sfDir, "documents.parquet")

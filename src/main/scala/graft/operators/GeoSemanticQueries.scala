@@ -152,6 +152,55 @@ object GeoSemanticQueries {
       .orderBy(col("cell"))
   }
 
+  /** q103 — incrementally-maintained regional centroids (A9's IVM pattern
+    * lifted to VECTOR state): a snapshot table stores the per-cell
+    * (n, vector-sum) aggregate next to snapshot 1; when snapshot 2
+    * appends a partition, the refresh reads ONLY the stored aggregate and
+    * the DELTA files, merges sums (vector sums are associative — the
+    * whole point of storing sums rather than means), and re-derives the
+    * centroids. At 100 TB this is the difference between touching a day's
+    * delta and rescanning the corpus every time the regional profile is
+    * refreshed. The oracle is the FULL recompute (q99's arithmetic over
+    * all docs); a MergeSpec-style plan gate proves snapshot-1 data files
+    * never appear in the refresh's scan. */
+  def incrementalCentroids(spark: SparkSession, sfDir: String,
+      level: Int = Level): DataFrame = {
+    import graft.sources.SnapshotTable
+    import graft.sources.SnapshotTable.{PartitionEntry, Snapshot}
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    val ec = embCells(spark, sfDir, level).select(col("cell"), col("vec_id"), col("qv"))
+    val root = graft.jobs.IngestJob.cachedTable("graft-incr-vec", sfDir, 2L, ver = 1) {
+      (stage, finalRoot) =>
+        def part(seq: Long, df: org.apache.spark.sql.DataFrame): PartitionEntry = {
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/data/s$seq")
+          PartitionEntry(seq, "all", s"$finalRoot/data/s$seq", df.count(), 0, 0, 0, 0, 0L, 0L)
+        }
+        val a = part(1, ec.filter(col("vec_id") % 3 =!= 0))
+        SnapshotTable.commitSnapshot(stage, Snapshot(1, 1, IndexedSeq(a), ec.schema.toDDL))
+        // the stored aggregate: per-cell count + elementwise vector SUM
+        // (sums, not means — only sums merge associatively with a delta)
+        spark.read.parquet(s"$stage/data/s1")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/agg/s1")
+        val b = part(2, ec.filter(col("vec_id") % 3 === 0))
+        SnapshotTable.commitSnapshot(stage, Snapshot(2, 1, IndexedSeq(a, b), ec.schema.toDDL))
+    }
+    val snap1 = SnapshotTable.snapshotAt(root, 1).get
+    val snap2 = SnapshotTable.snapshotAt(root, 2).get
+    val newParts = snap2.parts.filterNot(p => snap1.parts.exists(_.path == p.path))
+    val stored = spark.read.parquet(s"$root/agg/s1")
+    val delta = spark.read.parquet(newParts.map(_.path): _*)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
+    stored.unionByName(delta)
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_docs"), vecSum(col("sv")).as("sv"))
+      .selectExpr("cell", "n_docs",
+        "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n_docs) AS BIGINT)) AS centroid")
+      .orderBy(col("cell"))
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   private val sqlQuantE =
@@ -172,6 +221,11 @@ object GeoSemanticQueries {
 
   def oracle: Map[String, String] = Map(
     "q99_cell_centroids" ->
+      (s"WITH ${centroidCtes(Level)} " +
+        "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
+    // q103's oracle IS the full recompute — incremental maintenance must
+    // be invisible in the result (the q75 IVM contract)
+    "q103_incremental_centroids" ->
       (s"WITH ${centroidCtes(Level)} " +
         "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
     "q100_geo_outliers" ->

@@ -95,6 +95,20 @@ class GeoSemanticSpec extends SparkTestBase {
     assert(target.getLong(3) === want, s"cell $cell drift diverged")
   }
 
+  test("q103 incremental centroids: refresh scans delta + stored aggregate ONLY") {
+    val df = GeoSemanticQueries.incrementalCentroids(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // file scans: the stored snapshot-1 vector aggregate (agg/s1) + the
+    // appended s2 data; snapshot-1 DATA files must not appear
+    assert(plan.contains("data/s2"), plan.take(1500))
+    assert(plan.contains("agg/s1"), plan.take(1500))
+    assert(!plan.contains("data/s1"), s"refresh rescanned the archive:\n${plan.take(1500)}")
+    // IVM contract: incremental maintenance is invisible in the result
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = GeoSemanticQueries.cellCentroids(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("q101 dominant language: share is a floor permille and the count is the cell max") {
     val rows = GeoSemanticQueries.dominantLang(spark, sf0001).collect()
     assert(rows.nonEmpty)
