@@ -130,6 +130,7 @@ object SparkEntry {
     "q101_dominant_lang" -> ((s, d) => GeoSemanticQueries.dominantLang(s, d)),
     "q102_semantic_drift" -> ((s, d) => GeoSemanticQueries.semanticDrift(s, d)),
     "q103_incremental_centroids" -> ((s, d) => GeoSemanticQueries.incrementalCentroids(s, d)),
+    "q104_centroid_pyramid" -> ((s, d) => GeoSemanticQueries.centroidPyramid(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

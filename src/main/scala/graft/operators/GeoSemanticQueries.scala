@@ -201,6 +201,49 @@ object GeoSemanticQueries {
       .orderBy(col("cell"))
   }
 
+  /** q104 — centroid PYRAMID: regional semantic centroids at every zoom
+    * level `level..0`, from ONE corpus shuffle. The finest level's
+    * (n, vector-sum) cells are rolled up the quadtree by parent-cell
+    * arithmetic on the row-major id — sums merge associatively, so
+    * coarser levels cost zero additional input scans (the q53 tile-
+    * pyramid idea applied to vector state; K levels from one pass
+    * instead of K passes). The rollup operates on the ≤ 4^level
+    * collected grid rows (cell space, not corpus — the documented
+    * driver-assembly convention), and is hierarchy-exact: the row-major
+    * cell arithmetic nests (floor(floor(y)/2) = floor(y/2)), so each
+    * coarser level equals a direct recompute at that level — which is
+    * exactly what the oracle checks. */
+  def centroidPyramid(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame = {
+    import spark.implicits._
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    val base = embCells(spark, sfDir, level)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
+      .collect()
+    var cur: Map[Long, (Long, Array[Long])] = base.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray))).toMap
+    val out = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
+    for (l <- level to 0 by -1) {
+      cur.toSeq.sortBy(_._1).foreach { case (c, (n, sv)) =>
+        out += ((l, c, n,
+          sv.toIndexedSeq.map(x => math.floor(x.toDouble / n).toLong)))
+      }
+      if (l > 0) {
+        val side = 1L << l
+        cur = cur.groupBy { case (c, _) =>
+          (c / side / 2) * (side / 2) + (c % side) / 2
+        }.map { case (p, cs) =>
+          val sums = cs.values.map(_._2).reduce { (a, b) =>
+            a.zip(b).map { case (x, y) => x + y }
+          }
+          p -> ((cs.values.map(_._1).sum, sums))
+        }
+      }
+    }
+    out.result().toDF("level", "cell", "n_docs", "centroid")
+      .orderBy(col("level"), col("cell"))
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   private val sqlQuantE =
@@ -228,6 +271,24 @@ object GeoSemanticQueries {
     "q103_incremental_centroids" ->
       (s"WITH ${centroidCtes(Level)} " +
         "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
+    // q104's oracle recomputes every level DIRECTLY from the raw
+    // coordinates — the rollup must be hierarchy-exact, not approximate
+    "q104_centroid_pyramid" -> {
+      def lvl(l: Int) =
+        s"j$l AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", l)} AS cell, e.qv " +
+          "FROM e JOIN pages p ON e.vec_id = p.doc_id), " +
+          s"s$l AS (SELECT cell, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m, " +
+          s"count(*) AS n FROM j$l CROSS JOIN range(1, 65) t(i) GROUP BY cell, i), " +
+          s"c$l AS (SELECT cell, CAST(max(n) AS BIGINT) AS n_docs, list(m ORDER BY i) AS centroid " +
+          s"FROM s$l GROUP BY cell)"
+      val ctes = (0 to Level).map(lvl).mkString(", ")
+      val sel = (0 to Level)
+        .map(l => s"SELECT CAST($l AS INT) AS level, cell, n_docs, centroid FROM c$l")
+        .mkString(" UNION ALL ")
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"e AS (SELECT vec_id, $sqlQuantE AS qv FROM embeddings), $ctes " +
+        s"SELECT * FROM ($sel) ORDER BY level, cell"
+    },
     "q100_geo_outliers" ->
       (s"WITH ${centroidCtes(Level)}, " +
         s"d AS (SELECT j.cell, j.vec_id, ${sqlL2("j.qv", "c.centroid")} AS dist " +

@@ -109,6 +109,31 @@ class GeoSemanticSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("q104 pyramid: counts conserve per level; level-0 centroid is the global mean") {
+    val rows = GeoSemanticQueries.centroidPyramid(spark, sf0001).collect()
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val byLevel = rows.groupBy(_.getInt(0))
+    assert(byLevel.keySet === Set(0, 1, 2))
+    // every level partitions the full population
+    byLevel.foreach { case (l, rs) =>
+      assert(rs.map(_.getLong(2)).sum === total, s"level $l lost docs")
+    }
+    // level 0 = one cell holding everything; its centroid is the global mean
+    val l0 = byLevel(0)
+    assert(l0.length === 1 && l0.head.getLong(1) === 0L && l0.head.getLong(2) === total)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+      .collect().map(_.getSeq[Long](0))
+    val want = (0 until 64).map(i => math.floor(vecs.map(_(i)).sum.toDouble / vecs.length).toLong)
+    assert(l0.head.getSeq[Long](3) === want)
+    // pyramid is consistent with the single-level operator at the finest level
+    val fine = GeoSemanticQueries.cellCentroids(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val lvl2 = byLevel(2).sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+    assert(lvl2 === fine)
+  }
+
   test("q101 dominant language: share is a floor permille and the count is the cell max") {
     val rows = GeoSemanticQueries.dominantLang(spark, sf0001).collect()
     assert(rows.nonEmpty)
