@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusQueries, GeoQueries, GeoSemanticQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{CorpusQueries, CurationQueries, GeoQueries, GeoSemanticQueries, GeoStatsQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -131,6 +131,26 @@ object SparkEntry {
     "q102_semantic_drift" -> ((s, d) => GeoSemanticQueries.semanticDrift(s, d)),
     "q103_incremental_centroids" -> ((s, d) => GeoSemanticQueries.incrementalCentroids(s, d)),
     "q104_centroid_pyramid" -> ((s, d) => GeoSemanticQueries.centroidPyramid(s, d)),
+    "q105_span_dedup" -> ((s, d) => CurationQueries.spanDedup(s, d)),
+    "q106_page_rank" -> ((s, d) => CurationQueries.pageRank(s, d)),
+    "q107_url_canonical" -> ((s, d) => CurationQueries.urlCanonical(s, d)),
+    "q108_token_rank_quality" -> ((s, d) => CurationQueries.tokenRankQuality(s, d)),
+    "q109_lang_rebalance" -> ((s, d) => CurationQueries.langRebalance(s, d)),
+    "q110_phrase_search" -> ((s, d) => CurationQueries.phraseSearch(s, d)),
+    "q111_kde_heatmap" -> ((s, d) => GeoStatsQueries.kdeHeatmap(s, d)),
+    "q112_dissolve_area" -> ((s, d) => GeoStatsQueries.dissolveArea(s, d)),
+    // no oracle twin (iterative BPE trainer is not SQL-expressible):
+    // driver records a rows-only check; CurationSpec pins a hand-computed
+    // merge sequence and the trainer invariants
+    "q113_bpe_merges" -> ((s, d) => CurationQueries.bpeMerges(s, d)),
+    "q114_bigram_coverage" -> ((s, d) => CurationQueries.bigramCoverage(s, d)),
+    "q115_webgraph_audit" -> ((s, d) => CurationQueries.webgraphAudit(s, d)),
+    "q116_containment" -> ((s, d) => CurationQueries.containmentPairs(s, d)),
+    "q117_moran_components" -> ((s, d) => GeoStatsQueries.moranComponents(s, d)),
+    "q118_syndication" -> ((s, d) => CurationQueries.syndicationMatrix(s, d)),
+    "q119_dedup_timeline" -> ((s, d) => CurationQueries.dedupTimeline(s, d)),
+    "q120_leakage_split" -> ((s, d) => GraphQueries.leakageSafeSplit(s, d)),
+    "q121_hard_negatives" -> ((s, d) => SimilarityQueries.hardNegatives(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -389,6 +409,6 @@ object SparkEntry {
         "SELECT level, cell_rm FROM k ORDER BY level, cell_rm"
     },
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ CorpusQueries.oracle ++
-    SimilarityQueries.oracle ++ GeoSemanticQueries.oracle ++
-    Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
+    SimilarityQueries.oracle ++ GeoSemanticQueries.oracle ++ CurationQueries.oracle ++
+    GeoStatsQueries.oracle ++ Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
 }

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.{Footprints, Pages}
+
+/** Spatial-statistics operators — round-4 geo wave (SURVEY.md §2.R5):
+  * kernel-smoothed density surfaces and footprint dissolve (union area).
+  *
+  * Determinism: the deci-degree integer grid end to end (FIXTURES.md §3);
+  * cells are reported in the row-major surrogate (cy·2^L + cx), the same
+  * convention the oracles mirror everywhere else.
+  */
+object GeoStatsQueries {
+
+  private def pages(spark: SparkSession, sfDir: String) =
+    Pages.fromDocuments(spark, sfDir)
+
+  // -------------------------------------------------------------------------
+  // q111 — kernel-smoothed density heatmap (KDE on the cell grid)
+  // -------------------------------------------------------------------------
+
+  final val KdeLevel = 6 // 64x64 grid
+
+  /** q111 — discrete KDE: per-cell page counts convolved with the 3×3
+    * integer kernel [[1 2 1] [2 4 2] [1 2 1]] (the binomial/Gaussian
+    * approximation); the report is the top-15 smoothed cells with their
+    * raw counts — the crawl-density hotspot surface.
+    *
+    * Scale shape: ONE partial-agg shuffle builds the per-cell counts
+    * (output ≤ 4^L rows by construction); the convolution is a 9-row
+    * broadcast cross join scattering each occupied cell into its
+    * neighbors followed by a second grid-sized agg — never a corpus-sized
+    * explode (points aggregate BEFORE the kernel scatter). */
+  def kdeHeatmap(spark: SparkSession, sfDir: String, topK: Int = 15): DataFrame = {
+    val p = 1L << KdeLevel
+    val cy = floor((col("ilat") + 900) * p / 1800).cast("long")
+    val cx = floor((col("ilon") + 1800) * p / 3600).cast("long")
+    val occ = pages(spark, sfDir)
+      .select(cy.as("cy"), cx.as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+    val offsets = Seq(
+      (-1L, -1L, 1L), (-1L, 0L, 2L), (-1L, 1L, 1L),
+      (0L, -1L, 2L), (0L, 0L, 4L), (0L, 1L, 2L),
+      (1L, -1L, 1L), (1L, 0L, 2L), (1L, 1L, 1L))
+    import spark.implicits._
+    val off = offsets.toDF("dy", "dx", "w")
+    val sm = occ.crossJoin(broadcast(off))
+      .select((col("cy") + col("dy")).as("ty"), (col("cx") + col("dx")).as("tx"),
+        (col("w") * col("c")).as("contrib"))
+      .filter(col("ty") >= 0 && col("ty") < p && col("tx") >= 0 && col("tx") < p)
+      .groupBy(col("ty"), col("tx")).agg(sum(col("contrib")).as("sm"))
+    sm.join(occ, col("ty") === col("cy") && col("tx") === col("cx"), "left")
+      .select((col("ty") * p + col("tx")).as("cell6"), col("sm"),
+        coalesce(col("c"), lit(0L)).as("n_own"))
+      .orderBy(col("sm").desc, col("cell6"))
+      .limit(topK)
+  }
+
+  // -------------------------------------------------------------------------
+  // q112 — footprint dissolve: exact rectangle-union area per layer
+  // -------------------------------------------------------------------------
+
+  /** q112 — dissolve (union) area of the footprint boxes grouped into
+    * layers (fp_id mod 3), computed EXACTLY by the classic coordinate-
+    * compression sweep: the x-edges of a layer's boxes cut the plane into
+    * slabs; within a slab the covered y-length is the union of the
+    * boxes' y-intervals (island merge); union area = Σ slab_width ×
+    * covered_y. Integer deci-degrees end to end — no rasterization, no
+    * approximation (a level-L rasterized union would cost 4^L rows and
+    * still be approximate at box edges).
+    *
+    * Scale shape: every stage is keyed by (layer) or (layer, slab) — with
+    * billions of footprints the sweep parallelizes per layer-slab, the
+    * slab×box pairing is an interval join (range-partitionable), and the
+    * island-merge windows partition on (layer, slab), never globally. The
+    * 16-box fixture is tiny, but the PLAN is the scale plan. */
+  def dissolveArea(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Footprints.boxesDf(spark).withColumn("layer", col("fp_id") % 3)
+    val edges = fp.select(col("layer"), col("ilon0").as("e"))
+      .union(fp.select(col("layer"), (col("ilon1") + 1).as("e")))
+      .distinct()
+    val slabs = edges
+      .withColumn("x1", lead(col("e"), 1).over(Window.partitionBy(col("layer")).orderBy(col("e"))))
+      .filter(col("x1").isNotNull)
+      .select(col("layer"), col("e").as("x0"), col("x1"))
+    val cov = slabs.join(fp.select(col("layer").as("fl"), col("ilon0"), col("ilon1"),
+        col("ilat0").as("y0"), (col("ilat1") + 1).as("y1")),
+        col("layer") === col("fl") && col("ilon0") <= col("x0") && (col("ilon1") + 1) >= col("x1"))
+      .select(col("layer"), col("x0"), col("x1"), col("y0"), col("y1"))
+      .distinct()
+    val ord = Window.partitionBy(col("layer"), col("x0")).orderBy(col("y0"), col("y1"))
+    val merged = cov
+      .withColumn("pmax", max(col("y1")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag", when(col("pmax").isNull || col("y0") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("flag")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("layer"), col("x0"), col("x1"), col("isl"))
+      .agg(min(col("y0")).as("a"), max(col("y1")).as("b"))
+    val unionArea = merged.groupBy(col("layer"))
+      .agg(sum((col("x1") - col("x0")).cast("long") * (col("b") - col("a"))).as("union_area"))
+    val boxStats = fp.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_boxes"),
+        sum((col("ilon1") - col("ilon0") + 1).cast("long") *
+          (col("ilat1") - col("ilat0") + 1)).as("sum_box_area"))
+    boxStats.join(unionArea, Seq("layer"))
+      .select(col("layer"), col("n_boxes"), col("union_area"), col("sum_box_area"),
+        (col("sum_box_area") - col("union_area")).as("overlap_area"))
+      .orderBy(col("layer"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q117 — Moran's I components (spatial autocorrelation of crawl density)
+  // -------------------------------------------------------------------------
+
+  final val MoranLevels = Seq(4, 5)
+
+  /** q117 — global Moran's I over the per-cell page counts with rook
+    * (4-neighbor) weights, at two grid levels. Division-free by design:
+    * Moran's I = (N/W)·(Σ_adj d_i·d_j / Σ d_i²) needs the deviation
+    * d_i = x_i − mean; multiplying through by N makes D_i = N·x_i − S
+    * (S = Σx) an exact INTEGER, and the report carries the numerator and
+    * denominator separately (the numerator can be negative — mixing
+    * Spark's truncating `div` with DuckDB's flooring `//` on negatives is
+    * the FIXTURES §3 trap, so no engine ever divides).
+    *
+    * Empty cells participate (D_empty = −S): their contributions are
+    * reconstructed arithmetically from the occupied side — per occupied
+    * cell the border-aware neighbor total vs the occupied-neighbor count
+    * gives the occupied↔empty pair sum, and the remaining rook pairs are
+    * empty↔empty with the constant product S². So the distributed work
+    * stays ∝ OCCUPIED cells (≤ 4^L by construction): one grid-sized agg,
+    * one 4-offset scatter join, one final reduce.
+    *
+    * Range: products are ≤ W·(4^L·max_cell)² — exact in BIGINT up to
+    * ~10^9 pages at these levels; beyond that, pre-scale the per-cell
+    * counts (e.g. counts-per-million) before the deviation step — the
+    * formula is homogeneous, so the REPORTED ratio num/den is unchanged. */
+  def moranComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pg = pages(spark, sfDir)
+    val perLevel = MoranLevels.map { l =>
+      val side = 1L << l
+      val nc = side * side
+      val cy = floor((col("ilat") + 900) * side / 1800).cast("long")
+      val cx = floor((col("ilon") + 1800) * side / 3600).cast("long")
+      val occ = pg.select(cy.as("cy"), cx.as("cx"))
+        .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+      val tot = occ.groupBy().agg(sum(col("c")).as("s"), count(lit(1)).as("nocc"))
+      val o = occ.crossJoin(broadcast(tot))
+        .withColumn("d", lit(nc) * col("c") - col("s"))
+        .withColumn("nt",
+          lit(4L) - when(col("cy") === 0, 1L).otherwise(0L)
+            - when(col("cy") === side - 1, 1L).otherwise(0L)
+            - when(col("cx") === 0, 1L).otherwise(0L)
+            - when(col("cx") === side - 1, 1L).otherwise(0L))
+      val off = Seq((-1L, 0L), (1L, 0L), (0L, -1L), (0L, 1L)).toDF("dy", "dx")
+      val scattered = o.crossJoin(broadcast(off))
+        .select((col("cy") + col("dy")).as("ty"), (col("cx") + col("dx")).as("tx"),
+          col("d").as("dn"))
+        .filter(col("ty") >= 0 && col("ty") < side && col("tx") >= 0 && col("tx") < side)
+      val adj = scattered.groupBy(col("ty"), col("tx"))
+        .agg(sum(col("dn")).as("sum_dnbr"), count(lit(1)).as("no"))
+      val per = o.join(adj, col("cy") === col("ty") && col("cx") === col("tx"), "left")
+        .select(col("d"), col("nt"), col("s"), col("nocc"),
+          coalesce(col("sum_dnbr"), lit(0L)).as("sum_dnbr"),
+          coalesce(col("no"), lit(0L)).as("no"))
+      val w = 4 * side * (side - 1)
+      per.groupBy()
+        .agg(sum(col("d") * col("sum_dnbr")).as("num_occ"),
+          sum(col("d") * (col("nt") - col("no"))).as("d_edge"),
+          sum(col("no")).as("docc"), sum(col("nt") - col("no")).as("oe"),
+          sum(col("d") * col("d")).as("dd"),
+          max(col("s")).as("s"), max(col("nocc")).as("nocc"))
+        .select(lit(l).as("level"), lit(nc).as("n_cells"), col("nocc").as("n_occ"),
+          lit(w).as("w_pairs"),
+          (col("num_occ") - lit(2L) * col("s") * col("d_edge")
+            + (lit(w) - col("docc") - lit(2L) * col("oe")) * col("s") * col("s")).as("num"),
+          (col("dd") + (lit(nc) - col("nocc")) * col("s") * col("s")).as("den"))
+    }
+    perLevel.reduce(_.unionByName(_)).orderBy(col("level"))
+  }
+
+  // ---- oracle twins -------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q111_kde_heatmap" -> {
+      val p = 1L << KdeLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, count(*) AS c FROM pages GROUP BY 1, 2), " +
+        "off AS (SELECT * FROM (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 1), (0, -1, 2), (0, 0, 4), (0, 1, 2), (1, -1, 1), (1, 0, 2), (1, 1, 1)) AS o(dy, dx, w)), " +
+        "sm AS (SELECT occ.cy + off.dy AS ty, occ.cx + off.dx AS tx, CAST(sum(off.w * occ.c) AS BIGINT) AS sm " +
+        s"FROM occ CROSS JOIN off WHERE occ.cy + off.dy >= 0 AND occ.cy + off.dy < $p " +
+        s"AND occ.cx + off.dx >= 0 AND occ.cx + off.dx < $p GROUP BY 1, 2) " +
+        s"SELECT sm.ty * $p + sm.tx AS cell6, sm.sm AS sm, coalesce(o2.c, 0) AS n_own " +
+        "FROM sm LEFT JOIN occ o2 ON o2.cy = sm.ty AND o2.cx = sm.tx " +
+        "ORDER BY sm DESC, cell6 LIMIT 15"
+    },
+    "q117_moran_components" -> {
+      def lvl(l: Int): String = {
+        val side = 1L << l
+        val nc = side * side
+        val w = 4 * side * (side - 1)
+        s"occ$l AS (SELECT CAST(floor((ilat + 900) * $side / 1800.0) AS BIGINT) AS cy, " +
+          s"CAST(floor((ilon + 1800) * $side / 3600.0) AS BIGINT) AS cx, count(*) AS c FROM pages GROUP BY 1, 2), " +
+          s"tot$l AS (SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS nocc FROM occ$l), " +
+          s"o$l AS (SELECT cy, cx, $nc * c - t.s AS d, " +
+          s"4 - (CASE WHEN cy = 0 THEN 1 ELSE 0 END) - (CASE WHEN cy = ${side - 1} THEN 1 ELSE 0 END) " +
+          s"- (CASE WHEN cx = 0 THEN 1 ELSE 0 END) - (CASE WHEN cx = ${side - 1} THEN 1 ELSE 0 END) AS nt " +
+          s"FROM occ$l CROSS JOIN tot$l t), " +
+          s"sc$l AS (SELECT o.cy + v.dy AS ty, o.cx + v.dx AS tx, o.d AS dn FROM o$l o " +
+          "CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) AS v(dy, dx) " +
+          s"WHERE o.cy + v.dy >= 0 AND o.cy + v.dy < $side AND o.cx + v.dx >= 0 AND o.cx + v.dx < $side), " +
+          s"adj$l AS (SELECT ty, tx, CAST(sum(dn) AS BIGINT) AS sum_dnbr, count(*) AS no FROM sc$l GROUP BY ty, tx), " +
+          s"per$l AS (SELECT o.d, o.nt, coalesce(a.sum_dnbr, 0) AS sum_dnbr, coalesce(a.no, 0) AS no " +
+          s"FROM o$l o LEFT JOIN adj$l a ON o.cy = a.ty AND o.cx = a.tx), " +
+          s"fin$l AS (SELECT CAST($l AS INT) AS level, CAST($nc AS BIGINT) AS n_cells, " +
+          s"t.nocc AS n_occ, CAST($w AS BIGINT) AS w_pairs, " +
+          s"CAST(sum(p.d * p.sum_dnbr) - 2 * t.s * sum(p.d * (p.nt - p.no)) " +
+          s"+ ($w - sum(p.no) - 2 * sum(p.nt - p.no)) * t.s * t.s AS BIGINT) AS num, " +
+          s"CAST(sum(p.d * p.d) + ($nc - t.nocc) * t.s * t.s AS BIGINT) AS den " +
+          s"FROM per$l p CROSS JOIN tot$l t GROUP BY t.nocc, t.s)"
+      }
+      s"WITH pages AS (${Pages.oracleCte}), ${MoranLevels.map(lvl).mkString(", ")} " +
+        MoranLevels.map(l => s"SELECT * FROM fin$l").mkString(" UNION ALL ") +
+        " ORDER BY level"
+    },
+    "q112_dissolve_area" ->
+      (s"WITH f AS (SELECT fp_id % 3 AS layer, ilat0, ilon0, ilat1, ilon1 FROM ${Footprints.sqlValues}), " +
+        "ed AS (SELECT DISTINCT layer, e FROM (SELECT layer, ilon0 AS e FROM f UNION ALL SELECT layer, ilon1 + 1 FROM f)), " +
+        "sl AS (SELECT layer, e AS x0, lead(e) OVER (PARTITION BY layer ORDER BY e) AS x1 FROM ed), " +
+        "s2 AS (SELECT layer, x0, x1 FROM sl WHERE x1 IS NOT NULL), " +
+        "cov AS (SELECT DISTINCT s2.layer, s2.x0, s2.x1, f.ilat0 AS y0, f.ilat1 + 1 AS y1 " +
+        "FROM s2 JOIN f ON f.layer = s2.layer AND f.ilon0 <= s2.x0 AND f.ilon1 + 1 >= s2.x1), " +
+        "w AS (SELECT layer, x0, x1, y0, y1, max(y1) OVER (PARTITION BY layer, x0 ORDER BY y0, y1 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM cov), " +
+        "fl AS (SELECT layer, x0, x1, y0, y1, CASE WHEN pmax IS NULL OR y0 > pmax THEN 1 ELSE 0 END AS flag FROM w), " +
+        "il AS (SELECT layer, x0, x1, y0, y1, sum(flag) OVER (PARTITION BY layer, x0 ORDER BY y0, y1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fl), " +
+        "mg AS (SELECT layer, x0, x1, isl, min(y0) AS a, max(y1) AS b FROM il GROUP BY layer, x0, x1, isl), " +
+        "ua AS (SELECT layer, CAST(sum(CAST(x1 - x0 AS BIGINT) * (b - a)) AS BIGINT) AS union_area FROM mg GROUP BY layer), " +
+        "bs AS (SELECT layer, count(*) AS n_boxes, CAST(sum(CAST(ilon1 - ilon0 + 1 AS BIGINT) * (ilat1 - ilat0 + 1)) AS BIGINT) AS sum_box_area FROM f GROUP BY layer) " +
+        "SELECT bs.layer AS layer, bs.n_boxes AS n_boxes, ua.union_area AS union_area, bs.sum_box_area AS sum_box_area, " +
+        "bs.sum_box_area - ua.union_area AS overlap_area FROM bs JOIN ua ON bs.layer = ua.layer ORDER BY layer"),
+  )
+}

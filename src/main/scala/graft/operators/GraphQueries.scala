@@ -136,7 +136,45 @@ object GraphQueries {
       .orderBy(col("comp"))
   }
 
+  /** q120 — leakage-safe train/val/test split: documents are assigned to
+    * splits by their near-dup COMPONENT (q58's clusters), not
+    * individually, so no near-duplicate pair ever straddles a split —
+    * the contamination control every eval pipeline needs. Singleton docs
+    * are their own component. Assignment is the md5-permille of the
+    * component label (800/100/100), deterministic in both engines.
+    *
+    * Scale shape: q29 candidates + CC (edge-proportional, bounded driver
+    * fast path) + one broadcast-able component join + one report agg. */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = TextQueries.lshNearDupPairs(spark, sfDir)
+    val comps = connectedComponents(
+      pairs.select(col("d1").as("src"), col("d2").as("dst")))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val hpm = conv(substring(md5(concat(lit("split"), col("comp").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000
+    d.join(comps, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("split",
+        when(hpm < 800, "train").when(hpm < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("comp")).as("n_comps"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q120_leakage_split" ->
+      (s"WITH RECURSIVE ${TextQueries.lshPairsCte}, " +
+        "p2 AS (SELECT d1, d2 FROM j WHERE jac_m >= 200), " +
+        "eg AS (SELECT d1 AS u, d2 AS v FROM p2 UNION ALL SELECT d2, d1 FROM p2), " +
+        "nn AS (SELECT DISTINCT u FROM eg), " +
+        "reach(u, v) AS (SELECT u, u FROM nn UNION SELECT eg.u, r.v FROM eg JOIN reach r ON eg.v = r.u), " +
+        "lab AS (SELECT u, min(v) AS comp FROM reach GROUP BY u), " +
+        "ac AS (SELECT d.doc_id, coalesce(lab.comp, d.doc_id) AS comp FROM documents d LEFT JOIN lab ON d.doc_id = lab.u), " +
+        "sp AS (SELECT doc_id, comp, CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, comp, CAST(('0x' || substr(md5('split' || CAST(comp AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h FROM ac)) " +
+        "SELECT split, count(*) AS n_docs, count(DISTINCT comp) AS n_comps, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM sp GROUP BY split ORDER BY split"),
     "q58_neardup_components" ->
       (s"WITH RECURSIVE ${TextQueries.lshPairsCte}, " +
         "p2 AS (SELECT d1, d2 FROM j WHERE jac_m >= 200), " +

@@ -263,6 +263,28 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q121 — hard-negative mining (contrastive-dataset construction): for
+    * each query vector, the k NEAREST vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive/triplet loss (easy
+    * random negatives are uninformative). The scan is the q31 brute shape
+    * with a label filter; the ranking is the bounded partial top-k
+    * aggregate (never a corpus-holding qid window — verdict r3 #5); at
+    * index scale the same filter composes with the IVF probe path.
+    * Self-exclusion is implied (the query's own label always equals
+    * itself). */
+  def hardNegatives(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("qv").as("qvec"))
+    val scored = q.crossJoin(e.select(col("vec_id"), col("label"), col("qv")))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("dist", l2(col("qvec"), col("qv")))
+    topKByGroup(scored, "qid", col("dist"), col("vec_id"), k)
+      .select(col("qid"), col("rnk"), col("b").as("neg_id"), col("a").as("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** LSH-bucketed approximate top-k with Hamming<=1 multi-probe: each query
     * probes its own bucket plus the NumPlanes single-bit-flip neighbors.
     * The probe expansion is an explode on the (tiny) query side; the join
@@ -690,6 +712,13 @@ object SimilarityQueries {
         s"dd AS (SELECT qid, vec_id, CAST(${sqlL2c("qvec", "qv2")} AS BIGINT) AS dist FROM r1 WHERE arnk <= ${SqCand * 5}), " +
         "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM dd) " +
         "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q121_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, label, " + sqlQuant + " AS qv FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, label AS qlabel, qv AS qvec FROM e WHERE vec_id < 10), " +
+        "d AS (SELECT qid, vec_id, CAST(" + sqlL2 + " AS BIGINT) AS dist " +
+        "FROM q CROSS JOIN e WHERE e.label <> q.qlabel), " +
+        "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM d) " +
+        "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id AS neg_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
     "q31_ann_l2" ->
       ("WITH e AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, qv AS qvec FROM e WHERE vec_id < 10), " +

@@ -125,9 +125,21 @@ class PlanShapeSpec extends SparkTestBase {
     //    ts bounds — a lazy scalar, not an all-pairs product (the
     //    alternative, a driver-side head(), would break the
     //    lazy-construction contract for no gain)
+    //  - q106/q115: the shared link-graph edge generator cross-joins the
+    //    ONE-row broadcast node count N (the q102 lazy-scalar shape)
+    //  - q111: the kernel scatter cross-joins the 9-row broadcast offset
+    //    table against the GRID-sized (≤4^L) count agg — never the corpus
+    //  - q117: the deviation step cross-joins the ONE-row broadcast (S,
+    //    n_occ) totals and the 4-row rook-offset table against the
+    //    grid-sized count agg (the q111 shape)
     val allowed = Set("q31_ann_l2", "q07_knn", "q42_knn_exact", "q46_ann_ivf",
       "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint", "q93_ann_sq8",
-      "q96_cosine_topk", "q98_cosine_ann", "q102_semantic_drift")
+      "q96_cosine_topk", "q98_cosine_ann", "q102_semantic_drift",
+      "q106_page_rank", "q111_kde_heatmap", "q115_webgraph_audit",
+      "q117_moran_components",
+      // q121: the q31/q96 brute scan shape (10-query broadcast against the
+      // corpus) with a label filter; ranking is the bounded TopKAgg
+      "q121_hard_negatives")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -250,6 +262,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"no partial/final TopKAgg pair:\n${plan.take(2000)}")
     assert("Window \\[".r.findAllIn(plan).length <= 1, // the one bounded re-rank window
       s"extra windows beyond the bounded re-rank:\n${plan.take(3000)}")
+  }
+
+  test("span dedup (q105): dup detection and island merge never hit a single partition") {
+    // corpus-wide duplication is a window keyed by the (high-cardinality)
+    // gram, island merges key by doc_id — a SinglePartition exchange
+    // anywhere before the presentation sort would mean some stage funnels
+    // the corpus through one task
+    val plan = graft.operators.CurationQueries.spanDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"corpus funneled through one partition:\n${plan.take(2000)}")
+  }
+
+  test("phrase search (q110): phrase terms broadcast; postings never nested-loop") {
+    val df = graft.operators.CurationQueries.phraseSearch(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"phrase side not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
   }
 
   test("q69/q94: one distributed job each — grid clustering is driver-assembled") {
