@@ -394,8 +394,13 @@ object CurationQueries {
   def containmentPairs(spark: SparkSession, sfDir: String,
       minContM: Int = ContMinM): DataFrame = {
     val pairs = TextQueries.lshNearDupPairs(spark, sfDir, minJacM = ContCandJacM)
+    // the shingle-set frame feeds BOTH pair sides — persist so the
+    // shingle+hash kernel runs once, not once per join branch (q29's own
+    // discipline); released per query via CacheBag
     val sh = TextQueries.withShingleHashes(docs(spark, sfDir))
       .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
+      .persist()
+    graft.util.CacheBag.register(sh)
     val inter = size(array_intersect(col("x.shd"), col("y.shd"))).cast("long")
     pairs
       .join(sh.as("x"), col("d1") === col("x.doc_id"))

@@ -160,6 +160,38 @@ object StreamingJobs {
     finally if (q.isActive) q.stop()
   }
 
+  final case class DupFlag(tbucket: Long, doc_id: Long, dup: Boolean)
+
+  /** H-custom-state — streaming dedup-rate monitor (the q119 batch
+    * operator lifted onto a stream): keyed state per CONTENT HASH holds
+    * "seen before"; every arriving page is classified dup/first at
+    * arrival, rows within a micro-batch resolve ties by (ts, doc_id)
+    * exactly like the batch window. flatMapGroupsWithState in Append mode
+    * so a downstream sink (or per-bucket aggregation in the consumer)
+    * composes. Cross-batch semantics are FIRST-SEEN-WINS (arrival order)
+    * — the crawl-processing contract; replaying the corpus as one batch
+    * reproduces q119's global (ts, doc_id) order bit-exactly
+    * (StreamingSpec parity test). */
+  def dedupRateFlags(pages: DataFrame): org.apache.spark.sql.Dataset[DupFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(md5(col("text")).as("h").as[String],
+        col("doc_id").as[Long], col("ts_sec").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Long)], state: GroupState[Boolean]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+          var seen = state.getOption.getOrElse(false)
+          val out = sorted.map { case (_, id, ts) =>
+            val dup = seen; seen = true
+            DupFlag((ts - Pages.Epoch) / 21600, id, dup)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   final case class SourceState(nPages: Long, lastTs: Long, maxGap: Long)
   final case class SourceUpdate(source: String, n_pages: Long, last_ts: Long, max_gap: Long)
 

@@ -98,6 +98,43 @@ class StreamingSpec extends SparkTestBase {
     assert(graft.sources.SnapshotTable.readAt(spark, root, before.seq)._1.count() === rows)
   }
 
+  test("streaming dedup-rate flags == batch q119 when replayed in order") {
+    // single-file stage: one micro-batch = the whole corpus, so the
+    // within-batch (ts, doc_id) sort reproduces the batch window's global
+    // first-occurrence order exactly
+    val dir = Files.createTempDirectory("graft-dedup-in").toString
+    Pages.fromDocuments(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingJobs.dedupRateFlags(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dupflags").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dupflags")
+      .groupBy(col("tbucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_pm", expr("(n_dups * 1000) div n_docs"))
+      .orderBy("tbucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = graft.operators.CurationQueries.dedupTimeline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
+  test("streaming dedup-rate: exactly one non-dup per content hash across micro-batches") {
+    val dir = stageInput() // 4 files -> multiple micro-batches, arbitrary order
+    val q = StreamingJobs.dedupRateFlags(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dupflags2").start()
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("dupflags2")
+    val nFirst = flags.filter(!col("dup")).count()
+    val nDistinct = Pages.fromDocuments(spark, sf0001)
+      .select(md5(col("text"))).distinct().count()
+    assert(flags.count() === 500L)
+    assert(nFirst === nDistinct, "first-seen must fire exactly once per hash")
+  }
+
   test("stateful recrawl cadence (mapGroupsWithState) matches batch recompute") {
     val dir = stageInput()
     val q = StreamingJobs.sourceCadence(StreamingJobs.pagesStream(spark, dir))
