@@ -151,6 +151,10 @@ object SparkEntry {
     "q119_dedup_timeline" -> ((s, d) => CurationQueries.dedupTimeline(s, d)),
     "q120_leakage_split" -> ((s, d) => GraphQueries.leakageSafeSplit(s, d)),
     "q121_hard_negatives" -> ((s, d) => SimilarityQueries.hardNegatives(s, d)),
+    "q122_lisa_hotspots" -> ((s, d) => GeoStatsQueries.lisaHotspots(s, d)),
+    // no oracle twin (applies the iterative BPE trainer's merges):
+    // rows-only; segmentation laws + corpus determinism in CurationSpec
+    "q123_bpe_encode" -> ((s, d) => CurationQueries.bpeEncode(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -21,11 +21,8 @@ object CurationQueries {
   private def docs(spark: SparkSession, sfDir: String) =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** 60-bit md5-derived hash of a string expression (portable). */
-  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-  private def sqlHash60(e: String): String =
-    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+  // 60-bit md5-derived portable hash: the single source of truth is
+  // TextQueries.tokHash / sqlTokHash (salted variants) — no local copy.
 
   // -------------------------------------------------------------------------
   // q105 — duplicated-span removal (exact substring dedup)
@@ -35,8 +32,9 @@ object CurationQueries {
 
   /** q105 — the "deduplicating training data" shape (Lee et al. 2022,
     * public): any [[SpanGram]]-token window occurring ≥2 times anywhere in
-    * the corpus marks its token span as duplicated; overlapping marked
-    * spans merge into islands, and the per-document report is
+    * the corpus marks its token span as duplicated; overlapping OR
+    * token-adjacent marked spans merge into islands (n_spans counts
+    * maximal contiguous covered runs), and the per-document report is
     * (n_tok, dup_tok, n_spans, kept_tok).
     *
     * Scale shape: gram generation is a map-side higher-order projection
@@ -47,9 +45,13 @@ object CurationQueries {
     * per-partition row count is bounded by document length — never a
     * corpus-wide single partition. */
   def spanDedup(spark: SparkSession, sfDir: String, w: Int = SpanGram): DataFrame = {
+    // feeds BOTH the gram pipeline and the final per-doc join — persist so
+    // the scan+tokenize runs once per query (released via CacheBag)
     val base = docs(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= w)
+      .persist()
+    graft.util.CacheBag.register(base)
     val grams = base.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, size(ws) - $w), i -> array_join(slice(ws, i + 1, $w), ' '))"))
@@ -62,11 +64,13 @@ object CurationQueries {
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + w - 1).cast("long").as("e"))
     // classic island merge: running max of e over preceding rows; a new
-    // island starts when s jumps past everything seen so far
+    // island starts only when s jumps PAST pmax+1 — token-ADJACENT
+    // intervals ([i, i+4] then [i+5, i+9]) form one contiguous covered
+    // run and must merge, not just overlapping ones
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val flagged = dupIntervals
       .withColumn("pmax", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("flag", when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("flag", when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
       .withColumn("isl", sum(col("flag")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
     val spans = flagged.groupBy(col("doc_id"), col("isl"))
       .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
@@ -142,9 +146,14 @@ object CurationQueries {
         .join(infl, col("v") === col("dst"), "left")
         .select(col("v"), expr(s"${PrInit * 15 / 100} + (85 * coalesce(infl, 0)) div 100").as("r"))
     }
-    r.select(row_number().over(Window.orderBy(col("r").desc, col("v"))).as("rnk"),
+    // top-20 via orderBy+limit = distributed TakeOrdered (each partition
+    // contributes its local top-20) — NEVER a partition-less row_number
+    // window over the corpus-sized rank vector (the verdict-r3 hotspot
+    // shape; plan-gated in PlanShapeSpec). The rank column is attached by
+    // a window over the BOUNDED 20-row result.
+    val top = r.orderBy(col("r").desc, col("v")).limit(20)
+    top.select(row_number().over(Window.orderBy(col("r").desc, col("v"))).as("rnk"),
         col("v").as("doc_id"), col("r"))
-      .filter(col("rnk") <= 20)
       .orderBy(col("rnk"))
   }
 
@@ -210,8 +219,12 @@ object CurationQueries {
     * broadcasts back to the token stream; everything else is partial-agg
     * shuffles. */
   def tokenRankQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    // the token stream feeds both the vocabulary agg and the score join —
+    // persist so the scan+explode runs once (released via CacheBag)
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .persist()
+    graft.util.CacheBag.register(tok)
     val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
     val perDoc = tok.join(broadcast(vocab.select(col("token"), col("rnk"))), Seq("token"))
@@ -249,7 +262,7 @@ object CurationQueries {
       .withColumn("total", sum(col("docs_in")).over(Window.partitionBy()))
       .select(col("lang"), col("docs_in"), expr("(total * 200) div docs_in").as("factor_pm"))
     val resampled = d.join(broadcast(cnts), Seq("lang"))
-      .withColumn("hpm", hash60(concat(lit("mix"), col("doc_id").cast("string"))) % 1000)
+      .withColumn("hpm", TextQueries.tokHash(col("doc_id").cast("string"), "mix") % 1000)
       .withColumn("copies",
         expr("factor_pm div 1000") + when(col("hpm") < col("factor_pm") % 1000, 1L).otherwise(0L))
       // Spark's sequence(1, 0) yields the DESCENDING [1, 0], not empty —
@@ -258,7 +271,13 @@ object CurationQueries {
       .select(col("lang"), col("n_chars"), explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
     val out = resampled.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs_out"), sum(col("n_chars")).as("out_chars"))
-    cnts.join(out, Seq("lang"))
+    // LEFT join + coalesce: a language whose every document draws 0
+    // copies must still report (docs_out = 0), exactly like the oracle's
+    // arithmetic sum over all docs
+    cnts.join(out, Seq("lang"), "left")
+      .select(col("lang"), col("docs_in"), col("factor_pm"),
+        coalesce(col("docs_out"), lit(0L)).as("docs_out"),
+        coalesce(col("out_chars"), lit(0L)).as("out_chars"))
       .withColumn("total_out", sum(col("docs_out")).over(Window.partitionBy()))
       .select(col("lang"), col("docs_in"), col("factor_pm"), col("docs_out"),
         expr("(docs_out * 1000) div total_out").as("out_pm"), col("out_chars"))
@@ -320,11 +339,15 @@ object CurationQueries {
     * token-keyed agg); the score join keys on the bigram (the exact q57
     * df shape); everything else is partial-agg shuffles. */
   def bigramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    // the bigram stream feeds both the LM-count agg and the score join —
+    // persist so the scan+explode runs once (released via CacheBag)
     val bg = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")).as("bg"))
+      .persist()
+    graft.util.CacheBag.register(bg)
     val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val perDoc = bg.join(counts, Seq("bg"))
       .groupBy(col("doc_id"), col("lang"))
@@ -481,18 +504,69 @@ object CurationQueries {
     * tiebreaks (count desc, pair lexicographic); replacement is greedy
     * left-to-right. No SQL oracle (iterative trainer) — CurationSpec pins
     * a hand-computed fixture and the invariants. */
-  def bpeMerges(spark: SparkSession, sfDir: String, nMerges: Int = BpeMerges): DataFrame = {
+  /** Bounded weighted vocabulary: ONE distributed word-count agg, capped
+    * at the top [[BpeVocabCap]] words (count desc, word asc) — the
+    * metadata-sized driver state both BPE entry points share. */
+  private def wordVocab(spark: SparkSession, sfDir: String): Array[(String, Long)] = {
     import spark.implicits._
-    val wordCounts = docs(spark, sfDir)
+    docs(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(BpeVocabCap)
       .as[(String, Long)].collect()
-    val merges = trainBpe(wordCounts.toSeq, nMerges)
+  }
+
+  def bpeMerges(spark: SparkSession, sfDir: String, nMerges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    val merges = trainBpe(wordVocab(spark, sfDir).toSeq, nMerges)
     merges.zipWithIndex
       .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
       .toDF("rank", "left", "right", "pair_count")
       .orderBy(col("rank"))
+  }
+
+  /** q123 — apply the trained merges: encode every corpus word with the
+    * learned BPE vocabulary and report per-language subtoken statistics
+    * (the fertility audit run after training any tokenizer: how many
+    * subtokens per word, per language — high fertility = underserved
+    * language). Segmentation happens ONCE per DISTINCT word on the driver
+    * (the vocabulary is the bounded trainer state) and the word →
+    * n_subtokens table broadcasts back onto the token stream — the
+    * corpus-proportional part is one explode + one broadcast join + one
+    * partial agg. Rows-only (the merge loop is not SQL-expressible);
+    * CurationSpec pins segmentation laws and the corpus run. */
+  def bpeEncode(spark: SparkSession, sfDir: String, nMerges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    val vocab = wordVocab(spark, sfDir)
+    val merges = trainBpe(vocab.toSeq, nMerges).map(m => (m._1, m._2))
+    val segLens = vocab.map { case (w, _) =>
+      (w, w.length.toLong, bpeSegment(w, merges).length.toLong)
+    }.toSeq.toDF("w", "n_chars_w", "n_sub")
+    docs(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(segLens), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"),
+        expr("(sum(n_sub) * 1000) div count(1)").as("fertility_pm"),
+        expr("(sum(n_chars_w) * 1000) div sum(n_sub)").as("chars_per_sub_pm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Greedy left-to-right application of an ordered merge list to one
+    * word — the exact replay of the trainer's merge step. */
+  private[operators] def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val merged = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          merged += (l + r); i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.result()
+    }
+    syms
   }
 
   /** Pure BPE merge loop over a weighted vocabulary (driver-side; bounded
@@ -536,7 +610,7 @@ object CurationQueries {
         "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
         s"i AS (SELECT doc_id, pos AS s, pos + ${SpanGram - 1} AS e FROM g WHERE gram IN (SELECT gram FROM d)), " +
         "f AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM i), " +
-        "fl AS (SELECT doc_id, s, e, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag FROM f), " +
+        "fl AS (SELECT doc_id, s, e, CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS flag FROM f), " +
         "isl AS (SELECT doc_id, s, e, sum(flag) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fl), " +
         "sp AS (SELECT doc_id, isl, min(s) AS s0, max(e) AS e1 FROM isl GROUP BY doc_id, isl), " +
         "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(e1 - s0 + 1) AS BIGINT) AS dup_tok FROM sp GROUP BY doc_id) " +
@@ -591,7 +665,7 @@ object CurationQueries {
       ("WITH c AS (SELECT lang, count(*) AS docs_in FROM documents GROUP BY lang), " +
         "f AS (SELECT lang, docs_in, ((SELECT count(*) FROM documents) * 200) // docs_in AS factor_pm FROM c), " +
         "cp AS (SELECT d.lang, d.n_chars, f.factor_pm // 1000 + " +
-        s"(CASE WHEN ${sqlHash60("'mix' || CAST(doc_id AS VARCHAR)")} % 1000 < f.factor_pm % 1000 THEN 1 ELSE 0 END) AS copies " +
+        s"(CASE WHEN ${TextQueries.sqlTokHash("CAST(doc_id AS VARCHAR)", "mix")} % 1000 < f.factor_pm % 1000 THEN 1 ELSE 0 END) AS copies " +
         "FROM documents d JOIN f ON d.lang = f.lang), " +
         "o AS (SELECT lang, CAST(sum(copies) AS BIGINT) AS docs_out, CAST(sum(copies * n_chars) AS BIGINT) AS out_chars FROM cp GROUP BY lang) " +
         "SELECT f.lang AS lang, f.docs_in AS docs_in, CAST(f.factor_pm AS BIGINT) AS factor_pm, o.docs_out AS docs_out, " +

@@ -72,11 +72,15 @@ object GeoStatsQueries {
     * approximation (a level-L rasterized union would cost 4^L rows and
     * still be approximate at box edges).
     *
-    * Scale shape: every stage is keyed by (layer) or (layer, slab) — with
-    * billions of footprints the sweep parallelizes per layer-slab, the
-    * slab×box pairing is an interval join (range-partitionable), and the
-    * island-merge windows partition on (layer, slab), never globally. The
-    * 16-box fixture is tiny, but the PLAN is the scale plan. */
+    * Scale shape: the slab×box pairing is an equi-join keyed
+    * (layer, x-BUCKET) — boxes explode into the fixed-width x-buckets
+    * they span (≤ 3600/width per box), each slab joins through the single
+    * bucket holding its left edge, so join parallelism grows with the
+    * bucket count, never capped at the layer count; the island-merge
+    * windows partition on (layer, slab), never globally. The 16-box
+    * fixture is tiny, but the PLAN is the scale plan. */
+  final val DissolveBucketW = 100 // deci-degrees per x-bucket (36 buckets)
+
   def dissolveArea(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = Footprints.boxesDf(spark).withColumn("layer", col("fp_id") % 3)
     val edges = fp.select(col("layer"), col("ilon0").as("e"))
@@ -86,9 +90,17 @@ object GeoStatsQueries {
       .withColumn("x1", lead(col("e"), 1).over(Window.partitionBy(col("layer")).orderBy(col("e"))))
       .filter(col("x1").isNotNull)
       .select(col("layer"), col("e").as("x0"), col("x1"))
-    val cov = slabs.join(fp.select(col("layer").as("fl"), col("ilon0"), col("ilon1"),
-        col("ilat0").as("y0"), (col("ilat1") + 1).as("y1")),
-        col("layer") === col("fl") && col("ilon0") <= col("x0") && (col("ilon1") + 1) >= col("x1"))
+      // the slab's single bucket (+1800 keeps the div non-negative)
+      .withColumn("bkt", expr(s"(x0 + 1800) div $DissolveBucketW"))
+    // each box explodes into every x-bucket it spans — a box can only
+    // cover a slab whose left edge falls inside the box's x-range
+    val fpB = fp.select(col("layer").as("fl"), col("ilon0"), col("ilon1"),
+        col("ilat0").as("y0"), (col("ilat1") + 1).as("y1"))
+      .withColumn("bkt", explode(expr(
+        s"sequence((ilon0 + 1800) div $DissolveBucketW, (ilon1 + 1 + 1800) div $DissolveBucketW)")))
+    val cov = slabs.join(fpB,
+        col("layer") === col("fl") && slabs("bkt") === fpB("bkt") &&
+          col("ilon0") <= col("x0") && (col("ilon1") + 1) >= col("x1"))
       .select(col("layer"), col("x0"), col("x1"), col("y0"), col("y1"))
       .distinct()
     val ord = Window.partitionBy(col("layer"), col("x0")).orderBy(col("y0"), col("y1"))
@@ -182,6 +194,66 @@ object GeoStatsQueries {
     perLevel.reduce(_.unionByName(_)).orderBy(col("level"))
   }
 
+  // -------------------------------------------------------------------------
+  // q122 — local spatial hotspots (LISA: local Moran components)
+  // -------------------------------------------------------------------------
+
+  final val LisaLevel = 5
+  final val LisaTopK = 12
+
+  /** q122 — local indicators of spatial association (Anselin's local
+    * Moran), division-free like q117: per occupied cell the local
+    * statistic's NUMERATOR is D_i · Σ_{j∈rook(i)} D_j (positive = the
+    * cell sits in a cluster of like values — a hotspot when D_i > 0;
+    * negative = a spatial outlier). Empty rook neighbors contribute
+    * D_empty = −S each, reconstructed arithmetically from the
+    * border-aware neighbor count, so the distributed work stays ∝
+    * OCCUPIED cells. Report: top cells by |local|, with the sign and the
+    * hot/outlier class — the per-region drill-down of q117's single
+    * global number.
+    *
+    * Determinism: |local| and the tiebreak are pure integer; no division
+    * anywhere (the conventional z-standardization divides by corpus
+    * moments — monotone per fixed corpus, so ranking by the raw
+    * numerator picks the same cells). */
+  def lisaHotspots(spark: SparkSession, sfDir: String, topK: Int = LisaTopK): DataFrame = {
+    import spark.implicits._
+    val side = 1L << LisaLevel
+    val nc = side * side
+    val cy = floor((col("ilat") + 900) * side / 1800).cast("long")
+    val cx = floor((col("ilon") + 1800) * side / 3600).cast("long")
+    val occ = pages(spark, sfDir)
+      .select(cy.as("cy"), cx.as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+    val tot = occ.groupBy().agg(sum(col("c")).as("s"))
+    val o = occ.crossJoin(broadcast(tot))
+      .withColumn("d", lit(nc) * col("c") - col("s"))
+      .withColumn("nt",
+        lit(4L) - when(col("cy") === 0, 1L).otherwise(0L)
+          - when(col("cy") === side - 1, 1L).otherwise(0L)
+          - when(col("cx") === 0, 1L).otherwise(0L)
+          - when(col("cx") === side - 1, 1L).otherwise(0L))
+    val off = Seq((-1L, 0L), (1L, 0L), (0L, -1L), (0L, 1L)).toDF("dy", "dx")
+    val scattered = o.crossJoin(broadcast(off))
+      .select((col("cy") + col("dy")).as("ty"), (col("cx") + col("dx")).as("tx"),
+        col("d").as("dn"))
+      .filter(col("ty") >= 0 && col("ty") < side && col("tx") >= 0 && col("tx") < side)
+    val adj = scattered.groupBy(col("ty"), col("tx"))
+      .agg(sum(col("dn")).as("sum_dnbr"), count(lit(1)).as("no"))
+    o.join(adj, col("cy") === col("ty") && col("cx") === col("tx"), "left")
+      .select(col("cy"), col("cx"), col("c"), col("d"), col("s"),
+        (coalesce(col("sum_dnbr"), lit(0L))
+          - (col("nt") - coalesce(col("no"), lit(0L))) * col("s")).as("nbr_d"))
+      .select((col("cy") * side + col("cx")).as("cell5"), col("c").as("n_pages"),
+        (col("d") * col("nbr_d")).as("local"),
+        when(col("d") * col("nbr_d") < 0, "outlier")
+          .when(col("d") > 0, "hot").otherwise("cold").as("class"))
+      .orderBy(abs(col("local")).desc, col("cell5"))
+      .limit(topK)
+      .select(col("cell5"), col("n_pages"), col("local"), col("class"))
+      .orderBy(abs(col("local")).desc, col("cell5"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -197,6 +269,27 @@ object GeoStatsQueries {
         s"SELECT sm.ty * $p + sm.tx AS cell6, sm.sm AS sm, coalesce(o2.c, 0) AS n_own " +
         "FROM sm LEFT JOIN occ o2 ON o2.cy = sm.ty AND o2.cx = sm.tx " +
         "ORDER BY sm DESC, cell6 LIMIT 15"
+    },
+    "q122_lisa_hotspots" -> {
+      val side = 1L << LisaLevel
+      val nc = side * side
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $side / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $side / 3600.0) AS BIGINT) AS cx, count(*) AS c FROM pages GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM occ), " +
+        s"o AS (SELECT cy, cx, c, $nc * c - t.s AS d, t.s AS s, " +
+        s"4 - (CASE WHEN cy = 0 THEN 1 ELSE 0 END) - (CASE WHEN cy = ${side - 1} THEN 1 ELSE 0 END) " +
+        s"- (CASE WHEN cx = 0 THEN 1 ELSE 0 END) - (CASE WHEN cx = ${side - 1} THEN 1 ELSE 0 END) AS nt " +
+        "FROM occ CROSS JOIN tot t), " +
+        "sc AS (SELECT o.cy + v.dy AS ty, o.cx + v.dx AS tx, o.d AS dn FROM o " +
+        "CROSS JOIN (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) AS v(dy, dx) " +
+        s"WHERE o.cy + v.dy >= 0 AND o.cy + v.dy < $side AND o.cx + v.dx >= 0 AND o.cx + v.dx < $side), " +
+        "adj AS (SELECT ty, tx, CAST(sum(dn) AS BIGINT) AS sum_dnbr, count(*) AS no FROM sc GROUP BY ty, tx), " +
+        "loc AS (SELECT o.cy, o.cx, o.c, CAST(o.d * (coalesce(a.sum_dnbr, 0) - (o.nt - coalesce(a.no, 0)) * o.s) AS BIGINT) AS local, o.d AS d " +
+        "FROM o LEFT JOIN adj a ON o.cy = a.ty AND o.cx = a.tx) " +
+        s"SELECT cy * $side + cx AS cell5, c AS n_pages, local, " +
+        "CASE WHEN local < 0 THEN 'outlier' WHEN d > 0 THEN 'hot' ELSE 'cold' END AS class " +
+        s"FROM loc ORDER BY abs(local) DESC, cell5 LIMIT $LisaTopK"
     },
     "q117_moran_components" -> {
       def lvl(l: Int): String = {

@@ -150,8 +150,7 @@ object GraphQueries {
     val comps = connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val d = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
-    val hpm = conv(substring(md5(concat(lit("split"), col("comp").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000
+    val hpm = TextQueries.tokHash(col("comp").cast("string"), "split") % 1000
     d.join(comps, col("doc_id") === col("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
       .withColumn("split",
@@ -172,7 +171,7 @@ object GraphQueries {
         "lab AS (SELECT u, min(v) AS comp FROM reach GROUP BY u), " +
         "ac AS (SELECT d.doc_id, coalesce(lab.comp, d.doc_id) AS comp FROM documents d LEFT JOIN lab ON d.doc_id = lab.u), " +
         "sp AS (SELECT doc_id, comp, CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split " +
-        "FROM (SELECT doc_id, comp, CAST(('0x' || substr(md5('split' || CAST(comp AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS h FROM ac)) " +
+        s"FROM (SELECT doc_id, comp, ${TextQueries.sqlTokHash("CAST(comp AS VARCHAR)", "split")} % 1000 AS h FROM ac)) " +
         "SELECT split, count(*) AS n_docs, count(DISTINCT comp) AS n_comps, " +
         "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM sp GROUP BY split ORDER BY split"),
     "q58_neardup_components" ->

@@ -21,8 +21,10 @@ object TextQueries {
   private def docs(spark: SparkSession, sfDir: String) =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** 60-bit token hash from the md5 hex prefix — portable across engines. */
-  private def tokHash(t: Column, salt: String = ""): Column =
+  /** 60-bit token hash from the md5 hex prefix — portable across engines.
+    * Shared (with its SQL twin below) by every operator needing a
+    * deterministic cross-engine hash — do NOT re-derive the idiom. */
+  private[operators] def tokHash(t: Column, salt: String = ""): Column =
     conv(substring(md5(if (salt.isEmpty) t else concat(lit(salt), t)), 1, 15), 16, 10).cast("long")
   private[operators] def sqlTokHash(t: String, salt: String = ""): String =
     if (salt.isEmpty) s"CAST(('0x' || substr(md5($t), 1, 15)) AS BIGINT)"

@@ -136,7 +136,7 @@ class PlanShapeSpec extends SparkTestBase {
       "q63_ann_pq", "q67_knn_table", "q70_nearest_footprint", "q93_ann_sq8",
       "q96_cosine_topk", "q98_cosine_ann", "q102_semantic_drift",
       "q106_page_rank", "q111_kde_heatmap", "q115_webgraph_audit",
-      "q117_moran_components",
+      "q117_moran_components", "q122_lisa_hotspots", // q122 = the q117 shape
       // q121: the q31/q96 brute scan shape (10-query broadcast against the
       // corpus) with a label filter; ranking is the bounded TopKAgg
       "q121_hard_negatives")
@@ -262,6 +262,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"no partial/final TopKAgg pair:\n${plan.take(2000)}")
     assert("Window \\[".r.findAllIn(plan).length <= 1, // the one bounded re-rank window
       s"extra windows beyond the bounded re-rank:\n${plan.take(3000)}")
+  }
+
+  test("PageRank (q106): top-k is a distributed TakeOrdered, not a corpus window") {
+    val plan = graft.operators.CurationQueries.pageRank(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 not a distributed TakeOrdered:\n${plan.take(2000)}")
   }
 
   test("span dedup (q105): dup detection and island merge never hit a single partition") {

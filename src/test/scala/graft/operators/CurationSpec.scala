@@ -45,6 +45,21 @@ class CurationSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q105 merges token-ADJACENT duplicated windows into one span") {
+    // doc0's duplicated 5-grams sit at positions 0 and 5 — intervals
+    // [0,4] and [5,9] touch without overlapping and must merge (one
+    // contiguous covered run); doc1's sit at 0 and 6 — a 1-token gap
+    // keeps them separate. The sf fixtures never exercise this adjacency.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e z f g h i j"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationQueries.spanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((0L, 10L, 10L, 1L, 0L), (1L, 11L, 10L, 2L, 1L)))
+  }
+
   test("q106 PageRank == brute integer power iteration, and ranks are conserved") {
     val n = docRows.length.toLong
     val edges = docRows.flatMap { case (i, _, _, _) =>
@@ -135,10 +150,13 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("q114 bigram coverage == brute bigram-count recompute") {
+    // mirror the engine's size(ws) >= 2 filter — Scala's sliding(2) would
+    // otherwise emit a 1-element "bigram" for sub-2-token docs
+    val eligible = docRows.filter(_._2.split(" ").length >= 2)
     val bgCount = mutable.Map.empty[String, Long].withDefaultValue(0L)
-    for ((_, text, _, _) <- docRows; bg <- text.split(" ").sliding(2).map(_.mkString(" ")))
+    for ((_, text, _, _) <- eligible; bg <- text.split(" ").sliding(2).map(_.mkString(" ")))
       bgCount(bg) += 1
-    val perLang = docRows.map { case (_, text, lang, _) =>
+    val perLang = eligible.map { case (_, text, lang, _) =>
       val bgs = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
       val covered = bgs.count(bgCount(_) >= CurationQueries.LmMinCount).toLong
       val sumCnt = bgs.map(bgCount).sum
@@ -279,6 +297,33 @@ class CurationSpec extends SparkTestBase {
     assert(merges === Seq(("a", "b", 5L), ("ab", "ab", 2L), ("ab", "c", 1L)))
     // exhaustion: asking for more merges than exist stops cleanly
     assert(CurationQueries.trainBpe(Seq(("ab", 1L)), 5) === Seq(("a", "b", 1L)))
+  }
+
+  test("q123 BPE encode: segmentation laws + corpus fertility recompute") {
+    // segmentation replays the trainer's merges ((a,b), (ab,ab), (ab,c)):
+    // both fixture words merge completely; a 2-merge table leaves "abc"
+    // as [ab, c]
+    val merges = CurationQueries.trainBpe(Seq(("abab", 2L), ("abc", 1L)), 3)
+      .map(m => (m._1, m._2))
+    assert(CurationQueries.bpeSegment("abab", merges) === Vector("abab"))
+    assert(CurationQueries.bpeSegment("abc", merges) === Vector("abc"))
+    assert(CurationQueries.bpeSegment("abc", merges.take(2)) === Vector("ab", "c"))
+    assert(CurationQueries.bpeSegment("zq", merges) === Vector("z", "q")) // untrained chars
+    // concatenating the segments always reproduces the word
+    for (w <- Seq("abab", "abc", "aabbc", ""))
+      assert(CurationQueries.bpeSegment(w, merges).mkString === w)
+    // corpus run: fertility bounded by [1000, 1000 * max word length]
+    val rows = CurationQueries.bpeEncode(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).sorted.toSeq)
+    for (r <- rows) {
+      assert(r.getLong(3) >= 1000L, "fertility below 1 subtoken/word")
+      assert(r.getLong(2) >= r.getLong(1), "fewer subtokens than words")
+      assert(r.getLong(4) >= 1000L, "subtoken shorter than 1 char")
+    }
+    // conservation: words counted per lang == corpus token counts
+    val wantWords = docRows.groupBy(_._3).view.mapValues(
+      _.map(_._2.split(" ").length.toLong).sum).toMap
+    for (r <- rows) assert(r.getLong(1) === wantWords(r.getString(0)))
   }
 
   test("q113 BPE on the corpus: distinct ranks, positive counts, deterministic") {

@@ -66,6 +66,31 @@ class GeoStatsSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q122 LISA hotspots == brute local-Moran recompute over the full grid") {
+    import spark.implicits._
+    val side = 1 << GeoStatsQueries.LisaLevel
+    val pts = Pages.fromDocuments(spark, sf0001).select("ilat", "ilon")
+      .as[(Int, Int)].collect()
+    val grid = Array.ofDim[Long](side, side)
+    for ((ilat, ilon) <- pts)
+      grid(((ilat + 900).toLong * side / 1800).toInt)(((ilon + 1800).toLong * side / 3600).toInt) += 1
+    val s = grid.map(_.sum).sum
+    val nc = side.toLong * side
+    def d(y: Int, x: Int) = nc * grid(y)(x) - s
+    val expect = (for (y <- 0 until side; x <- 0 until side; if grid(y)(x) > 0) yield {
+      val nbr = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+        .map { case (dy, dx) => (y + dy, x + dx) }
+        .filter { case (ty, tx) => ty >= 0 && ty < side && tx >= 0 && tx < side }
+        .map { case (ty, tx) => d(ty, tx) }.sum
+      val local = d(y, x) * nbr
+      val cls = if (local < 0) "outlier" else if (d(y, x) > 0) "hot" else "cold"
+      (y.toLong * side + x, grid(y)(x), local, cls)
+    }).sortBy { case (cell, _, l, _) => (-math.abs(l), cell) }.take(GeoStatsQueries.LisaTopK)
+    val got = GeoStatsQueries.lisaHotspots(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
