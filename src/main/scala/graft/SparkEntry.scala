@@ -155,6 +155,7 @@ object SparkEntry {
     // no oracle twin (applies the iterative BPE trainer's merges):
     // rows-only; segmentation laws + corpus determinism in CurationSpec
     "q123_bpe_encode" -> ((s, d) => CurationQueries.bpeEncode(s, d)),
+    "q124_bitext_mining" -> ((s, d) => SimilarityQueries.bitextMining(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

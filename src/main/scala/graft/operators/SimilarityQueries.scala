@@ -285,6 +285,47 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q124 — bitext mining (the LASER/CCMatrix parallel-corpus-discovery
+    * shape for MT training data): for every non-English query document,
+    * its best English match by embedding cosine PLUS the margin over the
+    * next candidates — margin_m = 2·s1 − s2 − s3 (a division-free variant
+    * of the ratio-margin criterion: high absolute similarity alone is not
+    * evidence of translation; standing OUT from the next-best candidates
+    * is). Languages attach by the vec_id = doc_id alignment of the
+    * fixture tables. The scan is the q96 brute shape (same integer cosine
+    * surrogate, same bounded TopKAgg ranking); at index scale candidates
+    * come from the cosine-IVF probes (q98) instead of the full scan. */
+  def bitextMining(spark: SparkSession, sfDir: String, nQueries: Int = 50): DataFrame = {
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .filter(col("nn") > 0)
+      .join(langs, col("vec_id") === col("doc_id")).drop("doc_id")
+      .persist()
+    graft.util.CacheBag.register(e)
+    val q = e.filter(col("lang") =!= "en" && col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("lang").as("src_lang"),
+        col("qv").as("qvec"), col("nn").as("nq"))
+    val cand = e.filter(col("lang") === "en").select(col("vec_id"), col("qv"), col("nn"))
+    val scored = q.crossJoin(cand)
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qvec, qv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cos_m", expr(
+        "CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT)"))
+    val top = topKByGroup(scored, "qid", -col("cos_m"), col("vec_id"), 3)
+      .select(col("qid"), col("rnk"), col("b").as("en_id"), (-col("a")).as("cos_m"))
+    top.groupBy(col("qid"))
+      .agg(max(when(col("rnk") === 1, col("en_id"))).as("best_en"),
+        max(when(col("rnk") === 1, col("cos_m"))).as("cos1_m"),
+        max(when(col("rnk") === 2, col("cos_m"))).as("cos2_m"),
+        max(when(col("rnk") === 3, col("cos_m"))).as("cos3_m"))
+      .join(q.select(col("qid"), col("src_lang")), Seq("qid"))
+      .select(col("qid"), col("src_lang"), col("best_en"), col("cos1_m"),
+        (lit(2L) * col("cos1_m") - col("cos2_m") - col("cos3_m")).as("margin_m"))
+      .orderBy(col("qid"))
+  }
+
   /** LSH-bucketed approximate top-k with Hamming<=1 multi-probe: each query
     * probes its own bucket plus the NumPlanes single-bit-flip neighbors.
     * The probe expansion is an explode on the (tiny) query side; the join
@@ -712,6 +753,23 @@ object SimilarityQueries {
         s"dd AS (SELECT qid, vec_id, CAST(${sqlL2c("qvec", "qv2")} AS BIGINT) AS dist FROM r1 WHERE arnk <= ${SqCand * 5}), " +
         "r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM dd) " +
         "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, dist FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+    "q124_bitext_mining" ->
+      ("WITH e0 AS (SELECT vec_id, " + sqlQuant + " AS qv FROM embeddings), " +
+        "en0 AS (SELECT vec_id, qv, list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        "list_transform(qv, x -> x * x)), (a, b) -> a + b) AS nn FROM e0), " +
+        "el AS (SELECT en0.vec_id, en0.qv, en0.nn, d.lang FROM en0 JOIN documents d ON en0.vec_id = d.doc_id WHERE en0.nn > 0), " +
+        "q AS (SELECT vec_id AS qid, lang AS src_lang, qv AS qvec, nn AS nq FROM el WHERE lang <> 'en' AND vec_id < 50), " +
+        "c AS (SELECT vec_id, qv, nn FROM el WHERE lang = 'en'), " +
+        "d AS (SELECT q.qid, c.vec_id, list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(64), " +
+        "i -> q.qvec[i+1] * c.qv[i+1])), (a, b) -> a + b) AS dot, q.nq, c.nn FROM q CROSS JOIN c), " +
+        "cm AS (SELECT qid, vec_id, CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / " +
+        "CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT) AS cos_m FROM d), " +
+        "r AS (SELECT qid, vec_id, cos_m, row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, vec_id) AS rnk FROM cm), " +
+        "p AS (SELECT qid, max(CASE WHEN rnk = 1 THEN vec_id END) AS best_en, " +
+        "max(CASE WHEN rnk = 1 THEN cos_m END) AS cos1_m, max(CASE WHEN rnk = 2 THEN cos_m END) AS cos2_m, " +
+        "max(CASE WHEN rnk = 3 THEN cos_m END) AS cos3_m FROM r WHERE rnk <= 3 GROUP BY qid) " +
+        "SELECT p.qid AS qid, q.src_lang AS src_lang, p.best_en AS best_en, p.cos1_m AS cos1_m, " +
+        "2 * p.cos1_m - p.cos2_m - p.cos3_m AS margin_m FROM p JOIN q ON p.qid = q.qid ORDER BY qid"),
     "q121_hard_negatives" ->
       ("WITH e AS (SELECT vec_id, label, " + sqlQuant + " AS qv FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, label AS qlabel, qv AS qvec FROM e WHERE vec_id < 10), " +

@@ -137,9 +137,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q96_cosine_topk", "q98_cosine_ann", "q102_semantic_drift",
       "q106_page_rank", "q111_kde_heatmap", "q115_webgraph_audit",
       "q117_moran_components", "q122_lisa_hotspots", // q122 = the q117 shape
-      // q121: the q31/q96 brute scan shape (10-query broadcast against the
-      // corpus) with a label filter; ranking is the bounded TopKAgg
-      "q121_hard_negatives")
+      // q121/q124: the q31/q96 brute scan shape (small query set broadcast
+      // against the corpus) with a label/lang filter; ranking is the
+      // bounded TopKAgg
+      "q121_hard_negatives", "q124_bitext_mining")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -290,6 +290,35 @@ class CurationSpec extends SparkTestBase {
     for ((qid, _, nid, _) <- got) assert(labelOf(nid) != labelOf(qid))
   }
 
+  test("q124 bitext mining == brute cross-lingual cosine + margin recompute") {
+    import spark.implicits._
+    val langOf = docRows.map(d => (d._1, d._3)).toMap
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v.map(x => math.floor(x.toDouble * 1000).toLong)) }
+      .filter { case (_, qv) => qv.map(x => x * x).sum > 0 }
+    def cosM(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val nq = a.map(x => x * x).sum
+      val nn = b.map(x => x * x).sum
+      math.floor((dot * math.abs(dot)).toDouble / (nq * nn).toDouble * 1000000).toLong
+    }
+    val en = vecs.filter(v => langOf(v._1) == "en")
+    val expect = vecs.filter(v => langOf(v._1) != "en" && v._1 < 50).sortBy(_._1)
+      .map { case (qid, qv) =>
+        val ranked = en.map { case (id, v) => (id, cosM(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(3)
+        (qid, langOf(qid), ranked(0)._1, ranked(0)._2,
+          2 * ranked(0)._2 - ranked(1)._2 - ranked(2)._2)
+      }.toSeq
+    val got = SimilarityQueries.bitextMining(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    // s1 >= s2 >= s3 makes the margin non-negative by construction
+    assert(got.forall(_._5 >= 0))
+  }
+
   test("q113 BPE trainer reproduces the hand-computed merge sequence") {
     // vocab: "abab"x2, "abc"x1 → pairs a·b: 2·2 + 1 = 5, b·a: 2, b·c: 1 →
     // merge (a,b,5); then ab·ab:2, ab·c:1 → merge (ab,ab,2); then (ab,c,1)
