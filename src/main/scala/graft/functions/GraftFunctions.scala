@@ -396,6 +396,33 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** bpe_subtokens(word string, merges string) -> int: subtoken count
+    * after greedily replaying a trained BPE merge list on `word` —
+    * executor-side and vocabulary-free, so words the trainer never saw
+    * encode too (chained string `replace` is NOT equivalent: a match
+    * consumes its trailing boundary, skipping pairs in same-symbol runs).
+    * `merges` is a FOLDABLE literal — (l, r) pairs joined by U+0002 within
+    * and U+0003 between (separators no token can contain) — parsed once
+    * per expression instance, not per row. */
+  case class BpeSubtokensExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bpe_subtokens"
+    @transient private lazy val merges: Seq[(String, String)] = {
+      val spec = right.eval(null).asInstanceOf[UTF8String].toString
+      if (spec.isEmpty) Nil
+      else spec.split('\u0003').toSeq.map { m =>
+        val i = m.indexOf('\u0002')
+        (m.substring(0, i), m.substring(i + 1))
+      }
+    }
+    override protected def nullSafeEval(w: Any, m: Any): Any =
+      GraftKernels.bpeSegment(w.asInstanceOf[UTF8String].toString, merges).length
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -431,6 +458,7 @@ object GraftFunctions {
     "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
     "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
     "shingle_hashes" -> (e => ShingleHashesExpr(e(0))),
+    "bpe_subtokens" -> (e => BpeSubtokensExpr(e(0), e(1))),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -467,4 +495,11 @@ object GraftFunctions {
   def band_signatures(v: Column, layout: Column): Column =
     call_function("band_signatures", v, layout)
   def shingle_hashes(text: Column): Column = call_function("shingle_hashes", text)
+  def bpe_subtokens(word: Column, merges: Column): Column =
+    call_function("bpe_subtokens", word, merges)
+
+  /** Encode a merge list for [[expressions.BpeSubtokensExpr]]'s foldable
+    * spec argument. */
+  def bpeMergeSpec(merges: Seq[(String, String)]): String =
+    merges.map { case (l, r) => l + "\u0002" + r }.mkString("\u0003")
 }

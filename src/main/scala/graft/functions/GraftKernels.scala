@@ -16,6 +16,26 @@ object GraftKernels {
 
   private val Empty = new GenericArrayData(Array.emptyLongArray)
 
+  /** Greedy BPE merge replay: split `word` into single-char symbols, then
+    * apply each merge (l, r) in ORDER with one left-to-right
+    * non-overlapping scan — the exact trainer semantics. The single
+    * source of truth for segmentation: the q113 trainer's replay, the
+    * q123 encode expression and the specs all call this. */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val merged = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          merged += (l + r); i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.result()
+    }
+    syms
+  }
+
   /** 60-bit md5-prefix hash of every 3-gram shingle of the space-split
     * tokens of `text`. Tokenization matches Spark `split(text, " ")`
     * (trailing empties kept), shingle text matches

@@ -525,26 +525,32 @@ object CurationQueries {
       .orderBy(col("rank"))
   }
 
-  /** q123 — apply the trained merges: encode every corpus word with the
-    * learned BPE vocabulary and report per-language subtoken statistics
-    * (the fertility audit run after training any tokenizer: how many
-    * subtokens per word, per language — high fertility = underserved
-    * language). Segmentation happens ONCE per DISTINCT word on the driver
-    * (the vocabulary is the bounded trainer state) and the word →
-    * n_subtokens table broadcasts back onto the token stream — the
-    * corpus-proportional part is one explode + one broadcast join + one
-    * partial agg. Rows-only (the merge loop is not SQL-expressible);
-    * CurationSpec pins segmentation laws and the corpus run. */
+  /** q123 — apply the trained merges: encode EVERY corpus word (including
+    * words the trainer's vocab cap never saw — BPE merges apply to unseen
+    * words too) and report per-language subtoken statistics (the
+    * fertility audit run after training any tokenizer: subtokens per
+    * word, per language — high fertility = underserved language).
+    *
+    * The merge replay is DISTRIBUTED and vocabulary-free: the
+    * `bpe_subtokens` Catalyst expression carries the trained merge list
+    * as a foldable literal and replays the trainer's greedy scan per
+    * token on the executors (a chained string `replace` is NOT
+    * equivalent — a match consumes its trailing symbol boundary and
+    * skips pairs in same-symbol runs; CurationSpec pins the expression
+    * against [[bpeSegment]] on boundary-adversarial words). One
+    * expression call per token = a pure projection; the only
+    * construction-time job is the trainer's bounded word-count collect
+    * (documented eager exception, COVERAGE.md). Rows-only (the merge loop
+    * is not SQL-expressible). */
   def bpeEncode(spark: SparkSession, sfDir: String, nMerges: Int = BpeMerges): DataFrame = {
-    import spark.implicits._
-    val vocab = wordVocab(spark, sfDir)
-    val merges = trainBpe(vocab.toSeq, nMerges).map(m => (m._1, m._2))
-    val segLens = vocab.map { case (w, _) =>
-      (w, w.length.toLong, bpeSegment(w, merges).length.toLong)
-    }.toSeq.toDF("w", "n_chars_w", "n_sub")
+    graft.functions.GraftFunctions.register(spark)
+    val merges = trainBpe(wordVocab(spark, sfDir).toSeq, nMerges).map(m => (m._1, m._2))
+    val spec = graft.functions.GraftFunctions.bpeMergeSpec(merges)
     docs(spark, sfDir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(segLens), Seq("w"))
+      .select(col("lang"), length(col("w")).cast("long").as("n_chars_w"),
+        graft.functions.GraftFunctions.bpe_subtokens(col("w"), lit(spec))
+          .cast("long").as("n_sub"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subtokens"),
         expr("(sum(n_sub) * 1000) div count(1)").as("fertility_pm"),
@@ -552,22 +558,10 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
-  /** Greedy left-to-right application of an ordered merge list to one
-    * word — the exact replay of the trainer's merge step. */
-  private[operators] def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
-    for ((l, r) <- merges) {
-      val merged = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-          merged += (l + r); i += 2
-        } else { merged += syms(i); i += 1 }
-      }
-      syms = merged.result()
-    }
-    syms
-  }
+  /** Greedy merge replay for one word — delegates to the shared kernel
+    * (the same code the `bpe_subtokens` expression evaluates). */
+  private[operators] def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] =
+    graft.functions.GraftKernels.bpeSegment(word, merges)
 
   /** Pure BPE merge loop over a weighted vocabulary (driver-side; bounded
     * input). Returns (left, right, pairCount) per merge in order. */

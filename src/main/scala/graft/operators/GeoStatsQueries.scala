@@ -38,9 +38,13 @@ object GeoStatsQueries {
     val p = 1L << KdeLevel
     val cy = floor((col("ilat") + 900) * p / 1800).cast("long")
     val cx = floor((col("ilon") + 1800) * p / 3600).cast("long")
+    // grid-sized but corpus-scan-derived; feeds the kernel scatter AND the
+    // raw-count join back — persist once (released via CacheBag)
     val occ = pages(spark, sfDir)
       .select(cy.as("cy"), cx.as("cx"))
       .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+      .persist()
+    graft.util.CacheBag.register(occ)
     val offsets = Seq(
       (-1L, -1L, 1L), (-1L, 0L, 2L), (-1L, 1L, 1L),
       (0L, -1L, 2L), (0L, 0L, 4L), (0L, 1L, 2L),
@@ -63,6 +67,10 @@ object GeoStatsQueries {
   // q112 — footprint dissolve: exact rectangle-union area per layer
   // -------------------------------------------------------------------------
 
+  /** Fixed x-bucket width for the q112 slab×box equi-join (deci-degrees;
+    * 3600/100 = 36 buckets across the plane). */
+  final val DissolveBucketW = 100
+
   /** q112 — dissolve (union) area of the footprint boxes grouped into
     * layers (fp_id mod 3), computed EXACTLY by the classic coordinate-
     * compression sweep: the x-edges of a layer's boxes cut the plane into
@@ -79,8 +87,6 @@ object GeoStatsQueries {
     * bucket count, never capped at the layer count; the island-merge
     * windows partition on (layer, slab), never globally. The 16-box
     * fixture is tiny, but the PLAN is the scale plan. */
-  final val DissolveBucketW = 100 // deci-degrees per x-bucket (36 buckets)
-
   def dissolveArea(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = Footprints.boxesDf(spark).withColumn("layer", col("fp_id") % 3)
     val edges = fp.select(col("layer"), col("ilon0").as("e"))
@@ -157,8 +163,13 @@ object GeoStatsQueries {
       val nc = side * side
       val cy = floor((col("ilat") + 900) * side / 1800).cast("long")
       val cx = floor((col("ilon") + 1800) * side / 3600).cast("long")
+      // grid-sized (≤4^L rows) but derived from a full corpus scan, and it
+      // feeds the totals, the deviation frame AND the scatter join —
+      // persist so the scan runs once (released via CacheBag)
       val occ = pg.select(cy.as("cy"), cx.as("cx"))
         .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+        .persist()
+      graft.util.CacheBag.register(occ)
       val tot = occ.groupBy().agg(sum(col("c")).as("s"), count(lit(1)).as("nocc"))
       val o = occ.crossJoin(broadcast(tot))
         .withColumn("d", lit(nc) * col("c") - col("s"))
@@ -222,9 +233,13 @@ object GeoStatsQueries {
     val nc = side * side
     val cy = floor((col("ilat") + 900) * side / 1800).cast("long")
     val cx = floor((col("ilon") + 1800) * side / 3600).cast("long")
+    // grid-sized but corpus-scan-derived; feeds totals, deviations and the
+    // scatter join — persist once (released via CacheBag)
     val occ = pages(spark, sfDir)
       .select(cy.as("cy"), cx.as("cx"))
       .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+      .persist()
+    graft.util.CacheBag.register(occ)
     val tot = occ.groupBy().agg(sum(col("c")).as("s"))
     val o = occ.crossJoin(broadcast(tot))
       .withColumn("d", lit(nc) * col("c") - col("s"))

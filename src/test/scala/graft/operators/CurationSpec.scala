@@ -341,18 +341,49 @@ class CurationSpec extends SparkTestBase {
     // concatenating the segments always reproduces the word
     for (w <- Seq("abab", "abc", "aabbc", ""))
       assert(CurationQueries.bpeSegment(w, merges).mkString === w)
-    // corpus run: fertility bounded by [1000, 1000 * max word length]
-    val rows = CurationQueries.bpeEncode(spark, sf0001).collect()
-    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).sorted.toSeq)
-    for (r <- rows) {
-      assert(r.getLong(3) >= 1000L, "fertility below 1 subtoken/word")
-      assert(r.getLong(2) >= r.getLong(1), "fewer subtokens than words")
-      assert(r.getLong(4) >= 1000L, "subtoken shorter than 1 char")
+    // corpus run == exact brute recompute: the distributed chained-replace
+    // encode must agree with the driver-side bpeSegment on EVERY token
+    val vocab = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, text, _, _) <- docRows; w <- text.split(" ")) vocab(w) += 1
+    val corpusMerges = CurationQueries
+      .trainBpe(vocab.toSeq.sortBy { case (w, c) => (-c, w) }, CurationQueries.BpeMerges)
+      .map(m => (m._1, m._2))
+    val segLen = vocab.keys.map(w =>
+      (w, CurationQueries.bpeSegment(w, corpusMerges).length.toLong)).toMap
+    val expect = docRows.flatMap { case (_, text, lang, _) =>
+      text.split(" ").map(w => (lang, w))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val nSub = ws.map(t => segLen(t._2)).sum
+      val nChars = ws.map(_._2.length.toLong).sum
+      (lang, ws.length.toLong, nSub, nSub * 1000 / ws.length, nChars * 1000 / nSub)
     }
-    // conservation: words counted per lang == corpus token counts
-    val wantWords = docRows.groupBy(_._3).view.mapValues(
-      _.map(_._2.split(" ").length.toLong).sum).toMap
-    for (r <- rows) assert(r.getLong(1) === wantWords(r.getString(0)))
+    val rows = CurationQueries.bpeEncode(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === expect)
+  }
+
+  test("q123 distributed expression encode == bpeSegment on boundary-adversarial words") {
+    // same-char runs ("aaa") are the case a chained string replace gets
+    // WRONG (a match consumes its trailing boundary and skips pairs);
+    // "ba b" exercises symbol-boundary anchoring
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val texts = Seq("ba b ab ab ab", "aaa aab ab ba", "abab abab b a")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val vocab = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- texts; w <- t.split(" ")) vocab(w) += 1
+    val merges = CurationQueries
+      .trainBpe(vocab.toSeq.sortBy { case (w, c) => (-c, w) }, CurationQueries.BpeMerges)
+      .map(m => (m._1, m._2))
+    val segLen = vocab.keys.map(w =>
+      (w, CurationQueries.bpeSegment(w, merges).length.toLong)).toMap
+    val all = texts.flatMap(_.split(" "))
+    val wantSub = all.map(segLen).sum
+    val got = CurationQueries.bpeEncode(spark, dir).collect()
+    assert(got.map(_.getLong(2)).sum === wantSub, "distributed encode diverged from bpeSegment")
+    assert(got.map(_.getLong(1)).sum === all.length.toLong)
   }
 
   test("q113 BPE on the corpus: distinct ranks, positive counts, deterministic") {
