@@ -156,6 +156,8 @@ object SparkEntry {
     // rows-only; segmentation laws + corpus determinism in CurationSpec
     "q123_bpe_encode" -> ((s, d) => CurationQueries.bpeEncode(s, d)),
     "q124_bitext_mining" -> ((s, d) => SimilarityQueries.bitextMining(s, d)),
+    "q125_footprint_buffer" -> ((s, d) => GeoStatsQueries.footprintBuffer(s, d)),
+    "q126_robots_filter" -> ((s, d) => CurationQueries.robotsFilter(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

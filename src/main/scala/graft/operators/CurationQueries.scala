@@ -488,6 +488,41 @@ object CurationQueries {
   }
 
   // -------------------------------------------------------------------------
+  // q126 — robots-rules filtering (longest-prefix-wins)
+  // -------------------------------------------------------------------------
+
+  /** q126 — robots.txt-style path filtering with the longest-prefix-wins
+    * rule (the crawl-pipeline gate every fetcher applies before a page
+    * enters the corpus). Each source publishes two deterministic rules: a
+    * broad allow on `/doc/` and a narrower DISALLOW on `/doc/<s%10>` —
+    * so e.g. src3 blocks every doc id starting with the digit 3; the
+    * longer match always decides (standard robots semantics). Report per
+    * source: pages seen / blocked / blocked permille.
+    *
+    * Scale shape: the rule table is tiny → broadcast equi-join on source;
+    * the per-page winner is a max_by on prefix length (no window); one
+    * report agg. */
+  def robotsFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rules = (0 until 20).flatMap { s =>
+      Seq((s"src$s", "/doc/", 1), (s"src$s", s"/doc/${s % 10}", 0))
+    }.toDF("source", "prefix", "allow")
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+      .join(broadcast(rules), Seq("source"))
+      .filter(expr("substr(path, 1, length(prefix)) = prefix"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max_by(col("allow"), length(col("prefix"))).as("allow"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("allow") === 0, 1L).otherwise(0L)).as("n_blocked"))
+      .select(col("source"), col("n_pages"), col("n_blocked"),
+        expr("(n_blocked * 1000) div n_pages").as("blocked_pm"))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------------------------------
   // q113 — BPE merge trainer (rows-only + ST; iterative, not SQL-expressible)
   // -------------------------------------------------------------------------
 
@@ -709,6 +744,19 @@ object CurationQueries {
         "SELECT tbucket, count(*) AS n_docs, CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
         "CAST((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS dup_pm " +
         "FROM wk GROUP BY tbucket ORDER BY tbucket"),
+    "q126_robots_filter" -> {
+      val vals = (0 until 20).flatMap { s =>
+        Seq(s"('src$s', '/doc/', 1)", s"('src$s', '/doc/${s % 10}', 0)")
+      }.mkString(", ")
+      s"WITH r AS (SELECT * FROM (VALUES $vals) AS r(source, prefix, allow)), " +
+        "p AS (SELECT doc_id, source, '/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents), " +
+        "m AS (SELECT p.doc_id, p.source, arg_max(r.allow, length(r.prefix)) AS allow " +
+        "FROM p JOIN r ON p.source = r.source AND substr(p.path, 1, length(r.prefix)) = r.prefix " +
+        "GROUP BY p.doc_id, p.source) " +
+        "SELECT source, count(*) AS n_pages, CAST(sum(CASE WHEN allow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+        "CAST((sum(CASE WHEN allow = 0 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS blocked_pm " +
+        "FROM m GROUP BY source ORDER BY source"
+    },
     "q110_phrase_search" -> {
       val vals = Phrases.map { case (q, p) => s"($q, '$p')" }.mkString(", ")
       s"WITH ph AS (SELECT * FROM (VALUES $vals) AS ph(qid, phrase)), " +

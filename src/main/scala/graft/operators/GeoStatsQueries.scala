@@ -269,6 +269,50 @@ object GeoStatsQueries {
       .orderBy(abs(col("local")).desc, col("cell5"))
   }
 
+  // -------------------------------------------------------------------------
+  // q125 — footprint buffer (cell-space halo; the GIS buffer primitive)
+  // -------------------------------------------------------------------------
+
+  final val BufferLevel = 6
+
+  /** q125 — buffer each footprint by one cell at level [[BufferLevel]] and
+    * report the HALO (buffer minus original cover): how many pages sit
+    * just OUTSIDE each footprint — the near-miss audit that decides
+    * whether a footprint boundary is drawn too tight. For axis-aligned
+    * boxes the one-cell buffer ring is pure integer arithmetic (the
+    * expanded cell box minus the inner cell box), clamped at the grid
+    * edge.
+    *
+    * Scale shape: ring generation explodes ≤ 2·(w+h)+4 cells per
+    * footprint (boundary-proportional, never area-proportional); the
+    * page join is an equi-join on the cell key; one partial agg per
+    * footprint. */
+  def footprintBuffer(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << BufferLevel
+    val fp = Footprints.boxesDf(spark)
+      .withColumn("cy0", expr(s"(ilat0 + 900) * $p div 1800"))
+      .withColumn("cy1", expr(s"(ilat1 + 900) * $p div 1800"))
+      .withColumn("cx0", expr(s"(ilon0 + 1800) * $p div 3600"))
+      .withColumn("cx1", expr(s"(ilon1 + 1800) * $p div 3600"))
+    val halo = fp.select(col("fp_id"), col("cy0"), col("cy1"), col("cx0"), col("cx1"),
+        explode(expr(s"sequence(greatest(cy0 - 1, CAST(0 AS BIGINT)), least(cy1 + 1, CAST(${p - 1} AS BIGINT)))")).as("cy"))
+      .select(col("fp_id"), col("cy0"), col("cy1"), col("cx0"), col("cx1"), col("cy"),
+        explode(expr(s"sequence(greatest(cx0 - 1, CAST(0 AS BIGINT)), least(cx1 + 1, CAST(${p - 1} AS BIGINT)))")).as("cx"))
+      .filter(col("cy") < col("cy0") || col("cy") > col("cy1") ||
+        col("cx") < col("cx0") || col("cx") > col("cx1"))
+      .select(col("fp_id"), (col("cy") * p + col("cx")).as("cell6"))
+    val pageCells = pages(spark, sfDir).select(
+      (floor((col("ilat") + 900) * p / 1800).cast("long") * p +
+        floor((col("ilon") + 1800) * p / 3600).cast("long")).as("cell6"),
+      col("doc_id"), col("lang"))
+    halo.join(pageCells, Seq("cell6"), "left")
+      .groupBy(col("fp_id"))
+      .agg(countDistinct(col("cell6")).as("n_halo_cells"),
+        count(col("doc_id")).as("n_halo_pages"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("fp_id"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
@@ -284,6 +328,21 @@ object GeoStatsQueries {
         s"SELECT sm.ty * $p + sm.tx AS cell6, sm.sm AS sm, coalesce(o2.c, 0) AS n_own " +
         "FROM sm LEFT JOIN occ o2 ON o2.cy = sm.ty AND o2.cx = sm.tx " +
         "ORDER BY sm DESC, cell6 LIMIT 15"
+    },
+    "q125_footprint_buffer" -> {
+      val p = 1L << BufferLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"f AS (SELECT fp_id, (ilat0 + 900) * $p // 1800 AS cy0, (ilat1 + 900) * $p // 1800 AS cy1, " +
+        s"(ilon0 + 1800) * $p // 3600 AS cx0, (ilon1 + 1800) * $p // 3600 AS cx1 FROM ${Footprints.sqlValues}), " +
+        s"h AS (SELECT fp_id, cy * $p + cx AS cell6 FROM (SELECT f.*, " +
+        s"unnest(generate_series(greatest(cy0 - 1, 0), least(cy1 + 1, ${p - 1}))) AS cy FROM f) fy, " +
+        s"unnest(generate_series(greatest(fy.cx0 - 1, 0), least(fy.cx1 + 1, ${p - 1}))) AS t(cx) " +
+        "WHERE cy < cy0 OR cy > cy1 OR cx < cx0 OR cx > cx1), " +
+        s"pc AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) * $p + " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cell6, doc_id, lang FROM pages) " +
+        "SELECT h.fp_id AS fp_id, count(DISTINCT h.cell6) AS n_halo_cells, " +
+        "count(pc.doc_id) AS n_halo_pages, count(DISTINCT pc.lang) AS n_langs " +
+        "FROM h LEFT JOIN pc ON h.cell6 = pc.cell6 GROUP BY h.fp_id ORDER BY fp_id"
     },
     "q122_lisa_hotspots" -> {
       val side = 1L << LisaLevel

@@ -319,6 +319,25 @@ class CurationSpec extends SparkTestBase {
     assert(got.forall(_._5 >= 0))
   }
 
+  test("q126 robots filter == brute longest-prefix-wins recompute") {
+    import spark.implicits._
+    val srcRows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expect = srcRows.map { case (id, src) =>
+      // the narrow disallow rule for srcN is '/doc/<N%10>' — blocked iff
+      // the doc id's first digit matches (longest prefix wins)
+      val n = src.stripPrefix("src").toInt
+      (src, id.toString.startsWith((n % 10).toString))
+    }.groupBy(_._1).toSeq.sortBy { case (src, _) => src }.map { case (src, xs) =>
+      val b = xs.count(_._2).toLong
+      (src, xs.length.toLong, b, b * 1000 / xs.length)
+    }
+    val got = CurationQueries.robotsFilter(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    assert(got.map(_._3).sum > 0, "fixture must block some pages")
+  }
+
   test("q113 BPE trainer reproduces the hand-computed merge sequence") {
     // vocab: "abab"x2, "abc"x1 → pairs a·b: 2·2 + 1 = 5, b·a: 2, b·c: 1 →
     // merge (a,b,5); then ab·ab:2, ab·c:1 → merge (ab,ab,2); then (ab,c,1)

@@ -91,6 +91,30 @@ class GeoStatsSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q125 footprint buffer == brute halo-ring recompute; halo disjoint from cover") {
+    import spark.implicits._
+    val p = 1L << GeoStatsQueries.BufferLevel
+    val pts = Pages.fromDocuments(spark, sf0001).select("ilat", "ilon", "doc_id", "lang")
+      .as[(Int, Int, Long, String)].collect()
+    def cellOf(ilat: Int, ilon: Int): Long =
+      (ilat + 900).toLong * p / 1800 * p + (ilon + 1800).toLong * p / 3600
+    val expect = Footprints.boxes.sortBy(_.fpId).map { b =>
+      val (cy0, cy1) = ((b.ilat0 + 900).toLong * p / 1800, (b.ilat1 + 900).toLong * p / 1800)
+      val (cx0, cx1) = ((b.ilon0 + 1800).toLong * p / 3600, (b.ilon1 + 1800).toLong * p / 3600)
+      val halo = (for (cy <- math.max(cy0 - 1, 0L) to math.min(cy1 + 1, p - 1);
+                       cx <- math.max(cx0 - 1, 0L) to math.min(cx1 + 1, p - 1)
+                       if cy < cy0 || cy > cy1 || cx < cx0 || cx > cx1)
+        yield cy * p + cx).toSet
+      // halo never overlaps the cover itself
+      for (cy <- cy0 to cy1; cx <- cx0 to cx1) assert(!halo.contains(cy * p + cx))
+      val hits = pts.filter(pt => halo.contains(cellOf(pt._1, pt._2)))
+      (b.fpId, halo.size.toLong, hits.length.toLong, hits.map(_._4).distinct.length.toLong)
+    }
+    val got = GeoStatsQueries.footprintBuffer(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
