@@ -405,7 +405,7 @@ object expressions {
     * and U+0003 between (separators no token can contain) — parsed once
     * per expression instance, not per row. */
   case class BpeSubtokensExpr(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "bpe_subtokens"
@@ -418,7 +418,19 @@ object expressions {
       }
     }
     override protected def nullSafeEval(w: Any, m: Any): Any =
-      GraftKernels.bpeSegment(w.asInstanceOf[UTF8String].toString, merges).length
+      GraftKernels.bpeSubtokenCount(w.asInstanceOf[UTF8String], merges)
+    // Real codegen (ADVICE r4: this runs once per corpus TOKEN in q123 —
+    // a big-side hot path): the pre-parsed merge list rides along as a
+    // codegen reference object and the generated code is one static
+    // kernel call, keeping the enclosing whole-stage span alive.
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.collection.immutable.Seq")
+      nullSafeCodeGen(ctx, ev, (w, _) =>
+        s"${ev.value} = graft.functions.GraftKernels.bpeSubtokenCount($w, $ref);")
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

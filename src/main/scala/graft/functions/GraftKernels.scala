@@ -36,6 +36,12 @@ object GraftKernels {
     syms
   }
 
+  /** Codegen entry point for BpeSubtokensExpr: subtoken count of `word`
+    * under a PRE-PARSED merge list (held as a codegen reference object —
+    * parsed once per expression instance, not per row). */
+  def bpeSubtokenCount(word: UTF8String, merges: Seq[(String, String)]): Int =
+    bpeSegment(word.toString, merges).length
+
   /** 60-bit md5-prefix hash of every 3-gram shingle of the space-split
     * tokens of `text`. Tokenization matches Spark `split(text, " ")`
     * (trailing empties kept), shingle text matches

@@ -57,10 +57,17 @@ object CurationQueries {
         s"transform(sequence(0, size(ws) - $w), i -> array_join(slice(ws, i + 1, $w), ' '))"))
         .as(Seq("pos", "gram")))
     // a gram is duplicated if it occurs >= 2 times corpus-wide (any doc,
-    // any position — within-doc repeats count, like the reference method)
-    val dupIntervals = grams
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // any position — within-doc repeats count, like the reference method).
+    // groupBy + semi-join back, NOT count().over(partitionBy(gram))
+    // (verdict r4 #3b): the partial aggregate combines map-side, so a hot
+    // gram (stopword 5-grams) ships one pre-counted row per map task
+    // instead of landing its full corpus-wide occurrence stream in a
+    // single window partition; AQE can further split the join's skew.
+    val dupGrams = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+      .select(col("gram"))
+    val dupIntervals = grams
+      .join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + w - 1).cast("long").as("e"))
     // classic island merge: running max of e over preceding rows; a new
@@ -214,10 +221,22 @@ object CurationQueries {
     * tail-token share (rank > 15) in permille; report per-language
     * aggregates.
     *
-    * Scale shape: the vocabulary is sublinear in the corpus (Heaps' law),
-    * so the rank window runs on the small agg output and the rank table
-    * broadcasts back to the token stream; everything else is partial-agg
-    * shuffles. */
+    * Scale shape: the vocabulary is sublinear in the corpus (Heaps' law)
+    * but still ~10^9 tokens at 100 TB — too big for a single-partition
+    * rank window OR a broadcast (verdict r4 #3a). The rank is computed
+    * DISTRIBUTED with the q77 three-stage prefix shape generalized to an
+    * arbitrary sort key: (1) range-partition the vocabulary on the rank
+    * key so each partition holds a contiguous, sampled-balanced key
+    * range; (2) row_number within each materialized partition (the
+    * window keys on the partition id — every window partition IS one
+    * bounded range partition); (3) per-partition counts → exclusive
+    * prefix over ≤ nPartitions rows (metadata-sized) → broadcast
+    * offsets. The rank table then joins back to the token stream on
+    * token — a plain equi-join AQE turns into a broadcast only when the
+    * vocab actually fits. The persist pins the sampled range boundaries
+    * so stages 2 and 3 see the SAME partitioning (RangePartitioner
+    * re-samples per job); the oracle stays the single-window
+    * formulation, so hash equality proves the distributed rank exact. */
   def tokenRankQuality(spark: SparkSession, sfDir: String): DataFrame = {
     // the token stream feeds both the vocabulary agg and the score join —
     // persist so the scan+explode runs once (released via CacheBag)
@@ -225,9 +244,21 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .persist()
     graft.util.CacheBag.register(tok)
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
-    val perDoc = tok.join(broadcast(vocab.select(col("token"), col("rnk"))), Seq("token"))
+    val byRange = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("c").desc, col("token"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    graft.util.CacheBag.register(byRange)
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("c").desc, col("token"))
+    val inPart = byRange.withColumn("rk_in", row_number().over(wIn).cast("long"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = byRange.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off", sum(col("pn")).over(wOff) - col("pn"))
+      .select(col("pid"), col("off"))
+    val vocab = inPart.join(broadcast(offs), Seq("pid"))
+      .select(col("token"), (col("off") + col("rk_in")).as("rnk"))
+    val perDoc = tok.join(vocab, Seq("token"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), sum(col("rnk")).as("sum_rnk"),
         sum(when(col("rnk") > 15, 1L).otherwise(0L)).as("tail"))
@@ -424,12 +455,17 @@ object CurationQueries {
       .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
       .persist()
     graft.util.CacheBag.register(sh)
-    val inter = size(array_intersect(col("x.shd"), col("y.shd"))).cast("long")
     pairs
       .join(sh.as("x"), col("d1") === col("x.doc_id"))
       .join(sh.as("y"), col("d2") === col("y.doc_id"))
-      .withColumn("cont_ab_m", floor(inter * 1000 / size(col("x.shd"))).cast("long"))
-      .withColumn("cont_ba_m", floor(inter * 1000 / size(col("y.shd"))).cast("long"))
+      .select(col("d1"), col("d2"), col("jac_m"),
+        size(array_intersect(col("x.shd"), col("y.shd"))).cast("long").as("inter"),
+        size(col("x.shd")).cast("long").as("sz_a"),
+        size(col("y.shd")).cast("long").as("sz_b"))
+      // integer floor division end to end (FIXTURES §3) — operands are
+      // non-negative, so `div` here ≡ DuckDB's `//` with no IEEE detour
+      .withColumn("cont_ab_m", expr("(inter * 1000) div sz_a"))
+      .withColumn("cont_ba_m", expr("(inter * 1000) div sz_b"))
       .filter(greatest(col("cont_ab_m"), col("cont_ba_m")) >= minContM)
       .select(col("d1"), col("d2"), col("jac_m"), col("cont_ab_m"), col("cont_ba_m"))
       .orderBy(col("d1"), col("d2"))
@@ -503,10 +539,17 @@ object CurationQueries {
     * the per-page winner is a max_by on prefix length (no window); one
     * report agg. */
   def robotsFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val rules = (0 until 20).flatMap { s =>
-      Seq((s"src$s", "/doc/", 1), (s"src$s", s"/doc/${s % 10}", 0))
-    }.toDF("source", "prefix", "allow")
+    // Rules are DERIVED from the corpus's own distinct sources (not a
+    // hard-coded 0-until-20) so a fixture cardinality change can't
+    // silently drop pages out of the inner join; CurationSpec asserts
+    // sum(n_pages) == corpus rows. The distinct is source-cardinality
+    // sized → broadcast-safe.
+    val rules = docs(spark, sfDir).select(col("source")).distinct()
+      .withColumn("sfx", substring(col("source"), 4, 10).cast("int") % 10)
+      .select(col("source"), explode(array(
+        struct(lit("/doc/").as("prefix"), lit(1).as("allow")),
+        struct(concat(lit("/doc/"), col("sfx")).as("prefix"), lit(0).as("allow")))).as("r"))
+      .select(col("source"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
     docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
@@ -726,8 +769,8 @@ object CurationQueries {
     "q116_containment" ->
       (s"WITH ${TextQueries.lshPairsCte} " +
         "SELECT * FROM (SELECT j.d1 AS d1, j.d2 AS d2, j.jac_m AS jac_m, " +
-        "CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / len(m1.shd)) AS BIGINT) AS cont_ab_m, " +
-        "CAST(floor(1000.0 * len(list_intersect(m1.shd, m2.shd)) / len(m2.shd)) AS BIGINT) AS cont_ba_m " +
+        "CAST((len(list_intersect(m1.shd, m2.shd)) * 1000) // len(m1.shd) AS BIGINT) AS cont_ab_m, " +
+        "CAST((len(list_intersect(m1.shd, m2.shd)) * 1000) // len(m2.shd) AS BIGINT) AS cont_ba_m " +
         "FROM j JOIN m m1 ON m1.doc_id = j.d1 JOIN m m2 ON m2.doc_id = j.d2 " +
         s"WHERE j.jac_m >= $ContCandJacM) " +
         s"WHERE greatest(cont_ab_m, cont_ba_m) >= $ContMinM ORDER BY d1, d2"),
@@ -745,10 +788,10 @@ object CurationQueries {
         "CAST((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS dup_pm " +
         "FROM wk GROUP BY tbucket ORDER BY tbucket"),
     "q126_robots_filter" -> {
-      val vals = (0 until 20).flatMap { s =>
-        Seq(s"('src$s', '/doc/', 1)", s"('src$s', '/doc/${s % 10}', 0)")
-      }.mkString(", ")
-      s"WITH r AS (SELECT * FROM (VALUES $vals) AS r(source, prefix, allow)), " +
+      // rules derived from distinct(source), mirroring the Spark side
+      s"WITH srcs AS (SELECT DISTINCT source FROM documents), " +
+        "r AS (SELECT source, '/doc/' AS prefix, 1 AS allow FROM srcs " +
+        "UNION ALL SELECT source, '/doc/' || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR), 0 FROM srcs), " +
         "p AS (SELECT doc_id, source, '/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents), " +
         "m AS (SELECT p.doc_id, p.source, arg_max(r.allow, length(r.prefix)) AS allow " +
         "FROM p JOIN r ON p.source = r.source AND substr(p.path, 1, length(r.prefix)) = r.prefix " +

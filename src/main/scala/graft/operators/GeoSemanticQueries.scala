@@ -76,7 +76,7 @@ object GeoSemanticQueries {
 
   /** Internal: (cell, n_docs, centroid) — the one-shuffle aggregate both
     * q99 and q100 build on. */
-  private def centroids(spark: SparkSession, sfDir: String, level: Int): DataFrame = {
+  private[operators] def centroids(spark: SparkSession, sfDir: String, level: Int): DataFrame = {
     val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
     embCells(spark, sfDir, level)
       .groupBy(col("cell"))
@@ -85,9 +85,16 @@ object GeoSemanticQueries {
         "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n_docs) AS BIGINT)) AS centroid")
   }
 
-  /** q99 — regional semantic centroids. */
+  /** q99 — regional semantic centroids, emitted as one SCALAR row per
+    * (cell, dim): the driver's pandas compare sorts raw column values and
+    * cannot order an array column (r4 hard-signal ERR), so the vector is
+    * posexploded to (cell, n_docs, dim, val). Row count is grid×dims —
+    * still metadata-sized. The array-shaped aggregate stays available to
+    * q100 and the STs via [[centroids]]. */
   def cellCentroids(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame =
-    centroids(spark, sfDir, level).orderBy(col("cell"))
+    centroids(spark, sfDir, level)
+      .selectExpr("cell", "n_docs", "posexplode(centroid) AS (dim, val)")
+      .orderBy(col("cell"), col("dim"))
 
   /** q100 — geo-semantic outliers: top-k per cell by distance from the
     * cell's own centroid (ties → lower vec_id). The centroid side is
@@ -198,7 +205,9 @@ object GeoSemanticQueries {
       .agg(sum(col("n")).as("n_docs"), vecSum(col("sv")).as("sv"))
       .selectExpr("cell", "n_docs",
         "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n_docs) AS BIGINT)) AS centroid")
-      .orderBy(col("cell"))
+      // scalar rows for the driver compare — same contract as q99
+      .selectExpr("cell", "n_docs", "posexplode(centroid) AS (dim, val)")
+      .orderBy(col("cell"), col("dim"))
   }
 
   /** q104 — centroid PYRAMID: regional semantic centroids at every zoom
@@ -222,11 +231,15 @@ object GeoSemanticQueries {
       .collect()
     var cur: Map[Long, (Long, Array[Long])] = base.map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toArray))).toMap
-    val out = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
+    // scalar (level, cell, n_docs, dim, val) rows — driver-comparable
+    val out = Seq.newBuilder[(Int, Long, Long, Int, Long)]
     for (l <- level to 0 by -1) {
       cur.toSeq.sortBy(_._1).foreach { case (c, (n, sv)) =>
-        out += ((l, c, n,
-          sv.toIndexedSeq.map(x => math.floor(x.toDouble / n).toLong)))
+        var i = 0
+        while (i < sv.length) {
+          out += ((l, c, n, i, math.floor(sv(i).toDouble / n).toLong))
+          i += 1
+        }
       }
       if (l > 0) {
         val side = 1L << l
@@ -240,8 +253,8 @@ object GeoSemanticQueries {
         }
       }
     }
-    out.result().toDF("level", "cell", "n_docs", "centroid")
-      .orderBy(col("level"), col("cell"))
+    out.result().toDF("level", "cell", "n_docs", "dim", "val")
+      .orderBy(col("level"), col("cell"), col("dim"))
   }
 
   // ---- DuckDB oracle twins --------------------------------------------------
@@ -263,14 +276,18 @@ object GeoSemanticQueries {
       "FROM s GROUP BY cell)"
 
   def oracle: Map[String, String] = Map(
+    // scalar per-(cell, dim) rows — the driver's pandas sort can't
+    // order array columns, so the s CTE's per-dim rows ARE the output
     "q99_cell_centroids" ->
       (s"WITH ${centroidCtes(Level)} " +
-        "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
+        "SELECT cell, CAST(n AS BIGINT) AS n_docs, CAST(i - 1 AS INT) AS dim, m AS val " +
+        "FROM s ORDER BY cell, dim"),
     // q103's oracle IS the full recompute — incremental maintenance must
     // be invisible in the result (the q75 IVM contract)
     "q103_incremental_centroids" ->
       (s"WITH ${centroidCtes(Level)} " +
-        "SELECT cell, n_docs, centroid FROM c ORDER BY cell"),
+        "SELECT cell, CAST(n AS BIGINT) AS n_docs, CAST(i - 1 AS INT) AS dim, m AS val " +
+        "FROM s ORDER BY cell, dim"),
     // q104's oracle recomputes every level DIRECTLY from the raw
     // coordinates — the rollup must be hierarchy-exact, not approximate
     "q104_centroid_pyramid" -> {
@@ -278,16 +295,15 @@ object GeoSemanticQueries {
         s"j$l AS (SELECT ${Pages.sqlCell("p.ilat", "p.ilon", l)} AS cell, e.qv " +
           "FROM e JOIN pages p ON e.vec_id = p.doc_id), " +
           s"s$l AS (SELECT cell, i, CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m, " +
-          s"count(*) AS n FROM j$l CROSS JOIN range(1, 65) t(i) GROUP BY cell, i), " +
-          s"c$l AS (SELECT cell, CAST(max(n) AS BIGINT) AS n_docs, list(m ORDER BY i) AS centroid " +
-          s"FROM s$l GROUP BY cell)"
+          s"count(*) AS n FROM j$l CROSS JOIN range(1, 65) t(i) GROUP BY cell, i)"
       val ctes = (0 to Level).map(lvl).mkString(", ")
       val sel = (0 to Level)
-        .map(l => s"SELECT CAST($l AS INT) AS level, cell, n_docs, centroid FROM c$l")
+        .map(l => s"SELECT CAST($l AS INT) AS level, cell, CAST(n AS BIGINT) AS n_docs, " +
+          s"CAST(i - 1 AS INT) AS dim, m AS val FROM s$l")
         .mkString(" UNION ALL ")
       s"WITH pages AS (${Pages.oracleCte}), " +
         s"e AS (SELECT vec_id, $sqlQuantE AS qv FROM embeddings), $ctes " +
-        s"SELECT * FROM ($sel) ORDER BY level, cell"
+        s"SELECT * FROM ($sel) ORDER BY level, cell, dim"
     },
     "q100_geo_outliers" ->
       (s"WITH ${centroidCtes(Level)}, " +

@@ -87,8 +87,10 @@ object SimilarityQueries {
     override def outputEncoder: Encoder[Seq[TopPair]] = ExpressionEncoder[Seq[TopPair]]()
   }
 
-  /** groupBy(gid).agg(top-k of (a, b)) -> exploded (gid, rnk, a, b). */
-  private def topKByGroup(df: DataFrame, gid: String, a: Column, b: Column,
+  /** groupBy(gid).agg(top-k of (a, b)) -> exploded (gid, rnk, a, b).
+    * Shared with TextQueries.tfidfPairSim (q97) — same bounded-ranking
+    * discipline for every corpus-scan top-k stage. */
+  private[operators] def topKByGroup(df: DataFrame, gid: String, a: Column, b: Column,
       k: Int): DataFrame = {
     val top = udaf(new TopKAgg(k), Encoders.product[TopPair])
     df.groupBy(col(gid))

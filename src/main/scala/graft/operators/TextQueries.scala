@@ -410,29 +410,46 @@ object TextQueries {
     * docs by the SPARSE weighted dot — sim(a, b) = Σ_t w(a,t)·w(b,t) with
     * q57's integer weight w = tf·1e6 div df. The pair space is generated
     * by the shared-TOKEN equi-join (never an all-pairs product): at scale
-    * the shuffle keys on token, stopword rows carry near-zero weight, and
-    * the query side is the small filtered subset. All-integer (products
-    * ≤ ~1e17), vec_id-tiebroken. */
+    * the shuffle keys on token, and the query side is the small filtered
+    * subset. All-integer (products ≤ ~1e17), vec_id-tiebroken.
+    *
+    * Two scale disciplines (verdict r4 #2):
+    *  - ranking through [[SimilarityQueries.topKByGroup]]'s bounded
+    *    partial top-k aggregate (map-side combinable), never a
+    *    qid-partitioned window holding corpus-scale rows.
+    *  - df-cap pruning (`dfCapPm`): a token appearing in more than
+    *    dfCapPm‰ of the corpus carries near-floor weight yet its posting
+    *    list — the token-join's skew hotspot — is corpus-proportional;
+    *    capping drops it BEFORE the join, bounding every per-token
+    *    candidate list by construction. At web scale a 500‰ cap is the
+    *    production setting; the oracle-gated query runs uncapped
+    *    (dfCapPm = 1000 keeps every token) because the tiny fixture
+    *    grammar (31 tokens, median df ≈ 0.8·n) would degenerate under
+    *    any real cap — the monotone-subsetting law is ST-gated instead. */
   def tfidfPairSim(spark: SparkSession, sfDir: String, topK: Int = 3,
-      nQueries: Int = 20): DataFrame = {
+      nQueries: Int = 20, dfCapPm: Int = 1000): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPm)
     val w = tf.join(dfreq, Seq("token"))
       .select(col("doc_id"), col("token"), expr("tf * 1000000 div df").as("w"))
       .persist()
     graft.util.CacheBag.register(w)
     val q = w.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did"))
-    q.join(w.select(col("doc_id").as("did"), col("token"), col("w")), Seq("token"))
+    val sims = q
+      .join(w.select(col("doc_id").as("did"), col("token"), col("w")), Seq("token"))
       .filter(col("qid") =!= col("did"))
       .groupBy(col("qid"), col("did"))
       .agg(sum(col("qw") * col("w")).as("sim"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= topK)
-      .select(col("qid"), col("rnk"), col("did"), col("sim"))
+    // (-sim, did) lexicographic-smallest ≡ ORDER BY sim DESC, did ASC;
+    // sim ≤ ~1e17 so the negation is overflow-safe
+    SimilarityQueries.topKByGroup(sims, "qid", negate(col("sim")), col("did"), topK)
+      .select(col("qid"), col("rnk"), col("b").as("did"), negate(col("a")).as("sim"))
       .orderBy(col("qid"), col("rnk"))
   }
 

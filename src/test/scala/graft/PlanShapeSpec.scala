@@ -140,7 +140,10 @@ class PlanShapeSpec extends SparkTestBase {
       // q121/q124: the q31/q96 brute scan shape (small query set broadcast
       // against the corpus) with a label/lang filter; ranking is the
       // bounded TopKAgg
-      "q121_hard_negatives", "q124_bitext_mining")
+      "q121_hard_negatives", "q124_bitext_mining",
+      // q97: the df-cap stage cross-joins the ONE-row broadcast corpus
+      // count (the q102 lazy-scalar shape) against the vocabulary agg
+      "q97_tfidf_pairs")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -251,6 +254,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"qid window survived the rewrite:\n${plan.take(2000)}")
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
       s"no partial/final TopKAgg pair:\n${plan.take(2000)}")
+  }
+
+  test("span dedup (q105): gram duplication via partial agg + semi-join, not a gram window") {
+    // verdict r4 #3b: count().over(partitionBy(gram)) ships the full gram
+    // stream with no map-side combine and lands hot grams in one
+    // partition; the rewrite pre-counts (partial agg) and semi-joins back
+    val plan = graft.operators.CurationQueries.spanDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"semi-join back on gram missing:\n${plan.take(2000)}")
+    assert(!plan.contains("windowspecdefinition(gram"),
+      s"gram-partitioned window survived:\n${plan.take(2000)}")
+    graft.util.CacheBag.release()
+  }
+
+  test("token rank quality (q108): vocabulary ranks through a range-partitioned 3-stage rank") {
+    // verdict r4 #3a: a partition-less row_number over the vocabulary is
+    // a single-task sort at 100 TB; the rewrite range-partitions on the
+    // rank key and offsets per-partition row_numbers
+    val plan = graft.operators.CurationQueries.tokenRankQuality(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(c"),
+      s"range-partitioned rank stage missing:\n${plan.take(2000)}")
+    graft.util.CacheBag.release()
+  }
+
+  test("TF-IDF pair sim (q97): bounded top-k agg, no qid window (verdict r4 #2)") {
+    val df = graft.operators.TextQueries.tfidfPairSim(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"qid window survived the rewrite:\n${plan.take(2000)}")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial/final TopKAgg pair:\n${plan.take(2000)}")
+    graft.util.CacheBag.release()
   }
 
   test("SQ8 ANN (q93): surrogate corpus scan feeds the top-k agg, not a qid window") {

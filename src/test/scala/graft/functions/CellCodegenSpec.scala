@@ -60,4 +60,23 @@ class CellCodegenSpec extends SparkTestBase {
     assert(rows.count(_.isNullAt(5)) === 2)
     assert(rows.count(r => !r.isNullAt(5) && r.getSeq[Long](5).nonEmpty) === 2)
   }
+
+  test("bpe_subtokens is NOT CodegenFallback and codegen == kernel on column input") {
+    import graft.functions.expressions._
+    val litS = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    assert(!BpeSubtokensExpr(litS, litS).isInstanceOf[CodegenFallback])
+    GraftFunctions.register(spark)
+    // merges (a,b) then (ab,ab): same-symbol runs exercise the
+    // non-overlapping scan; column-born words defeat constant folding
+    val spec = "a\u0002b\u0003ab\u0002ab"
+    val words = Seq("abab", "ababab", "abc", "ba", "", "aaa")
+    val got = words.toDF("w")
+      .select(col("w"), GraftFunctions.bpe_subtokens(col("w"), lit(spec)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    words.foreach { w =>
+      assert(got(w) === GraftKernels.bpeSegment(w, merges).length,
+        s"bpe_subtokens codegen diverged for '$w'")
+    }
+  }
 }

@@ -336,6 +336,10 @@ class CurationSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === expect)
     assert(got.map(_._3).sum > 0, "fixture must block some pages")
+    // full coverage: the derived rule table must not drop any source —
+    // every corpus page appears in exactly one report row (ADVICE r4)
+    assert(got.map(_._2).sum === srcRows.length.toLong,
+      "robots report lost pages — rule table does not cover every source")
   }
 
   test("q113 BPE trainer reproduces the hand-computed merge sequence") {

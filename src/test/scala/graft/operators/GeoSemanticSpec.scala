@@ -1,22 +1,35 @@
 package graft.operators
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.testutil.SparkTestBase
 
-/** Semantic laws for the geo × embedding fusion operators (q99–q101)
-  * that the DuckDB oracle can't see (it recomputes the same SQL). */
+/** Semantic laws for the geo × embedding fusion operators (q99–q104)
+  * that the DuckDB oracle can't see (it recomputes the same SQL).
+  *
+  * q99/q103/q104 ship scalar (…, dim, val) rows (driver-comparable — the
+  * pandas compare can't sort array columns); the helpers below regroup
+  * them into vectors so the laws still read as vector assertions. */
 class GeoSemanticSpec extends SparkTestBase {
 
+  /** Regroup q99-shaped exploded rows (cell, n_docs, dim, val) into
+    * cell -> (n_docs, centroid vector ordered by dim). */
+  private def centroidMap(rows: Array[Row]): Map[Long, (Long, Seq[Long])] =
+    rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+      c -> ((rs.head.getLong(1), rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq))
+    }
+
   test("q99 centroids: doc counts conserve and a centroid is a true elementwise mean") {
-    val cents = GeoSemanticQueries.cellCentroids(spark, sf0001).collect()
+    val cents = centroidMap(GeoSemanticQueries.cellCentroids(spark, sf0001).collect())
     assert(cents.nonEmpty)
     // conservation: every embedded-and-located doc lands in exactly one cell
     val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
-    assert(cents.map(_.getLong(1)).sum === total)
+    assert(cents.values.map(_._1).sum === total)
+    // every cell's vector is complete (64 dims, one row each)
+    cents.values.foreach { case (_, v) => assert(v.length === 64) }
     // recompute one cell's centroid by hand from the raw tables
-    val target = cents.maxBy(_.getLong(1))
-    val cell = target.getLong(0)
+    val (cell, (nDocs, got)) = cents.maxBy(_._2._1)
     val level = GeoSemanticQueries.Level
     val p = graft.sources.Pages.fromDocuments(spark, sf0001)
       .select(col("doc_id"),
@@ -26,19 +39,19 @@ class GeoSemanticSpec extends SparkTestBase {
       .join(p, col("vec_id") === col("doc_id"))
       .select(transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
       .collect().map(_.getSeq[Long](0))
-    assert(vecs.length.toLong === target.getLong(1))
+    assert(vecs.length.toLong === nDocs)
     val want = (0 until 64).map { i =>
       math.floor(vecs.map(_(i)).sum.toDouble / vecs.length).toLong
     }
-    assert(target.getSeq[Long](2) === want, s"centroid of cell $cell diverged")
+    assert(got === want, s"centroid of cell $cell diverged")
   }
 
   test("q100 outliers: rank-1 distance is the cell max; members beat non-members") {
     val outs = GeoSemanticQueries.geoOutliers(spark, sf0001).collect()
       .groupBy(_.getLong(0))
     // brute recompute: per-cell distances of every member to the centroid
-    val cents = GeoSemanticQueries.cellCentroids(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val cents = centroidMap(GeoSemanticQueries.cellCentroids(spark, sf0001).collect())
+      .map { case (c, (_, v)) => c -> v }
     val level = GeoSemanticQueries.Level
     val p = graft.sources.Pages.fromDocuments(spark, sf0001)
       .select(col("doc_id"),
@@ -65,8 +78,8 @@ class GeoSemanticSpec extends SparkTestBase {
     val drift = GeoSemanticQueries.semanticDrift(spark, sf0001).collect()
     assert(drift.nonEmpty)
     // era counts partition the cell population (for cells with both eras)
-    val cellTotals = GeoSemanticQueries.cellCentroids(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellTotals = centroidMap(GeoSemanticQueries.cellCentroids(spark, sf0001).collect())
+      .map { case (c, (n, _)) => c -> n }
     drift.foreach { r =>
       assert(r.getLong(1) > 0 && r.getLong(2) > 0)
       assert(r.getLong(1) + r.getLong(2) === cellTotals(r.getLong(0)),
@@ -110,27 +123,28 @@ class GeoSemanticSpec extends SparkTestBase {
   }
 
   test("q104 pyramid: counts conserve per level; level-0 centroid is the global mean") {
+    // rows: (level, cell, n_docs, dim, val)
     val rows = GeoSemanticQueries.centroidPyramid(spark, sf0001).collect()
     val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
     val byLevel = rows.groupBy(_.getInt(0))
     assert(byLevel.keySet === Set(0, 1, 2))
-    // every level partitions the full population
+    // every level partitions the full population (count each cell once, at dim 0)
     byLevel.foreach { case (l, rs) =>
-      assert(rs.map(_.getLong(2)).sum === total, s"level $l lost docs")
+      assert(rs.filter(_.getInt(3) == 0).map(_.getLong(2)).sum === total, s"level $l lost docs")
     }
     // level 0 = one cell holding everything; its centroid is the global mean
     val l0 = byLevel(0)
-    assert(l0.length === 1 && l0.head.getLong(1) === 0L && l0.head.getLong(2) === total)
+    assert(l0.map(_.getLong(1)).distinct.toSeq === Seq(0L) && l0.head.getLong(2) === total)
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
       .collect().map(_.getSeq[Long](0))
     val want = (0 until 64).map(i => math.floor(vecs.map(_(i)).sum.toDouble / vecs.length).toLong)
-    assert(l0.head.getSeq[Long](3) === want)
+    assert(l0.sortBy(_.getInt(3)).map(_.getLong(4)).toSeq === want)
     // pyramid is consistent with the single-level operator at the finest level
     val fine = GeoSemanticQueries.cellCentroids(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
-    val lvl2 = byLevel(2).sortBy(_.getLong(1))
-      .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val lvl2 = byLevel(2).sortBy(r => (r.getLong(1), r.getInt(3)))
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSeq
     assert(lvl2 === fine)
   }
 

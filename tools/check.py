@@ -67,6 +67,16 @@ for name, sql in sorted(oracle.items()):
     if kind_mismatch:
         print(f"[FAIL] {name}: dtype kind mismatch (oracle vs spark): {kind_mismatch}")
         fails += 1; continue
+    # Driver parity: the driver compares by df.sort_values(by=all_columns)
+    # over the RAW frames — an array/struct/object-of-ndarray column throws
+    # "unhashable type" there and scores ERR even when values match
+    # (r4: q99/q103/q104). Replay that exact call so the class fails HERE.
+    try:
+        want[wc].sort_values(by=wc)
+        got[gc].sort_values(by=gc)
+    except Exception as e:
+        print(f"[FAIL] {name}: driver-incomparable output (sort_values): {e}")
+        fails += 1; continue
     w = want[wc].values.tolist()
     g = got[wc].values.tolist()
     wn = sorted([tuple(norm(v) for v in row) for row in w])
