@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusQueries, CurationQueries, GeoQueries, GeoSemanticQueries, GeoStatsQueries, GraphQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{CorpusQueries, CurationQueries, GeoQueries, GeoSemanticQueries, GeoStatsQueries, GraphQueries, IndexStoreQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -158,6 +158,8 @@ object SparkEntry {
     "q124_bitext_mining" -> ((s, d) => SimilarityQueries.bitextMining(s, d)),
     "q125_footprint_buffer" -> ((s, d) => GeoStatsQueries.footprintBuffer(s, d)),
     "q126_robots_filter" -> ((s, d) => CurationQueries.robotsFilter(s, d)),
+    "q127_served_ann" -> ((s, d) => IndexStoreQueries.servedCosineTopK(s, d)),
+    "q128_index_delta" -> ((s, d) => IndexStoreQueries.indexDeltaAudit(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -417,5 +419,6 @@ object SparkEntry {
     },
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ CorpusQueries.oracle ++
     SimilarityQueries.oracle ++ GeoSemanticQueries.oracle ++ CurationQueries.oracle ++
-    GeoStatsQueries.oracle ++ Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle
+    GeoStatsQueries.oracle ++ Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle ++
+    IndexStoreQueries.oracle
 }

@@ -210,42 +210,63 @@ object SimilarityQueries {
     * qid-partitioned window over probed lists. Fully mirrored by the
     * DuckDB oracle (iterated-CTE k-means like q46 + the q96 cosine);
     * recall@5 vs the exact q96 is additionally ST-gated. */
-  def cosineIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    // e feeds k-means, assignment AND the probes: persist so quantization
-    // + normalization run once per vector (the q46 pattern)
-    val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv0"))
+  /** (vec_id, qv0 quantized, nn = |qv0|², qv integer-normalized) — the
+    * shared vector frame of the cosine family (q96/q98/q127/q128).
+    * Zero-norm vectors have no cosine and are excluded (q96 rule). */
+  private[operators] def normalizedEmb(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv0"))
       .withColumn("nn", expr("aggregate(qv0, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
-      .filter(col("nn") > 0) // zero-norm vectors have no cosine (q96 rule)
+      .filter(col("nn") > 0)
       .withColumn("qv", expr(
         s"transform(qv0, x -> CAST(floor(CAST(x AS DOUBLE) * $NormScale / sqrt(CAST(nn AS DOUBLE))) AS BIGINT))"))
-      .persist()
-    val c = ivfCentroidCount(emb(spark, sfDir).count())
-    val cents = kmeansCentroids(e.select(col("vec_id"), col("qv")), c, IvfIters)
-    // inverted-list assignment on the normalized vectors; carry the
-    // ORIGINAL quantized vector + norm through for the exact cosine
-    val assigned = e.crossJoin(broadcast(cents))
+
+  /** Inverted-list assignment: nearest stored centroid per vector (argmin
+    * AGGREGATION, map-side combinable; (cd, cid) tiebreak), carrying the
+    * ORIGINAL quantized vector + norm through for the exact cosine.
+    * Per-vector independent given fixed centroids — the property that
+    * makes the q128 incremental index append exact. */
+  private[operators] def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("cd", l2(col("qv"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cid"), col("qv0"), col("nn")), struct(col("cd"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.qv0").as("qv0"), col("best.nn").as("nn"))
+
+  /** The IVF cosine SERVING stage shared by q98 (train-in-query) and q127
+    * (served from the persisted index): probe the IvfProbes nearest
+    * centroids per query, score candidates from the probed inverted
+    * lists with q96's exact integer cosine, rank through the bounded
+    * TopKAgg. `q` = (qid, qnorm, qvec, nq); `lists` = (cid, vec_id, qv0, nn). */
+  private[operators] def cosineProbeRank(q: DataFrame, cents: DataFrame,
+      lists: DataFrame, k: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))
-    val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("qv").as("qnorm"),
-        col("qv0").as("qvec"), col("nn").as("nq"))
+    val probes = q
       .crossJoin(broadcast(cents))
       .withColumn("cd", l2(col("qnorm"), col("cv")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= IvfProbes)
       .select(col("qid"), col("qvec"), col("nq"), col("cid"))
-    val scored = probes.join(assigned, Seq("cid"))
+    val scored = probes.join(lists, Seq("cid"))
       .withColumn("dot", expr(
         "aggregate(zip_with(qvec, qv0, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("cos_m", expr(
         "CAST(floor(CAST(dot * abs(dot) AS DOUBLE) / CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT)"))
-    val out = topKByGroup(scored, "qid", -col("cos_m"), col("vec_id"), k)
+    topKByGroup(scored, "qid", -col("cos_m"), col("vec_id"), k)
       .select(col("qid"), col("rnk"), col("b").as("vec_id"), (-col("a")).as("cos_m"))
       .orderBy(col("qid"), col("rnk"))
-      .persist()
+  }
+
+  def cosineIvfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // e feeds k-means, assignment AND the probes: persist so quantization
+    // + normalization run once per vector (the q46 pattern)
+    val e = normalizedEmb(spark, sfDir).persist()
+    val c = ivfCentroidCount(emb(spark, sfDir).count())
+    val cents = kmeansCentroids(e.select(col("vec_id"), col("qv")), c, IvfIters)
+    val assigned = assignToCentroids(e, cents)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qnorm"),
+        col("qv0").as("qvec"), col("nn").as("nq"))
+    val out = cosineProbeRank(q, cents, assigned, k).persist()
     out.count() // materialize the tiny result, then drop the big cache
     e.unpersist(false)
     graft.util.CacheBag.register(out)

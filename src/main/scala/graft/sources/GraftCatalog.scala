@@ -34,10 +34,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * <ts>` (latest main-origin snapshot at or before the instant) — both
   * read-only by construction.
   *
-  * DDL (create/alter/drop/rename) stays refused: table lifecycle belongs
-  * to the ingest layer, which owns layout, lineage, and retention — a
-  * SQL DROP that bypassed expire/rollback would orphan snapshots
-  * silently. */
+  * DDL: `CREATE TABLE graft.t (...)` commits an empty snapshot carrying
+  * the declared schema, so the table is immediately INSERT-able through
+  * the DSv2 write path (the schema contract is enforced against the
+  * committed DDL); `CREATE TABLE ... AS SELECT` composes create + the
+  * append writer. Partition TRANSFORMS are refused — the engine owns the
+  * (p_cell, p_date) layout and derives it deterministically in the
+  * writer; an explicit transform would bypass that layout.
+  * Destructive/shape DDL (alter/drop/rename) stays refused: retention
+  * belongs to the ingest layer — a SQL DROP that bypassed
+  * expire/rollback would orphan snapshots silently (`CALL
+  * graft.system.expire_snapshots` is the sanctioned path). */
 class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -151,9 +158,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "IngestJob/SnapshotTable (layout, lineage, retention). " +
         "SQL INSERT INTO and MERGE INTO are supported; see GraftCatalog docs.")
 
+  /** CREATE TABLE: an empty snapshot-1 commit carrying the declared
+    * schema (r4 verdict "what's missing" #3 — the last refused verb a
+    * SQL user hit). Properties are accepted-and-ignored (Spark always
+    * passes provider/owner); partition transforms are refused, see the
+    * class doc. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft catalog refuses PARTITIONED BY: the writer derives the " +
+          "(p_cell, p_date) layout deterministically from the row data")
+    val root = rootOf(ident)
+    if (SnapshotTable.currentSeq(root).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (Seq(catalogName) ++ ident.namespace() :+ ident.name()).mkString("."))
+    // committed DDL mirrors what the append writer will record: p_date is
+    // derived (never in the DDL); geo-bearing schemas get the writer's
+    // trailing p_cell layout column so the first INSERT's schema-contract
+    // check sees its own shape
+    val base = StructType(schema.fields.filterNot(_.name == "p_date"))
+    val ddlStruct =
+      if (Seq("ilat", "ilon", "ts_sec").forall(base.fieldNames.contains) &&
+          !base.fieldNames.contains("p_cell"))
+        base.add("p_cell", org.apache.spark.sql.types.LongType, nullable = false)
+      else base
+    SnapshotTable.commitSnapshot(root,
+      SnapshotTable.Snapshot(1, 1, IndexedSeq.empty, ddlStruct.toDDL))
+    // return the DDL shape (no surfaced p_date): CTAS resolves its write
+    // against THIS table's columns, and the query output has no p_date —
+    // subsequent loadTable reads surface p_date as usual
+    new GraftTable(root, ddlStruct, SnapshotTable.currentSnapshot(root))
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")

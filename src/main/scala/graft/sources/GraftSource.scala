@@ -224,10 +224,15 @@ private[sources] object GraftTableWriter {
   def append(data: org.apache.spark.sql.DataFrame, root: String,
       overwrite: Boolean): Unit = {
     val spark = data.sparkSession
-    require(Seq("ilat", "ilon", "ts_sec").forall(data.columns.contains),
-      "graft writes need ilat/ilon/ts_sec columns (manifest stats)")
-    val withParts = data
-      .withColumn("p_cell", Pages.cellCol(col("ilat"), col("ilon"), 2))
+    // Geo-bearing frames get the full (p_cell, p_date) layout + manifest
+    // stats; frames WITHOUT the ilat/ilon/ts_sec trio (generic SQL
+    // CREATE TABLE + INSERT) degrade to a single pc=0 layout cell with
+    // WIDE-OPEN stats — pruning keeps everything (never wrongly drops),
+    // and geo pushdowns can't exist because the columns don't.
+    val hasGeo = Seq("ilat", "ilon", "ts_sec").forall(data.columns.contains)
+    val withParts = (
+      if (hasGeo) data.withColumn("p_cell", Pages.cellCol(col("ilat"), col("ilon"), 2))
+      else data)
       // null warc_ts degrades to a named partition, never a null dir key
       .withColumn("p_date",
         if (data.columns.contains("warc_ts"))
@@ -242,8 +247,15 @@ private[sources] object GraftTableWriter {
     // contents wholly and records the new frame's DDL at the table's
     // current version.
     val base = SnapshotTable.currentSnapshot(root)
+    // contract compares names/types/order, NOT nullability: a NOT NULL
+    // frame is a valid append into a nullable column (SQL CREATE TABLE
+    // declares nullable; Spark's output resolver enforces the reverse
+    // direction at analysis)
+    def normDdl(ddl: String): String = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(_.copy(nullable = true))).toDDL
     base.filter(_.schemaDdl.nonEmpty).foreach { b =>
-      if (!overwrite && writtenDdl != b.schemaDdl)
+      if (!overwrite && normDdl(writtenDdl) != normDdl(b.schemaDdl))
         throw new IllegalArgumentException(
           s"append schema mismatch for $root:\n  table: ${b.schemaDdl}\n  frame: $writtenDdl\n" +
             "append frames must match the recorded table schema (use overwrite to replace it)")
@@ -252,7 +264,7 @@ private[sources] object GraftTableWriter {
     val ddl = if (overwrite) writtenDdl else base.map(_.schemaDdl).filter(_.nonEmpty)
       .getOrElse(writtenDdl)
     val dir = s"$root/data/insert-${java.util.UUID.randomUUID().toString.take(8)}"
-    withParts.withColumn("pc", col("p_cell"))
+    withParts.withColumn("pc", if (hasGeo) col("p_cell") else lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("pc", "p_date")
       .parquet(dir)
@@ -264,22 +276,37 @@ private[sources] object GraftTableWriter {
     // is re-derived by the same deterministic expression), sidestepping
     // partition-column type inference on the pc=/p_date= dir keys.
     val readBack = spark.read.parquet(dir)
-    val entries = readBack
-      .withColumn("p_date",
-        if (readBack.columns.contains("warc_ts"))
-          coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("unknown"))
-        else lit("all"))
-      .groupBy(col("p_cell"), col("p_date"))
-      .agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
-        min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec")))
-      .collect()
-      .map { r =>
-        val (pc, d) = (r.getLong(0), r.getString(1))
-        SnapshotTable.PartitionEntry(pc, d,
-          s"$dir/pc=$pc/p_date=$d", r.getLong(2),
-          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
-          r.getLong(7), r.getLong(8))
-      }.toIndexedSeq.sortBy(e => (e.pCell, e.pDate))
+    val rederivedDate =
+      if (readBack.columns.contains("warc_ts"))
+        coalesce(date_format(col("warc_ts"), "yyyy-MM-dd"), lit("unknown"))
+      else lit("all")
+    val entries = (
+      if (hasGeo)
+        readBack
+          .withColumn("p_date", rederivedDate)
+          .groupBy(col("p_cell"), col("p_date"))
+          .agg(count(lit(1)), min(col("ilat")), max(col("ilat")),
+            min(col("ilon")), max(col("ilon")), min(col("ts_sec")), max(col("ts_sec")))
+          .collect()
+          .map { r =>
+            val (pc, d) = (r.getLong(0), r.getString(1))
+            SnapshotTable.PartitionEntry(pc, d,
+              s"$dir/pc=$pc/p_date=$d", r.getLong(2),
+              r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+              r.getLong(7), r.getLong(8))
+          }
+      else
+        readBack
+          .withColumn("p_date", rederivedDate)
+          .groupBy(col("p_date")).agg(count(lit(1)))
+          .collect()
+          .map { r =>
+            val d = r.getString(0)
+            SnapshotTable.PartitionEntry(0L, d, s"$dir/pc=0/p_date=$d", r.getLong(1),
+              Int.MinValue, Int.MaxValue, Int.MinValue, Int.MaxValue,
+              Long.MinValue, Long.MaxValue)
+          }
+      ).toIndexedSeq.sortBy(e => (e.pCell, e.pDate))
     SnapshotTable.commitDeltaWithRetry(root)(
       entries,
       removeKey = if (overwrite) _ => true else _ => false,

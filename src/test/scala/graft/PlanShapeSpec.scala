@@ -143,7 +143,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q121_hard_negatives", "q124_bitext_mining",
       // q97: the df-cap stage cross-joins the ONE-row broadcast corpus
       // count (the q102 lazy-scalar shape) against the vocabulary agg
-      "q97_tfidf_pairs")
+      "q97_tfidf_pairs",
+      // q127/q128: probe/assignment cross-join the BROADCAST sqrt(n)
+      // stored-centroid artifact against queries/delta rows — the q46/q98
+      // coarse-quantizer shape, served from the persisted index
+      "q127_served_ann", "q128_index_delta")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -201,6 +201,52 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("refuses DDL"))
   }
 
+  test("CREATE TABLE commits an empty schema-bearing snapshot; INSERT then read-back exact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ddl-wh").toString
+    val s = spark.newSession()
+    try {
+      s.conf.set("spark.sql.catalog.gddl", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gddl.warehouse", wh)
+      s.sql("CREATE TABLE gddl.t1 (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      // empty but real: snapshot 1 exists, SELECT sees zero rows
+      assert(SnapshotTable.currentSeq(s"$wh/t1") === Some(1L))
+      assert(s.sql("SELECT * FROM gddl.t1").count() === 0L)
+      // duplicate create refused; IF NOT EXISTS is silent
+      intercept[Exception](s.sql("CREATE TABLE gddl.t1 (x INT)"))
+      s.sql("CREATE TABLE IF NOT EXISTS gddl.t1 (x INT)")
+      // the committed DDL is the schema contract the writer enforces;
+      // p_date is a surfaced layout column (every graft table has it), so
+      // INSERT presents it by position — the writer re-derives it
+      s.range(3).selectExpr("id AS doc_id", "'en' AS lang", "id * 10 AS n_chars",
+          "'all' AS p_date")
+        .createOrReplaceTempView("ddl_src")
+      s.sql("INSERT INTO gddl.t1 SELECT * FROM ddl_src")
+      assert(SnapshotTable.snapshotSeqs(s"$wh/t1").size === 2)
+      val got = s.sql("SELECT doc_id, lang, n_chars FROM gddl.t1 ORDER BY doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got === Seq(Seq(0L, "en", 0L), Seq(1L, "en", 10L), Seq(2L, "en", 20L)))
+      // partition transforms refused — the writer owns the layout
+      val e = intercept[Exception](
+        s.sql("CREATE TABLE gddl.t2 (a BIGINT) PARTITIONED BY (a)"))
+      assert(e.getMessage.contains("PARTITIONED BY"))
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(wh))
+  }
+
+  test("CREATE TABLE AS SELECT composes create + the append writer, row-exact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctas-wh").toString
+    val s = spark.newSession()
+    try {
+      s.conf.set("spark.sql.catalog.gctas", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gctas.warehouse", wh)
+      s.range(5).selectExpr("id AS k", "id % 2 AS parity")
+        .createOrReplaceTempView("ctas_src")
+      s.sql("CREATE TABLE gctas.derived AS SELECT * FROM ctas_src")
+      val got = s.sql("SELECT k, parity FROM gctas.derived ORDER BY k")
+        .collect().map(_.toSeq).toSeq
+      assert(got === (0 until 5).map(i => Seq(i.toLong, (i % 2).toLong)))
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(wh))
+  }
+
   private def pageRows = Pages.fromDocuments(spark, sf0001)
     .select("doc_id", "url", "warc_ts", "ts_sec", "text", "lang", "source",
       "n_chars", "ilat", "ilon")
