@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CorpusQueries, CurationQueries, GeoQueries, GeoSemanticQueries, GeoStatsQueries, GraphQueries, IndexStoreQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
+import graft.operators.{ClassifierQueries, CorpusQueries, CurationQueries, GeoQueries, GeoSemanticQueries, GeoStatsQueries, GraphQueries, IndexStoreQueries, MultiModal, RelationalQueries, SimilarityQueries, TextQueries, Tiling}
 import graft.sources.{Footprints, Pages}
 
 /** Driver contract — see SURVEY.md §7 + FIXTURES.md.
@@ -160,6 +160,12 @@ object SparkEntry {
     "q126_robots_filter" -> ((s, d) => CurationQueries.robotsFilter(s, d)),
     "q127_served_ann" -> ((s, d) => IndexStoreQueries.servedCosineTopK(s, d)),
     "q128_index_delta" -> ((s, d) => IndexStoreQueries.indexDeltaAudit(s, d)),
+    "q129_idw_surface" -> ((s, d) => GeoStatsQueries.idwSurface(s, d)),
+    "q130_ring_decay" -> ((s, d) => GeoStatsQueries.ringDecay(s, d)),
+    "q131_trajectory" -> ((s, d) => GeoStatsQueries.crawlerTrajectory(s, d)),
+    "q132_nb_confusion" -> ((s, d) => ClassifierQueries.nbConfusion(s, d)),
+    "q133_packing_balance" -> ((s, d) => ClassifierQueries.packingBalance(s, d)),
+    "q134_areal_interp" -> ((s, d) => GeoStatsQueries.arealInterpolation(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -420,5 +426,5 @@ object SparkEntry {
   ) ++ RelationalQueries.oracle ++ TextQueries.oracle ++ CorpusQueries.oracle ++
     SimilarityQueries.oracle ++ GeoSemanticQueries.oracle ++ CurationQueries.oracle ++
     GeoStatsQueries.oracle ++ Tiling.oracle ++ GraphQueries.oracle ++ MultiModal.oracle ++
-    IndexStoreQueries.oracle
+    IndexStoreQueries.oracle ++ ClassifierQueries.oracle
 }

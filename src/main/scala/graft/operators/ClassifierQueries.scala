@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Pages
+
+/** Trained text-classification + corpus-layout operators (round-5 wave):
+  * the fastText-style pipeline step every corpus curation stack runs —
+  * train a cheap linear classifier on a labeled split, score the rest —
+  * plus the balanced sequence-packing audit.
+  *
+  * Determinism (FIXTURES §3): the classifier is a LOG-FREE integer
+  * surrogate of multinomial Naive Bayes — per-(token, class) Laplace
+  * likelihoods scaled to permicro integers and summed (not multiplied),
+  * so both engines replay the identical integer arithmetic and the
+  * argmax tiebreak is explicit ((score desc, lang asc)). The surrogate
+  * keeps NB's structure (per-class token evidence + unseen-token
+  * smoothing) with none of IEEE log's cross-engine risk. */
+object ClassifierQueries {
+
+  private def docs(spark: SparkSession, sfDir: String) =
+    Pages.fromDocuments(spark, sfDir)
+
+  // -------------------------------------------------------------------------
+  // q132 — Naive-Bayes-surrogate language classifier (train/serve split)
+  // -------------------------------------------------------------------------
+
+  /** q132 — train on even doc_ids (label = lang), score odd doc_ids,
+    * report the confusion matrix (true_lang, pred_lang, n_docs).
+    *
+    *  - model: w(token, l) = (cnt(token, l) + 1)·1e6 div (cnt_l + V)
+    *    (Laplace; V = train vocabulary size, cnt_l = class token mass)
+    *  - score(doc, l) = Σ_matched w + (n_tok − n_matched)·b_l where
+    *    b_l = 1e6 div (cnt_l + V) is the unseen-token smoothing mass
+    *  - prediction = argmax_l score, ties to the lexicographically
+    *    smaller lang.
+    *
+    * Scale shape: the model is one (token, lang)-keyed partial agg
+    * (vocab × nLangs rows — Heaps-sublinear); scoring is a token
+    * equi-join (AQE broadcasts when the model fits, shuffles otherwise)
+    * + a (doc, lang) partial agg; the argmax window partitions per doc
+    * over ≤ nLangs rows — bounded by construction; the confusion agg is
+    * nLangs². No corpus-wide window anywhere. */
+  def nbConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .persist()
+    graft.util.CacheBag.register(tok)
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    // per-class token mass + vocabulary size: nLangs + 1 tiny rows
+    val classMass = train.groupBy(col("lang")).agg(count(lit(1)).as("cnt_l"))
+    val vSize = train.agg(countDistinct(col("token")).as("v"))
+    val denom = classMass.crossJoin(broadcast(vSize))
+      .select(col("lang").as("ml"), (col("cnt_l") + col("v")).as("den"))
+    val model = train.groupBy(col("token"), col("lang")).agg(count(lit(1)).as("c"))
+      .join(broadcast(denom), col("lang") === col("ml"))
+      .select(col("token"), col("lang").as("ml"),
+        expr("(c + 1) * 1000000 div den").as("w"))
+    val test = tok.filter(col("doc_id") % 2 === 1)
+    val matched = test
+      .join(model, Seq("token"))
+      .groupBy(col("doc_id"), col("ml"))
+      .agg(sum(col("w")).as("sum_w"), count(lit(1)).as("n_matched"))
+      .select(col("doc_id").as("m_doc"), col("ml").as("m_ml"),
+        col("sum_w"), col("n_matched"))
+    val nTok = test.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), min(col("lang")).as("true_lang"))
+    // every (doc, lang) pair scores — langs with zero matched tokens get
+    // the pure smoothing mass
+    val scored = nTok
+      .crossJoin(broadcast(denom))
+      .join(matched, col("doc_id") === col("m_doc") && col("ml") === col("m_ml"), "left")
+      .select(col("doc_id"), col("true_lang"), col("ml"),
+        (coalesce(col("sum_w"), lit(0L)) +
+          (col("n_tok") - coalesce(col("n_matched"), lit(0L))) *
+            expr("1000000 div den")).as("score"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("ml"))
+    scored
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("ml").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q133 — balanced sequence-packing audit (round-robin by length rank)
+  // -------------------------------------------------------------------------
+
+  final val PackBins = 16
+
+  /** q133 — deterministic balanced packing: rank documents by
+    * (n_tok desc, doc_id) with the DISTRIBUTED rank ([[Ranks]]) and deal
+    * them round-robin into [[PackBins]] bins (longest-first round-robin —
+    * the classic greedy balance guarantee); report per-bin document
+    * count, token mass, and the cross-bin spread in permille of the
+    * largest bin. The audit a training-data layout runs before writing
+    * fixed-budget shards: a spread near 0 means no straggler shard.
+    *
+    * Scale shape: the rank is the q77 3-stage prefix (range partition +
+    * bounded windows + metadata offsets — never a single-task sort); the
+    * bin assignment is a zero-shuffle projection; per-bin stats are one
+    * partial agg to PackBins rows; the spread window runs over PackBins
+    * rows. */
+  def packingBalance(spark: SparkSession, sfDir: String, bins: Int = PackBins): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ranked = Ranks.distributed(d, col("n_tok").desc, col("doc_id"))
+    val perBin = ranked
+      .withColumn("bin", (col("rnk") - 1) % bins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"))
+    val wAll = Window.partitionBy() // PackBins rows — metadata-sized
+    perBin
+      .withColumn("mx", max(col("sum_tok")).over(wAll))
+      .withColumn("mn", min(col("sum_tok")).over(wAll))
+      .withColumn("spread_pm", expr("(mx - mn) * 1000 div mx"))
+      .select(col("bin"), col("n_docs"), col("sum_tok"), col("max_tok"), col("spread_pm"))
+      .orderBy(col("bin"))
+  }
+
+  // ---- DuckDB oracle twins --------------------------------------------------
+
+  def oracle: Map[String, String] = Map(
+    "q132_nb_confusion" ->
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "train AS (SELECT * FROM tok WHERE doc_id % 2 = 0), " +
+        "test AS (SELECT * FROM tok WHERE doc_id % 2 = 1), " +
+        "cm AS (SELECT lang, count(*) AS cnt_l FROM train GROUP BY lang), " +
+        "v AS (SELECT count(DISTINCT token) AS v FROM train), " +
+        "den AS (SELECT lang AS ml, cnt_l + (SELECT v FROM v) AS den FROM cm), " +
+        "model AS (SELECT t.token, t.lang AS ml, CAST((count(*) + 1) * 1000000 // d.den AS BIGINT) AS w " +
+        "FROM train t JOIN den d ON t.lang = d.ml GROUP BY t.token, t.lang, d.den), " +
+        "m AS (SELECT te.doc_id, mo.ml, CAST(sum(mo.w) AS BIGINT) AS sum_w, count(*) AS n_matched " +
+        "FROM test te JOIN model mo ON te.token = mo.token GROUP BY te.doc_id, mo.ml), " +
+        "nt AS (SELECT doc_id, count(*) AS n_tok, min(lang) AS true_lang FROM test GROUP BY doc_id), " +
+        "sc AS (SELECT nt.doc_id, nt.true_lang, d.ml, " +
+        "coalesce(m.sum_w, 0) + (nt.n_tok - coalesce(m.n_matched, 0)) * (1000000 // d.den) AS score " +
+        "FROM nt CROSS JOIN den d LEFT JOIN m ON m.doc_id = nt.doc_id AND m.ml = d.ml), " +
+        "p AS (SELECT doc_id, true_lang, ml, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, ml) AS rn FROM sc) " +
+        "SELECT true_lang, ml AS pred_lang, count(*) AS n_docs FROM p WHERE rn = 1 " +
+        "GROUP BY true_lang, ml ORDER BY true_lang, pred_lang"),
+    "q133_packing_balance" ->
+      (s"WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk FROM d), " +
+        s"pb AS (SELECT (rnk - 1) % $PackBins AS bin, count(*) AS n_docs, " +
+        "CAST(sum(n_tok) AS BIGINT) AS sum_tok, CAST(max(n_tok) AS BIGINT) AS max_tok FROM r GROUP BY 1) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_docs, sum_tok, max_tok, " +
+        "CAST((max(sum_tok) OVER () - min(sum_tok) OVER ()) * 1000 // max(sum_tok) OVER () AS BIGINT) AS spread_pm " +
+        "FROM pb ORDER BY bin"),
+  )
+}

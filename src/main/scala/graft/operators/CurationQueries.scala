@@ -244,20 +244,10 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .persist()
     graft.util.CacheBag.register(tok)
-    val byRange = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .repartitionByRange(col("c").desc, col("token"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    graft.util.CacheBag.register(byRange)
-    val wIn = Window.partitionBy(col("pid")).orderBy(col("c").desc, col("token"))
-    val inPart = byRange.withColumn("rk_in", row_number().over(wIn).cast("long"))
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = byRange.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-      .withColumn("off", sum(col("pn")).over(wOff) - col("pn"))
-      .select(col("pid"), col("off"))
-    val vocab = inPart.join(broadcast(offs), Seq("pid"))
-      .select(col("token"), (col("off") + col("rk_in")).as("rnk"))
+    val vocab = Ranks.distributed(
+      tok.groupBy(col("token")).agg(count(lit(1)).as("c")),
+      col("c").desc, col("token"))
+      .select(col("token"), col("rnk"))
     val perDoc = tok.join(vocab, Seq("token"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"), sum(col("rnk")).as("sum_rnk"),

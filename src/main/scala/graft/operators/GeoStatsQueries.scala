@@ -313,9 +313,253 @@ object GeoStatsQueries {
       .orderBy(col("fp_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q129 — IDW/kernel-weighted VALUE surface (interpolation, not density)
+  // -------------------------------------------------------------------------
+
+  /** q129 — kernel-weighted mean surface: per target cell, the weighted
+    * integer mean of the per-cell mean page SIZE (n_chars) over the 3×3
+    * neighborhood, weights [[1 2 1][2 4 2][1 2 1]] — discrete
+    * inverse-distance interpolation of a VALUE field (q111 smooths
+    * density; this smooths a measurement, the raster-algebra "focal
+    * mean"). est = Σ w·sum_chars div Σ w·n over occupied neighbors —
+    * numerator/denominator aggregated separately so the result is the
+    * true weighted mean of raw values, not a mean of means.
+    *
+    * Scale shape: exactly q111's — one partial-agg corpus shuffle to the
+    * ≤4^L per-cell (n, sum) frame, a 9-row broadcast scatter, one
+    * grid-sized agg. */
+  def idwSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << KdeLevel
+    val occ = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"), col("n_chars"))
+      .groupBy(col("cy"), col("cx"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    val offsets = Seq(
+      (-1L, -1L, 1L), (-1L, 0L, 2L), (-1L, 1L, 1L),
+      (0L, -1L, 2L), (0L, 0L, 4L), (0L, 1L, 2L),
+      (1L, -1L, 1L), (1L, 0L, 2L), (1L, 1L, 1L))
+    import spark.implicits._
+    val off = offsets.toDF("dy", "dx", "w")
+    occ.crossJoin(broadcast(off))
+      .select((col("cy") + col("dy")).as("ty"), (col("cx") + col("dx")).as("tx"),
+        (col("w") * col("s")).as("ws"), (col("w") * col("n")).as("wn"))
+      .filter(col("ty") >= 0 && col("ty") < p && col("tx") >= 0 && col("tx") < p)
+      .groupBy(col("ty"), col("tx"))
+      .agg(sum(col("ws")).as("sws"), sum(col("wn")).as("swn"), count(lit(1)).as("n_contrib"))
+      .select((col("ty") * p + col("tx")).as("cell6"),
+        expr("sws div swn").as("est_chars"), col("n_contrib"))
+      .orderBy(col("cell6"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q130 — ring-decay profile (distance-band analysis per footprint)
+  // -------------------------------------------------------------------------
+
+  final val DecayMaxD = 3
+
+  /** q130 — spatial decay profile: page counts per Chebyshev cell-ring
+    * distance d = 0..[[DecayMaxD]] from each footprint's CENTER cell —
+    * the distance-band statistic behind "how fast does crawl density
+    * fall off around a region of interest". Distance is computed
+    * directly on the (cy, cx) grid coordinates (greatest of the axis
+    * deltas — the k-ring metric), so no ring materialization is needed:
+    * ONE broadcast join of the 16-row center table against the per-cell
+    * count frame (points aggregate BEFORE the distance test). */
+  def ringDecay(spark: SparkSession, sfDir: String, maxD: Int = DecayMaxD): DataFrame = {
+    val p = 1L << KdeLevel
+    // center via the +900/+1800 shift BEFORE the halving so every div sees
+    // non-negative operands (Spark div truncates, DuckDB // floors)
+    val centers = Footprints.boxesDf(spark).select(col("fp_id"),
+      expr(s"((ilat0 + ilat1 + 1800) div 2) * $p div 1800").as("ccy"),
+      expr(s"((ilon0 + ilon1 + 3600) div 2) * $p div 3600").as("ccx"))
+    val occ = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+    occ.crossJoin(broadcast(centers))
+      .withColumn("d", greatest(abs(col("cy") - col("ccy")), abs(col("cx") - col("ccx"))))
+      .filter(col("d") <= maxD)
+      .groupBy(col("fp_id"), col("d"))
+      .agg(sum(col("c")).as("n_pages"), count(lit(1)).as("n_cells"))
+      .orderBy(col("fp_id"), col("d"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q131 — crawler trajectory statistics (distributed displacement sums)
+  // -------------------------------------------------------------------------
+
+  final val TrajBucket = 86400L // one-day hop buckets
+
+  /** q131 — per-source trajectory: order each source's pages by
+    * (ts_sec, doc_id) and sum the integer Chebyshev displacement between
+    * CONSECUTIVE pages (total path length), the net first→last
+    * displacement, and the mobility ratio net·1000 div total — the
+    * movement profile that separates a stationary crawler from a
+    * sweeping one.
+    *
+    * Scale shape (the q77 bucket decomposition applied to a SEQUENTIAL
+    * statistic): the lag window partitions by (source, day-bucket) — a
+    * day of one source's crawl, never the source's full history in one
+    * partition; the missing boundary hops (bucket's first page vs the
+    * previous bucket's last) are reconstructed from the per-bucket
+    * endpoint AGGREGATE (min_by/max_by), whose row count is
+    * sources × days — metadata-sized, so ITS lag window is cheap. At
+    * 10^12 rows this bounds every window partition by one source-day. */
+  def crawlerTrajectory(spark: SparkSession, sfDir: String): DataFrame = {
+    val che = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =>
+      greatest(abs(a - c), abs(b - d))
+    val p0 = pages(spark, sfDir)
+      .select(col("source"), col("ts_sec"), col("doc_id"), col("ilat"), col("ilon"))
+      .withColumn("bkt", expr(s"(ts_sec - ${Pages.Epoch}) div $TrajBucket"))
+    val wIn = Window.partitionBy(col("source"), col("bkt")).orderBy(col("ts_sec"), col("doc_id"))
+    val within = p0
+      .withColumn("plat", lag(col("ilat"), 1).over(wIn))
+      .withColumn("plon", lag(col("ilon"), 1).over(wIn))
+      .filter(col("plat").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(che(col("ilat"), col("ilon"), col("plat"), col("plon"))).as("in_disp"))
+    // per-(source, bucket) endpoints: sources × days rows — metadata-sized
+    val ends = p0.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        min_by(struct(col("ilat"), col("ilon")), struct(col("ts_sec"), col("doc_id"))).as("first"),
+        max_by(struct(col("ilat"), col("ilon")), struct(col("ts_sec"), col("doc_id"))).as("last"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bkt"))
+    val bridge = ends
+      .withColumn("pl", lag(col("last"), 1).over(wB))
+      .filter(col("pl").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(che(col("first.ilat"), col("first.ilon"),
+        col("pl.ilat"), col("pl.ilon"))).as("bridge_disp"))
+    val net = ends
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_pages"),
+        min_by(col("first"), col("bkt")).as("f0"),
+        max_by(col("last"), col("bkt")).as("l1"))
+      .select(col("source"), col("n_pages"),
+        che(col("f0.ilat"), col("f0.ilon"), col("l1.ilat"), col("l1.ilon"))
+          .cast("long").as("net_disp"))
+    net.join(within, Seq("source"), "left").join(bridge, Seq("source"), "left")
+      .select(col("source"), col("n_pages"),
+        (coalesce(col("in_disp"), lit(0L)) + coalesce(col("bridge_disp"), lit(0L))).as("total_disp"),
+        col("net_disp"))
+      .withColumn("mobility_pm",
+        when(col("total_disp") > 0, expr("net_disp * 1000 div total_disp")).otherwise(lit(1000L)))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------------------------------
+  // q134 — areal interpolation (area-weighted footprint→cell transfer)
+  // -------------------------------------------------------------------------
+
+  final val ArealLevel = 4
+
+  /** q134 — areal interpolation (dasymetric transfer): each footprint's
+    * page count is redistributed to the level-[[ArealLevel]] cells it
+    * overlaps, ∝ the EXACT integer intersection area — the operator that
+    * moves statistics between incompatible zone systems (census→grid).
+    * Areas are computed in the p-scaled integer space (deci-degrees × p),
+    * where both box edges (x·p) and cell edges (k·1800) are integers, so
+    * the overlap arithmetic is exact in both engines. alloc_pm = the
+    * floor permille share; the per-cell report sums shares across
+    * footprints. Conservation (Σ shares ∈ [1000 − nCells, 1000] per
+    * footprint, floor loss only) is ST-gated.
+    *
+    * Scale shape: the per-footprint page counts are the q01 broadcast PIP
+    * aggregate; the cell explode is bounded by the grid (≤ 4^L rows per
+    * footprint); one final grid-sized agg. */
+  def arealInterpolation(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << ArealLevel
+    val fp = Footprints.boxesDf(spark)
+    val pg = pages(spark, sfDir)
+    val counts = pg.join(broadcast(fp),
+        col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")))
+      .groupBy(col("fp_id")).agg(count(lit(1)).as("n_pages"))
+    // scaled space: box spans [a·p, (a1+1)·p), cell k spans
+    // [k·1800 − 900p, (k+1)·1800 − 900p) on lat (lon analogous with 3600)
+    val alloc = fp.join(counts, Seq("fp_id"))
+      .withColumn("cy", explode(expr(
+        s"sequence((ilat0 + 900) * $p div 1800, (ilat1 + 900) * $p div 1800)")))
+      .withColumn("cx", explode(expr(
+        s"sequence((ilon0 + 1800) * $p div 3600, (ilon1 + 1800) * $p div 3600)")))
+      .withColumn("ovy", expr(
+        s"least((ilat1 + 1 + 900) * $p, (cy + 1) * 1800) - greatest((ilat0 + 900) * $p, cy * 1800)"))
+      .withColumn("ovx", expr(
+        s"least((ilon1 + 1 + 1800) * $p, (cx + 1) * 3600) - greatest((ilon0 + 1800) * $p, cx * 3600)"))
+      .withColumn("box_area", // BIGINT before the product: 28800·57600 rides the int edge
+        expr(s"CAST((ilat1 - ilat0 + 1) * $p AS BIGINT) * ((ilon1 - ilon0 + 1) * $p)"))
+      .withColumn("alloc_pm", expr("n_pages * 1000 * (ovy * ovx) div box_area"))
+    alloc.groupBy((col("cy") * p + col("cx")).as("cell4"))
+      .agg(sum(col("alloc_pm")).as("alloc_pm"), count(lit(1)).as("n_fps"))
+      .orderBy(col("cell4"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q129_idw_surface" -> {
+      val p = 1L << KdeLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, " +
+        "count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s FROM pages GROUP BY 1, 2), " +
+        "off AS (SELECT * FROM (VALUES (-1, -1, 1), (-1, 0, 2), (-1, 1, 1), (0, -1, 2), (0, 0, 4), (0, 1, 2), (1, -1, 1), (1, 0, 2), (1, 1, 1)) AS o(dy, dx, w)), " +
+        "sm AS (SELECT occ.cy + off.dy AS ty, occ.cx + off.dx AS tx, " +
+        "CAST(sum(off.w * occ.s) AS BIGINT) AS sws, CAST(sum(off.w * occ.n) AS BIGINT) AS swn, count(*) AS n_contrib " +
+        s"FROM occ CROSS JOIN off WHERE occ.cy + off.dy >= 0 AND occ.cy + off.dy < $p " +
+        s"AND occ.cx + off.dx >= 0 AND occ.cx + off.dx < $p GROUP BY 1, 2) " +
+        s"SELECT ty * $p + tx AS cell6, CAST(sws // swn AS BIGINT) AS est_chars, n_contrib " +
+        "FROM sm ORDER BY cell6"
+    },
+    "q130_ring_decay" -> {
+      val p = 1L << KdeLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"c AS (SELECT fp_id, ((ilat0 + ilat1 + 1800) // 2) * $p // 1800 AS ccy, " +
+        s"((ilon0 + ilon1 + 3600) // 2) * $p // 3600 AS ccx FROM ${Footprints.sqlValues}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, count(*) AS cnt FROM pages GROUP BY 1, 2), " +
+        "d AS (SELECT c.fp_id, greatest(abs(occ.cy - c.ccy), abs(occ.cx - c.ccx)) AS d, occ.cnt " +
+        s"FROM occ CROSS JOIN c) " +
+        s"SELECT fp_id, d, CAST(sum(cnt) AS BIGINT) AS n_pages, count(*) AS n_cells " +
+        s"FROM d WHERE d <= $DecayMaxD GROUP BY fp_id, d ORDER BY fp_id, d"
+    },
+    "q131_trajectory" ->
+      (s"WITH pages AS (${Pages.oracleCte}), " +
+        "o AS (SELECT source, ts_sec, doc_id, ilat, ilon, " +
+        "lag(ilat) OVER w AS plat, lag(ilon) OVER w AS plon, " +
+        "row_number() OVER w AS rn, count(*) OVER (PARTITION BY source) AS np, " +
+        "first_value(ilat) OVER w AS flat, first_value(ilon) OVER w AS flon, " +
+        "last_value(ilat) OVER (PARTITION BY source ORDER BY ts_sec, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS llat, " +
+        "last_value(ilon) OVER (PARTITION BY source ORDER BY ts_sec, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS llon " +
+        "FROM pages WINDOW w AS (PARTITION BY source ORDER BY ts_sec, doc_id)), " +
+        "agg AS (SELECT source, CAST(max(np) AS BIGINT) AS n_pages, " +
+        "CAST(coalesce(sum(CASE WHEN plat IS NULL THEN 0 ELSE greatest(abs(ilat - plat), abs(ilon - plon)) END), 0) AS BIGINT) AS total_disp, " +
+        "CAST(max(greatest(abs(llat - flat), abs(llon - flon))) AS BIGINT) AS net_disp " +
+        "FROM o GROUP BY source) " +
+        "SELECT source, n_pages, total_disp, net_disp, " +
+        "CAST(CASE WHEN total_disp > 0 THEN net_disp * 1000 // total_disp ELSE 1000 END AS BIGINT) AS mobility_pm " +
+        "FROM agg ORDER BY source"),
+    "q134_areal_interp" -> {
+      val p = 1L << ArealLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"cnt AS (SELECT fp.fp_id, count(*) AS n_pages FROM pages p JOIN ${Footprints.sqlValues} " +
+        "ON p.ilat BETWEEN fp.ilat0 AND fp.ilat1 AND p.ilon BETWEEN fp.ilon0 AND fp.ilon1 " +
+        "AND p.ts_sec BETWEEN fp.tfrom AND fp.tto GROUP BY fp.fp_id), " +
+        s"a AS (SELECT f.fp_id, cnt.n_pages, f.ilat0, f.ilat1, f.ilon0, f.ilon1, cy.cy, cx.cx " +
+        s"FROM ${Footprints.sqlValuesAs("f")} JOIN cnt ON f.fp_id = cnt.fp_id " +
+        s"CROSS JOIN LATERAL unnest(range((f.ilat0 + 900) * $p // 1800, (f.ilat1 + 900) * $p // 1800 + 1)) AS cy(cy) " +
+        s"CROSS JOIN LATERAL unnest(range((f.ilon0 + 1800) * $p // 3600, (f.ilon1 + 1800) * $p // 3600 + 1)) AS cx(cx)), " +
+        "al AS (SELECT fp_id, cy, cx, n_pages * 1000 * " +
+        s"((least((ilat1 + 1 + 900) * $p, (cy + 1) * 1800) - greatest((ilat0 + 900) * $p, cy * 1800)) * " +
+        s"(least((ilon1 + 1 + 1800) * $p, (cx + 1) * 3600) - greatest((ilon0 + 1800) * $p, cx * 3600))) " +
+        s"// (CAST((ilat1 - ilat0 + 1) * $p AS BIGINT) * ((ilon1 - ilon0 + 1) * $p)) AS alloc_pm FROM a) " +
+        s"SELECT CAST(cy * $p + cx AS BIGINT) AS cell4, CAST(sum(alloc_pm) AS BIGINT) AS alloc_pm, " +
+        "count(*) AS n_fps FROM al GROUP BY 1 ORDER BY cell4"
+    },
     "q111_kde_heatmap" -> {
       val p = 1L << KdeLevel
       s"WITH pages AS (${Pages.oracleCte}), " +

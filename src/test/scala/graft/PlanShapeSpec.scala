@@ -147,7 +147,17 @@ class PlanShapeSpec extends SparkTestBase {
       // q127/q128: probe/assignment cross-join the BROADCAST sqrt(n)
       // stored-centroid artifact against queries/delta rows — the q46/q98
       // coarse-quantizer shape, served from the persisted index
-      "q127_served_ann", "q128_index_delta")
+      "q127_served_ann", "q128_index_delta",
+      // q129: the q111 kernel shape — 9-row broadcast offset table
+      // crossed against the GRID-sized (≤4^L) value agg, never the corpus
+      // q130: 16-row broadcast footprint-center table crossed against the
+      // grid-sized count agg (distance test, no ring materialization)
+      // q132: nLangs+1-row broadcast smoothing-denominator table crossed
+      // against the per-doc agg (every doc scores every class)
+      // q134: footprint boxes (16 rows, broadcast) × their bounded cell
+      // cover — the allocation explode, grid-bounded per box
+      "q129_idw_surface", "q130_ring_decay", "q132_nb_confusion",
+      "q134_areal_interp")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.testutil.SparkTestBase
+
+/** Laws of the NB-surrogate classifier (q132) and packing audit (q133)
+  * the DuckDB oracle can't see. */
+class ClassifierSpec extends SparkTestBase {
+
+  test("q132 confusion matrix conserves the test split; model mass normalizes") {
+    val rows = ClassifierQueries.nbConfusion(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    graft.util.CacheBag.release()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // conservation: every odd-id doc is classified exactly once
+    val testByLang = docs.filter(_._1 % 2 == 1).groupBy(_._2).view.mapValues(_.length.toLong)
+    assert(rows.map(_._2).sum === testByLang.values.sum)
+    testByLang.foreach { case (lang, n) =>
+      assert(rows.filter(_._1._1 == lang).map(_._2).sum === n, s"lang $lang rows lost")
+    }
+    // Laplace normalization: per class, Σ_vocab w + (V − seen_l)·b_l is
+    // within floor loss of 1e6 (the model is a probability surrogate)
+    val train = docs.filter(_._1 % 2 == 0)
+      .flatMap { case (_, lang, text) => text.split(" ", -1).map(t => (t, lang)) }
+    val vocab = train.map(_._1).distinct
+    val v = vocab.length.toLong
+    train.groupBy(_._2).foreach { case (lang, xs) =>
+      val cntL = xs.length.toLong
+      val den = cntL + v
+      val byTok = xs.groupBy(_._1).view.mapValues(_.length.toLong)
+      val seenMass = byTok.values.map(c => (c + 1) * 1000000L / den).sum
+      val unseenMass = (v - byTok.size) * (1000000L / den)
+      val total = seenMass + unseenMass
+      assert(total <= 1000000L && total > 1000000L - v - 1,
+        s"class $lang mass $total not a floor-lossy 1e6")
+    }
+  }
+
+  test("q133 packing balance: conservation + the longest-first round-robin bound") {
+    val rows = ClassifierQueries.packingBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.util.CacheBag.release()
+    assert(rows.length === ClassifierQueries.PackBins)
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0))
+    // conservation across bins
+    assert(rows.map(_._2).sum === toks.length.toLong)
+    assert(rows.map(_._3).sum === toks.sum)
+    // longest-first round-robin balance guarantee: the cross-bin spread
+    // never exceeds the single largest document (telescoping bound)
+    val (mx, mn) = (rows.map(_._3).max, rows.map(_._3).min)
+    assert(mx - mn <= toks.max, s"spread ${mx - mn} exceeds the largest doc ${toks.max}")
+    // spread_pm is consistent and constant across rows
+    assert(rows.map(_._5).distinct.length === 1)
+    assert(rows.head._5 === (mx - mn) * 1000 / mx)
+  }
+}

@@ -115,6 +115,96 @@ class GeoStatsSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("q129 IDW surface: weighted mean is bounded by neighborhood extremes") {
+    val p = 1L << GeoStatsQueries.KdeLevel
+    // brute per-cell (n, sum) from raw pages
+    val pts = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon", "n_chars").collect()
+      .map(r => ((r.getInt(0) + 900).toLong * p / 1800, (r.getInt(1) + 1800).toLong * p / 3600,
+        r.getLong(2)))
+    val perCell = pts.groupBy(t => (t._1, t._2))
+      .map { case (c, xs) => c -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    val got = GeoStatsQueries.idwSurface(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ty, tx) = (r.getLong(0) / p, r.getLong(0) % p)
+      val neigh = for {
+        dy <- -1L to 1L; dx <- -1L to 1L
+        v <- perCell.get((ty + dy, tx + dx))
+      } yield v
+      assert(neigh.nonEmpty && r.getLong(2) === neigh.size.toLong)
+      // weighted mean of cell means lies within the raw per-cell mean range
+      val means = neigh.map { case (n, s) => s.toDouble / n }
+      assert(r.getLong(1) >= means.min.floor.toLong - 1 && r.getLong(1) <= means.max.ceil.toLong)
+    }
+  }
+
+  test("q130 ring decay: d=0 equals the center cell count; ring cells bounded by shell size") {
+    val rows = GeoStatsQueries.ringDecay(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((_, d), (n, cells)) =>
+      assert(n > 0)
+      // ring d holds at most (2d+1)^2 − (2d−1)^2 cells (8d for d ≥ 1, 1 for d = 0)
+      val cap = if (d == 0) 1L else 8L * d
+      assert(cells <= cap, s"ring $d reported $cells occupied cells > $cap")
+    }
+  }
+
+  test("q131 trajectory: bucket decomposition == single-pass brute; net <= total") {
+    val rows = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("source", "ts_sec", "doc_id", "ilat", "ilon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    def che(a: (Int, Int), b: (Int, Int)): Long =
+      math.max(math.abs(a._1 - b._1), math.abs(a._2 - b._2)).toLong
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val path = xs.sortBy(x => (x._2, x._3)).map(x => (x._4, x._5)).toSeq
+      val total = path.sliding(2).collect { case Seq(a, b) => che(a, b) }.sum
+      val net = che(path.head, path.last)
+      (src, xs.length.toLong, total, net,
+        if (total > 0) net * 1000 / total else 1000L)
+    }
+    val got = GeoStatsQueries.crawlerTrajectory(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    got.foreach(r => assert(r._4 <= r._3 || r._3 == 0, "net displacement exceeded the path sum"))
+  }
+
+  test("q134 areal interpolation conserves each footprint's count up to floor loss") {
+    val p = 1L << GeoStatsQueries.ArealLevel
+    // brute: per-footprint allocation shares re-derived cell by cell
+    val pts = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon", "ts_sec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    var allocByCell = Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    for (b <- Footprints.boxes) {
+      val n = pts.count(pt => pt._1 >= b.ilat0 && pt._1 <= b.ilat1 &&
+        pt._2 >= b.ilon0 && pt._2 <= b.ilon1 && pt._3 >= b.tfrom && pt._3 <= b.tto).toLong
+      if (n > 0) {
+        val boxArea = (b.ilat1 - b.ilat0 + 1).toLong * p * ((b.ilon1 - b.ilon0 + 1).toLong * p)
+        var fpSum = 0L
+        for (cy <- (b.ilat0 + 900).toLong * p / 1800 to (b.ilat1 + 900).toLong * p / 1800;
+             cx <- (b.ilon0 + 1800).toLong * p / 3600 to (b.ilon1 + 1800).toLong * p / 3600) {
+          val ovy = math.min((b.ilat1 + 1 + 900).toLong * p, (cy + 1) * 1800) -
+            math.max((b.ilat0 + 900).toLong * p, cy * 1800)
+          val ovx = math.min((b.ilon1 + 1 + 1800).toLong * p, (cx + 1) * 3600) -
+            math.max((b.ilon0 + 1800).toLong * p, cx * 3600)
+          val share = n * 1000L * (ovy * ovx) / boxArea
+          fpSum += share
+          val cell = cy * p + cx
+          val (a, c) = allocByCell(cell)
+          allocByCell += cell -> ((a + share, c + 1))
+        }
+        // conservation: floor loss only, bounded by the cell count
+        assert(fpSum <= 1000L * n && fpSum > 1000L * n - 4L * p * p,
+          s"fp ${b.fpId} allocation $fpSum vs ${1000L * n}")
+      }
+    }
+    val got = GeoStatsQueries.arealInterpolation(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === allocByCell.toMap.filter(_._2._2 > 0))
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
