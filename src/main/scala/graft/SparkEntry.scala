@@ -166,6 +166,7 @@ object SparkEntry {
     "q132_nb_confusion" -> ((s, d) => ClassifierQueries.nbConfusion(s, d)),
     "q133_packing_balance" -> ((s, d) => ClassifierQueries.packingBalance(s, d)),
     "q134_areal_interp" -> ((s, d) => GeoStatsQueries.arealInterpolation(s, d)),
+    "q135_adaptive_grid" -> ((s, d) => GeoStatsQueries.adaptiveGrid(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -611,8 +611,16 @@ object CurationQueries {
     * (documented eager exception, COVERAGE.md). Rows-only (the merge loop
     * is not SQL-expressible). */
   def bpeEncode(spark: SparkSession, sfDir: String, nMerges: Int = BpeMerges): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val merges = trainBpe(wordVocab(spark, sfDir).toSeq, nMerges).map(m => (m._1, m._2))
+    encodeWithMerges(spark, sfDir, merges)
+  }
+
+  /** The encode projection given an explicit merge list — shared by q123
+    * (train-in-query) and the served-from-artifact path
+    * ([[IndexStoreQueries.bpeEncodeServed]]). */
+  private[operators] def encodeWithMerges(spark: SparkSession, sfDir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val spec = graft.functions.GraftFunctions.bpeMergeSpec(merges)
     docs(spark, sfDir)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))

@@ -257,6 +257,36 @@ object GeoSemanticQueries {
       .orderBy(col("level"), col("cell"), col("dim"))
   }
 
+  /** q104's SCALE path (r4 verdict: the driver rollup is 4^L-bounded,
+    * not corpus-bounded — legal at the declared level 2, wrong at
+    * level ≥ 8): the identical pyramid computed with every rollup
+    * DISTRIBUTED — one corpus shuffle to the finest (n, vector-sum)
+    * grid, then K grid-sized parent-arithmetic aggregations (sums merge
+    * associatively through [[VecSumAgg]]). Output is row-identical to
+    * [[centroidPyramid]] (`GeoSemanticSpec` gates the equality), so the
+    * driver-assembled variant stays the low-latency choice at toy grids
+    * and this one takes over when 4^L outgrows the driver. */
+  def centroidPyramidDistributed(spark: SparkSession, sfDir: String,
+      level: Int = Level): DataFrame = {
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    var cur = embCells(spark, sfDir, level)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
+    var out: DataFrame = null
+    for (l <- level to 0 by -1) {
+      val lvl = cur.selectExpr(s"CAST($l AS INT) AS level", "cell", "n AS n_docs",
+        "posexplode(transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT))) AS (dim, val)")
+      out = if (out == null) lvl else out.unionByName(lvl)
+      if (l > 0) {
+        val side = 1L << l
+        cur = cur
+          .groupBy(expr(s"(cell div $side div 2) * ${side / 2} + (cell % $side) div 2").as("cell"))
+          .agg(sum(col("n")).as("n"), vecSum(col("sv")).as("sv"))
+      }
+    }
+    out.orderBy(col("level"), col("cell"), col("dim"))
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   private val sqlQuantE =

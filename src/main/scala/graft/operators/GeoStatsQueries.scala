@@ -498,9 +498,128 @@ object GeoStatsQueries {
       .orderBy(col("cell4"))
   }
 
+  // -------------------------------------------------------------------------
+  // q135 — adaptive quadtree grid (density-driven multi-resolution tiling)
+  // -------------------------------------------------------------------------
+
+  final val AdaptLevel = 5 // finest refinement level (32×32)
+  final val AdaptSplit = 40L // refine a cell while it holds more pages
+
+  /** q135 — adaptive tiling: starting from the level-0 world cell, any
+    * cell holding more than [[AdaptSplit]] pages refines into its four
+    * children, down to [[AdaptLevel]]; the report is the OCCUPIED leaf
+    * set (level, cell, n_pages) — dense regions get fine tiles, sparse
+    * regions stay coarse. The LOD structure every tile server derives
+    * before rendering a heat layer.
+    *
+    * Scale shape: ONE corpus shuffle builds the finest-level counts;
+    * every coarser level is a parent-arithmetic rollup of the ≤ 4^l
+    * grid frame (the q104 one-pass pyramid, kept fully DISTRIBUTED —
+    * no driver assembly); the refinement classification is a chain of
+    * [[AdaptLevel]] semi-joins between grid-sized frames. Everything
+    * after the first shuffle is grid-bounded. */
+  def adaptiveGrid(spark: SparkSession, sfDir: String, maxLevel: Int = AdaptLevel,
+      split: Long = AdaptSplit): DataFrame = {
+    import spark.implicits._
+    val p = 1L << maxLevel
+    // ONE corpus shuffle to the ≤ 4^maxLevel occupied-cell frame; the
+    // pyramid + refinement then run driver-side on the grid rows (the
+    // documented q69/q94/q104 convention: grid-sized BY CONSTRUCTION —
+    // ≤ 1365 cells at level 5 — and the lazy multi-branch plan re-derived
+    // the corpus agg per level while AQE stage latency dominated; at
+    // maxLevel ≥ 8 use [[adaptiveGridDistributed]], the identical-output
+    // scale path below, gated equal by GeoStatsSpec).
+    val fine = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val counts = new Array[Map[(Long, Long), Long]](maxLevel + 1)
+    counts(maxLevel) = fine
+    for (l <- maxLevel - 1 to 0 by -1)
+      counts(l) = counts(l + 1).groupBy { case ((cy, cx), _) => (cy / 2, cx / 2) }
+        .map { case (k, xs) => k -> xs.values.sum }
+    val leaves = Seq.newBuilder[(Int, Long, Long)]
+    var refined: Set[(Long, Long)] = Set.empty
+    for (l <- 0 to maxLevel) {
+      val side = 1L << l
+      val open = counts(l).filter { case ((cy, cx), _) =>
+        l == 0 || refined.contains((cy / 2, cx / 2))
+      }
+      open.foreach { case ((cy, cx), n) =>
+        if (n <= split || l == maxLevel) leaves += ((l, cy * side + cx, n))
+      }
+      refined = if (l == maxLevel) Set.empty
+        else open.filter(_._2 > split).keySet
+    }
+    leaves.result().toDF("level", "cell", "n_pages")
+      .orderBy(col("level"), col("cell"))
+  }
+
+  /** q135's SCALE path: the identical adaptive tiling with every rollup
+    * and refinement join DISTRIBUTED — for maxLevel ≥ 8 where 4^L
+    * outgrows the driver (the q104-pair convention; GeoStatsSpec gates
+    * row-identity with the driver-assembled default). */
+  def adaptiveGridDistributed(spark: SparkSession, sfDir: String,
+      maxLevel: Int = AdaptLevel, split: Long = AdaptSplit): DataFrame = {
+    val p = 1L << maxLevel
+    val fine = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("n"))
+    val counts = new Array[DataFrame](maxLevel + 1)
+    counts(maxLevel) = fine
+    for (l <- maxLevel - 1 to 0 by -1)
+      counts(l) = counts(l + 1)
+        .groupBy(expr("cy div 2").as("cy"), expr("cx div 2").as("cx"))
+        .agg(sum(col("n")).as("n"))
+    var refined = counts(0).filter(col("n") > split)
+    var leaves = counts(0).filter(col("n") <= split)
+      .select(lit(0).as("level"), (col("cy") * 1 + col("cx")).as("cell"), col("n"))
+    for (l <- 1 to maxLevel) {
+      val side = 1L << l
+      val open = counts(l).join(
+        refined.select(col("cy").as("py"), col("cx").as("px")),
+        expr("cy div 2") === col("py") && expr("cx div 2") === col("px"), "left_semi")
+      val emit = if (l == maxLevel) open else open.filter(col("n") <= split)
+      leaves = leaves.unionByName(
+        emit.select(lit(l).as("level"), (col("cy") * side + col("cx")).as("cell"), col("n")))
+      refined = if (l == maxLevel) refined else open.filter(col("n") > split)
+    }
+    leaves.withColumnRenamed("n", "n_pages").orderBy(col("level"), col("cell"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q135_adaptive_grid" -> {
+      val L = AdaptLevel
+      val p = 1L << L
+      val lvl = (0 to L).map { l =>
+        if (l == L)
+          s"c$L AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+            s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, count(*) AS n " +
+            "FROM pages GROUP BY 1, 2)"
+        else
+          s"c$l AS (SELECT cy // 2 AS cy, cx // 2 AS cx, CAST(sum(n) AS BIGINT) AS n " +
+            s"FROM c${l + 1} GROUP BY 1, 2)"
+      }.reverse.mkString(", ") // c5 first (the others reference forward)
+      val refs = (0 to L).map { l =>
+        if (l == 0) s"r0 AS (SELECT * FROM c0 WHERE n > $AdaptSplit)"
+        else s"r$l AS (SELECT c.* FROM c$l c JOIN r${l - 1} r ON c.cy // 2 = r.cy AND c.cx // 2 = r.cx WHERE c.n > $AdaptSplit)"
+      }.mkString(", ")
+      val emits = (0 to L).map { l =>
+        val side = 1L << l
+        val cond = if (l == L) "TRUE" else s"c.n <= $AdaptSplit"
+        if (l == 0)
+          s"SELECT 0 AS level, c.cy * 1 + c.cx AS cell, c.n AS n_pages FROM c0 c WHERE c.n <= $AdaptSplit"
+        else
+          s"SELECT $l AS level, c.cy * $side + c.cx AS cell, c.n AS n_pages FROM c$l c " +
+            s"JOIN r${l - 1} r ON c.cy // 2 = r.cy AND c.cx // 2 = r.cx WHERE $cond"
+      }.mkString(" UNION ALL ")
+      s"WITH pages AS (${Pages.oracleCte}), $lvl, $refs " +
+        s"SELECT CAST(level AS INT) AS level, cell, n_pages FROM ($emits) ORDER BY level, cell"
+    },
     "q129_idw_surface" -> {
       val p = 1L << KdeLevel
       s"WITH pages AS (${Pages.oracleCte}), " +

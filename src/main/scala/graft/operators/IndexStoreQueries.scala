@@ -114,6 +114,33 @@ object IndexStoreQueries {
       .orderBy(col("cid"))
   }
 
+  // -------------------------------------------------------------------------
+  // BPE merge artifact (trained tokenizer persisted like the IVF index)
+  // -------------------------------------------------------------------------
+
+  /** Build-once persisted BPE merge table: q113's bounded trainer runs
+    * ONCE per fixture and the merge list commits to the snapshot layer. */
+  private def bpeRoot(spark: SparkSession, sfDir: String): String =
+    graft.jobs.IngestJob.cachedTable("graft-bpe-store", sfDir, 1L, ver = 1) {
+      (stage, finalRoot) =>
+        val m = CurationQueries.bpeMerges(spark, sfDir).coalesce(1)
+        m.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/merges")
+        val e = PartitionEntry(1, "merges", s"$finalRoot/data/merges", m.count(), 0, 0, 0, 0, 0L, 0L)
+        SnapshotTable.commitSnapshot(stage, Snapshot(1, 1, IndexedSeq(e), m.schema.toDDL))
+    }
+
+  /** q123's encode served from the STORED merge artifact — the trained
+    * tokenizer is read back (merge-count rows, metadata-sized), never
+    * retrained per query. ST-gated: row-identical to the train-in-query
+    * q123 (`IndexStoreSpec`). */
+  def bpeEncodeServed(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = bpeRoot(spark, sfDir)
+    val merges = spark.read.parquet(s"$root/data/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    CurationQueries.encodeWithMerges(spark, sfDir, merges)
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   /** q98's oracle CTE chain with training restricted to the snapshot-1

@@ -192,6 +192,51 @@ object StreamingJobs {
       }
   }
 
+  final case class GeoAlert(source: String, ts_sec: Long, doc_id: Long,
+      fp_id: Int, kind: String)
+
+  /** H-custom-state — streaming GEOFENCE alerting: each page's footprint
+    * membership comes from the stream-static broadcast box join (the
+    * q01 PIP shape on a stream — pages outside every fence carry a null
+    * fp), and per-SOURCE keyed state holds the set of footprints the
+    * source currently occupies; set differences at each event emit
+    * enter/exit alerts in (ts, doc_id) arrival order. The fleet-monitor
+    * primitive ("crawler X entered region Y") a geospatial pipeline runs
+    * on the live feed. State is ≤ nFootprints ints per source — bounded;
+    * alerts stream in Append mode so any sink composes. */
+  def geofenceAlerts(pages: DataFrame): org.apache.spark.sql.Dataset[GeoAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val fp = graft.sources.Footprints.boxesDf(spark)
+    val tagged = pages.join(broadcast(fp),
+        col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")), "left")
+      .select(col("source").as[String], col("ts_sec").as[Long],
+        col("doc_id").as[Long],
+        coalesce(col("fp_id"), lit(-1)).as[Int])
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long, Int)],
+            state: GroupState[Seq[Int]]) =>
+          // one entry per (page × matched fence); group back to per-page
+          // fence sets, replay in (ts, doc_id) order
+          val events = rows.toArray.groupBy(r => (r._2, r._3)).toSeq
+            .map { case ((ts, id), xs) => (ts, id, xs.map(_._4).filter(_ >= 0).toSet) }
+            .sortBy(e => (e._1, e._2))
+          var cur = state.getOption.getOrElse(Nil).toSet
+          val out = Seq.newBuilder[GeoAlert]
+          for ((ts, id, fps) <- events) {
+            (fps -- cur).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "enter"))
+            (cur -- fps).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "exit"))
+            cur = fps
+          }
+          state.update(cur.toSeq.sorted)
+          out.result().iterator
+      }
+  }
+
   final case class SourceState(nPages: Long, lastTs: Long, maxGap: Long)
   final case class SourceUpdate(source: String, n_pages: Long, last_ts: Long, max_gap: Long)
 

@@ -148,6 +148,16 @@ class GeoSemanticSpec extends SparkTestBase {
     assert(lvl2 === fine)
   }
 
+  test("q104 distributed pyramid rollup is row-identical to the driver-assembled one") {
+    // the scale path (grid-sized distributed aggs) must be invisible in
+    // the result — same contract as q103's IVM
+    val driver = GeoSemanticQueries.centroidPyramid(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val dist = GeoSemanticQueries.centroidPyramidDistributed(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(dist === driver)
+  }
+
   test("q101 dominant language: share is a floor permille and the count is the cell max") {
     val rows = GeoSemanticQueries.dominantLang(spark, sf0001).collect()
     assert(rows.nonEmpty)

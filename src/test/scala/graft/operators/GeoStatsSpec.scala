@@ -205,6 +205,34 @@ class GeoStatsSpec extends SparkTestBase {
     assert(got === allocByCell.toMap.filter(_._2._2 > 0))
   }
 
+  test("q135 adaptive grid: leaves partition the corpus — disjoint, conserving, split-bounded") {
+    val rows = GeoStatsQueries.adaptiveGrid(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // conservation: occupied leaves hold every page exactly once
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_._3).sum === total)
+    // split bound: every non-finest leaf obeys the split threshold
+    rows.filter(_._1 < GeoStatsQueries.AdaptLevel)
+      .foreach(r => assert(r._3 <= GeoStatsQueries.AdaptSplit, s"leaf $r over split"))
+    // disjointness: no leaf is an ancestor of another (compare the
+    // (cy, cx) box of the coarser against the finer's projection)
+    def yx(l: Int, c: Long): (Long, Long) = { val s = 1L << l; (c / s, c % s) }
+    for (a <- rows; b <- rows if a._1 < b._1) {
+      val (ay, ax) = yx(a._1, a._2)
+      val (by, bx) = yx(b._1, b._2)
+      val shift = b._1 - a._1
+      assert(!((by >> shift) == ay && (bx >> shift) == ax),
+        s"leaf $b nests inside leaf $a")
+    }
+    // the fixture actually exercises refinement: >1 level present
+    assert(rows.map(_._1).distinct.length > 1, "no refinement happened — raise fixture density")
+    // the distributed scale path is row-identical to the driver assembly
+    val dist = GeoStatsQueries.adaptiveGridDistributed(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(dist.toSeq === rows.toSeq)
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>

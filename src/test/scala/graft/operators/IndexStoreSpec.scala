@@ -65,6 +65,13 @@ class IndexStoreSpec extends SparkTestBase {
       s"refresh read the materialized delta it is supposed to compute:\n${roots.mkString("\n")}")
   }
 
+  test("BPE artifact: served encode is row-identical to the train-in-query q123") {
+    val trained = CurationQueries.bpeEncode(spark, sf001).collect().map(_.toSeq).toSeq
+    val served = IndexStoreQueries.bpeEncodeServed(spark, sf001).collect().map(_.toSeq).toSeq
+    assert(served === trained)
+    assert(served.nonEmpty)
+  }
+
   test("incremental append is exact: stored base+delta lists == from-scratch assignment") {
     // the q128 audit's own lazy assignment must equal the delta the build
     // committed, and conservation must hold across the full corpus

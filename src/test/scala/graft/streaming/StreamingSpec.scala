@@ -204,4 +204,55 @@ class StreamingSpec extends SparkTestBase {
     assert(landed.count() === 500)
     assert(landed.select("batch_id").distinct().count() >= 1)
   }
+
+  test("streaming geofence alerts == brute enter/exit replay; state survives micro-batches") {
+    // single-file stage: one micro-batch reproduces the global replay
+    val dir = Files.createTempDirectory("graft-geofence-in").toString
+    Pages.fromDocuments(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingJobs.geofenceAlerts(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("geofence").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("geofence").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .sortBy(a => (a._1, a._2, a._3, a._4, a._5)).toSeq
+    // brute: replay each source's pages in (ts, doc_id) order locally
+    val boxes = graft.sources.Footprints.boxes
+    val pages = Pages.fromDocuments(spark, sf0001)
+      .select("source", "ts_sec", "doc_id", "ilat", "ilon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    val expect = pages.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      var cur = Set.empty[Int]
+      xs.sortBy(x => (x._2, x._3)).flatMap { case (_, ts, id, lat, lon) =>
+        val fps = boxes.filter(b => lat >= b.ilat0 && lat <= b.ilat1 &&
+          lon >= b.ilon0 && lon <= b.ilon1 && ts >= b.tfrom && ts <= b.tto)
+          .map(_.fpId).toSet
+        val alerts =
+          (fps -- cur).toSeq.sorted.map(f => (src, ts, id, f, "enter")) ++
+            (cur -- fps).toSeq.sorted.map(f => (src, ts, id, f, "exit"))
+        cur = fps
+        alerts
+      }
+    }.sortBy(a => (a._1, a._2, a._3, a._4, a._5))
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture produced no geofence transitions")
+    // multi-batch run: state carries across micro-batches — the total
+    // enter count per (source, fp) can exceed 1 only via interleaved
+    // exits (enter/exit alternate per key)
+    val dir4 = stageInput()
+    val q2 = StreamingJobs.geofenceAlerts(StreamingJobs.pagesStreamRaw(spark, dir4))
+      .writeStream.outputMode("append").format("memory").queryName("geofence4").start()
+    q2.processAllAvailable()
+    q2.stop()
+    spark.table("geofence4").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .groupBy(a => (a._1, a._4)).foreach { case (key, as) =>
+        val ordered = as.sortBy(a => (a._2, a._3)).map(_._5)
+        ordered.sliding(2).foreach {
+          case Array(x, y) => assert(x != y, s"consecutive $x alerts for $key")
+          case _ =>
+        }
+      }
+  }
 }
