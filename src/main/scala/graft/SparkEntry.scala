@@ -167,6 +167,8 @@ object SparkEntry {
     "q133_packing_balance" -> ((s, d) => ClassifierQueries.packingBalance(s, d)),
     "q134_areal_interp" -> ((s, d) => GeoStatsQueries.arealInterpolation(s, d)),
     "q135_adaptive_grid" -> ((s, d) => GeoStatsQueries.adaptiveGrid(s, d)),
+    "q136_emerging_hotspots" -> ((s, d) => GeoStatsQueries.emergingHotspots(s, d)),
+    "q137_filter_cascade" -> ((s, d) => CurationQueries.filterCascade(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -556,6 +556,56 @@ object CurationQueries {
   }
 
   // -------------------------------------------------------------------------
+  // q137 — quality filter cascade audit
+  // -------------------------------------------------------------------------
+
+  final val CascShortTok = 20L
+  final val CascDup2Pm = 60L
+  final val CascDiversPm = 350L
+
+  /** q137 — the Gopher-style filter-cascade AUDIT: evaluate every quality
+    * rule on every document and report, per rule, how many documents it
+    * flags and how many it flags ALONE (the marginal value of the rule —
+    * a rule with zero sole rejections is redundant), plus the TOTAL row
+    * (rejected, kept). Rules: too-short (n_tok < [[CascShortTok]]),
+    * repetitive (duplicate-2-gram share > [[CascDup2Pm]]‰), low
+    * lexical diversity (distinct-token share < [[CascDiversPm]]‰) —
+    * each a zero-shuffle array-lambda signal (the q89 formulation).
+    *
+    * Scale shape: pure per-row projection + ONE global aggregate row,
+    * unpivoted with stack — no shuffle before the final 4-row agg. */
+  def filterCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("grams", expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2))) " +
+          "ELSE array() END"))
+      .withColumn("f_short", (col("n_tok") < CascShortTok).cast("long"))
+      .withColumn("f_rep", expr(
+        s"CAST(size(grams) >= 1 AND (size(grams) - size(array_distinct(grams))) * 1000 div size(grams) > $CascDup2Pm AS LONG)"))
+      .withColumn("f_div", expr(
+        s"CAST(size(array_distinct(ws)) * 1000 div size(ws) < $CascDiversPm AS LONG)"))
+      .withColumn("n_fl", col("f_short") + col("f_rep") + col("f_div"))
+    flags.agg(
+        sum(col("f_short")).as("sh"),
+        sum(when(col("f_short") === 1 && col("n_fl") === 1, 1L).otherwise(0L)).as("sh_sole"),
+        sum(col("f_rep")).as("rep"),
+        sum(when(col("f_rep") === 1 && col("n_fl") === 1, 1L).otherwise(0L)).as("rep_sole"),
+        sum(col("f_div")).as("dv"),
+        sum(when(col("f_div") === 1 && col("n_fl") === 1, 1L).otherwise(0L)).as("dv_sole"),
+        sum(when(col("n_fl") > 0, 1L).otherwise(0L)).as("rej"),
+        sum(when(col("n_fl") === 0, 1L).otherwise(0L)).as("kept"))
+      .selectExpr("stack(4, " +
+        "'TOTAL', rej, kept, " +
+        "'low_diversity', dv, dv_sole, " +
+        "'repetitive', rep, rep_sole, " +
+        "'short', sh, sh_sole) AS (rule, n_flagged, n_sole)")
+      .orderBy(col("rule"))
+  }
+
+  // -------------------------------------------------------------------------
   // q113 — BPE merge trainer (rows-only + ST; iterative, not SQL-expressible)
   // -------------------------------------------------------------------------
 
@@ -673,6 +723,27 @@ object CurationQueries {
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q137_filter_cascade" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, len(ws) AS n_tok, " +
+        "CASE WHEN len(ws) >= 2 THEN list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS grams, " +
+        "len(list_distinct(ws)) * 1000 // len(ws) AS divers_pm FROM t), " +
+        s"f AS (SELECT doc_id, CASE WHEN n_tok < $CascShortTok THEN 1 ELSE 0 END AS f_short, " +
+        s"CASE WHEN len(grams) >= 1 AND (len(grams) - len(list_distinct(grams))) * 1000 // len(grams) > $CascDup2Pm THEN 1 ELSE 0 END AS f_rep, " +
+        s"CASE WHEN divers_pm < $CascDiversPm THEN 1 ELSE 0 END AS f_div FROM s), " +
+        "a AS (SELECT CAST(sum(f_short) AS BIGINT) AS sh, " +
+        "CAST(sum(CASE WHEN f_short = 1 AND f_short + f_rep + f_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sh_sole, " +
+        "CAST(sum(f_rep) AS BIGINT) AS rep, " +
+        "CAST(sum(CASE WHEN f_rep = 1 AND f_short + f_rep + f_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rep_sole, " +
+        "CAST(sum(f_div) AS BIGINT) AS dv, " +
+        "CAST(sum(CASE WHEN f_div = 1 AND f_short + f_rep + f_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dv_sole, " +
+        "CAST(sum(CASE WHEN f_short + f_rep + f_div > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rej, " +
+        "CAST(sum(CASE WHEN f_short + f_rep + f_div = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept FROM f) " +
+        "SELECT * FROM (SELECT 'TOTAL' AS rule, rej AS n_flagged, kept AS n_sole FROM a " +
+        "UNION ALL SELECT 'low_diversity', dv, dv_sole FROM a " +
+        "UNION ALL SELECT 'repetitive', rep, rep_sole FROM a " +
+        "UNION ALL SELECT 'short', sh, sh_sole FROM a) ORDER BY rule"),
     "q105_span_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         s"g0 AS (SELECT doc_id, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - $SpanGram)) AS pos, toks FROM t WHERE len(toks) >= $SpanGram), " +

@@ -589,9 +589,76 @@ object GeoStatsQueries {
     leaves.withColumnRenamed("n", "n_pages").orderBy(col("level"), col("cell"))
   }
 
+  // -------------------------------------------------------------------------
+  // q136 — emerging-hotspot classification (Mann-Kendall over the space-time cube)
+  // -------------------------------------------------------------------------
+
+  final val MkLevel = 3 // 8×8 cells
+  final val MkBuckets = 8
+  final val MkTau = 8L // |S| ≥ τ → trend (28 pairs max)
+
+  /** q136 — the space-time-cube "emerging hotspot" operator: per cell,
+    * the crawl-count time series over [[MkBuckets]] equal time buckets
+    * (zero-filled — absence is signal) scores the Mann-Kendall S
+    * statistic S = Σ_{i<j} sign(c_j − c_i), a PURE-INTEGER monotone-trend
+    * test (no distribution math), and classifies emerging (S ≥ τ),
+    * fading (S ≤ −τ) or stable. The density-DIRECTION audit q111/q122
+    * can't answer: not "where is it hot" but "where is it heating".
+    *
+    * Scale shape: one corpus shuffle to the (cell, bucket) counts; the
+    * zero-fill is a grid × [[MkBuckets]] broadcast expansion; the pair
+    * scoring is a (cell)-keyed self-join over ≤ MkBuckets rows per cell
+    * — grid-bounded everywhere after the first agg. Time bounds ride the
+    * lazy one-row broadcast (the q102 scalar shape). */
+  def emergingHotspots(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << MkLevel
+    val pg = pages(spark, sfDir)
+    val bounds = pg.agg(min(col("ts_sec")).as("mn"), max(col("ts_sec")).as("mx"))
+    val counts = pg.crossJoin(broadcast(bounds))
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"),
+        expr(s"(ts_sec - mn) * $MkBuckets div (mx - mn + 1)").as("b"))
+      .groupBy(col("cy"), col("cx"), col("b")).agg(count(lit(1)).as("c"))
+    import spark.implicits._
+    val buckets = (0L until MkBuckets.toLong).toDF("b")
+    val zfill = counts.select(col("cy"), col("cx")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(counts, Seq("cy", "cx", "b"), "left")
+      .select(col("cy"), col("cx"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val s = zfill.as("x").join(zfill.as("y"),
+        col("x.cy") === col("y.cy") && col("x.cx") === col("y.cx") &&
+          col("x.b") < col("y.b"))
+      .select(col("x.cy").as("cy"), col("x.cx").as("cx"),
+        signum(col("y.c") - col("x.c")).cast("long").as("sg"))
+      .groupBy(col("cy"), col("cx")).agg(sum(col("sg")).as("s_stat"))
+    s.select((col("cy") * p + col("cx")).as("cell3"), col("s_stat"),
+        when(col("s_stat") >= MkTau, lit("emerging"))
+          .when(col("s_stat") <= -MkTau, lit("fading"))
+          .otherwise(lit("stable")).as("trend"))
+      .orderBy(col("cell3"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q136_emerging_hotspots" -> {
+      val p = 1L << MkLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        "bd AS (SELECT min(ts_sec) AS mn, max(ts_sec) AS mx FROM pages), " +
+        s"cnt AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, " +
+        s"(ts_sec - bd.mn) * $MkBuckets // (bd.mx - bd.mn + 1) AS b, count(*) AS c " +
+        "FROM pages CROSS JOIN bd GROUP BY 1, 2, 3), " +
+        "cells AS (SELECT DISTINCT cy, cx FROM cnt), " +
+        s"zf AS (SELECT cells.cy, cells.cx, t.b, coalesce(cnt.c, 0) AS c " +
+        s"FROM cells CROSS JOIN (SELECT unnest(range(0, $MkBuckets)) AS b) t " +
+        "LEFT JOIN cnt ON cnt.cy = cells.cy AND cnt.cx = cells.cx AND cnt.b = t.b), " +
+        "s AS (SELECT x.cy, x.cx, CAST(sum(sign(y.c - x.c)) AS BIGINT) AS s_stat " +
+        "FROM zf x JOIN zf y ON x.cy = y.cy AND x.cx = y.cx AND x.b < y.b GROUP BY 1, 2) " +
+        s"SELECT cy * $p + cx AS cell3, s_stat, " +
+        s"CASE WHEN s_stat >= $MkTau THEN 'emerging' WHEN s_stat <= -$MkTau THEN 'fading' " +
+        "ELSE 'stable' END AS trend FROM s ORDER BY cell3"
+    },
     "q135_adaptive_grid" -> {
       val L = AdaptLevel
       val p = 1L << L

@@ -342,6 +342,33 @@ class CurationSpec extends SparkTestBase {
       "robots report lost pages — rule table does not cover every source")
   }
 
+  test("q137 filter cascade == brute rule replay; identities hold") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val flags = docs.map { case (_, text) =>
+      val ws = text.split(" ", -1)
+      val grams = if (ws.length >= 2) ws.sliding(2).map(_.mkString(" ")).toArray
+        else Array.empty[String]
+      val fShort = ws.length < CurationQueries.CascShortTok
+      val fRep = grams.nonEmpty &&
+        (grams.length - grams.distinct.length).toLong * 1000 / grams.length > CurationQueries.CascDup2Pm
+      val fDiv = ws.distinct.length.toLong * 1000 / ws.length < CurationQueries.CascDiversPm
+      (fShort, fRep, fDiv)
+    }
+    def cnt(f: ((Boolean, Boolean, Boolean)) => Boolean) = flags.count(f).toLong
+    val got = CurationQueries.filterCascade(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("short") === ((cnt(_._1), cnt(f => f._1 && !f._2 && !f._3))))
+    assert(got("repetitive") === ((cnt(_._2), cnt(f => f._2 && !f._1 && !f._3))))
+    assert(got("low_diversity") === ((cnt(_._3), cnt(f => f._3 && !f._1 && !f._2))))
+    assert(got("TOTAL") === ((cnt(f => f._1 || f._2 || f._3), cnt(f => !f._1 && !f._2 && !f._3))))
+    // conservation + every rule carries marginal value on the fixture
+    assert(got("TOTAL")._1 + got("TOTAL")._2 === docs.length.toLong)
+    Seq("short", "repetitive", "low_diversity").foreach { r =>
+      assert(got(r)._2 > 0, s"rule $r has zero sole rejections — vacuous on the fixture")
+    }
+  }
+
   test("q113 BPE trainer reproduces the hand-computed merge sequence") {
     // vocab: "abab"x2, "abc"x1 → pairs a·b: 2·2 + 1 = 5, b·a: 2, b·c: 1 →
     // merge (a,b,5); then ab·ab:2, ab·c:1 → merge (ab,ab,2); then (ab,c,1)

@@ -233,6 +233,36 @@ class GeoStatsSpec extends SparkTestBase {
     assert(dist.toSeq === rows.toSeq)
   }
 
+  test("q136 emerging hotspots == brute Mann-Kendall over zero-filled bucket series") {
+    val p = 1L << GeoStatsQueries.MkLevel
+    val nb = GeoStatsQueries.MkBuckets
+    val pts = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon", "ts_sec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val (mn, mx) = (pts.map(_._3).min, pts.map(_._3).max)
+    val series = pts.groupBy { case (lat, lon, _) =>
+      ((lat + 900).toLong * p / 1800, (lon + 1800).toLong * p / 3600)
+    }.map { case (cell, xs) =>
+      val buckets = Array.fill(nb)(0L)
+      xs.foreach { case (_, _, ts) => buckets((((ts - mn) * nb) / (mx - mn + 1)).toInt) += 1 }
+      cell -> buckets
+    }
+    val expect = series.map { case ((cy, cx), b) =>
+      var s = 0L
+      for (i <- 0 until nb; j <- i + 1 until nb) s += java.lang.Long.signum(b(j) - b(i))
+      (cy * p + cx) -> s
+    }
+    val got = GeoStatsQueries.emergingHotspots(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.map(r => r._1 -> r._2).toMap === expect)
+    got.foreach { case (_, s, trend) =>
+      assert(math.abs(s) <= nb.toLong * (nb - 1) / 2)
+      val want = if (s >= GeoStatsQueries.MkTau) "emerging"
+        else if (s <= -GeoStatsQueries.MkTau) "fading" else "stable"
+      assert(trend === want)
+    }
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
