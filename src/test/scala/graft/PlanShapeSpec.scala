@@ -157,7 +157,10 @@ class PlanShapeSpec extends SparkTestBase {
       // q134: footprint boxes (16 rows, broadcast) × their bounded cell
       // cover — the allocation explode, grid-bounded per box
       "q129_idw_surface", "q130_ring_decay", "q132_nb_confusion",
-      "q134_areal_interp")
+      "q134_areal_interp",
+      // q136: the ONE-row broadcast (mn, mx) ts bounds (q102 lazy-scalar
+      // shape) + the 8-row broadcast bucket table against the grid agg
+      "q136_emerging_hotspots")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
