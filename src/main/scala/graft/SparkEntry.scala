@@ -169,6 +169,8 @@ object SparkEntry {
     "q135_adaptive_grid" -> ((s, d) => GeoStatsQueries.adaptiveGrid(s, d)),
     "q136_emerging_hotspots" -> ((s, d) => GeoStatsQueries.emergingHotspots(s, d)),
     "q137_filter_cascade" -> ((s, d) => CurationQueries.filterCascade(s, d)),
+    "q138_territory" -> ((s, d) => GeoStatsQueries.territoryAssign(s, d)),
+    "q139_chunk_registry" -> ((s, d) => IndexStoreQueries.chunkRegistryAudit(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

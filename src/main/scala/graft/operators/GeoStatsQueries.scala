@@ -638,9 +638,58 @@ object GeoStatsQueries {
       .orderBy(col("cell3"))
   }
 
+  // -------------------------------------------------------------------------
+  // q138 — territory assignment (discrete Voronoi / nearest-facility allocation)
+  // -------------------------------------------------------------------------
+
+  final val TerrLevel = 6
+
+  /** q138 — discrete Voronoi partition of the occupied grid: every
+    * occupied level-[[TerrLevel]] cell is assigned to its nearest
+    * footprint CENTER by squared integer grid distance (ties → lower
+    * fp_id); the report is per-territory cell and page counts — the
+    * nearest-facility allocation that answers "which region of interest
+    * does each crawled area belong to".
+    *
+    * Scale shape: one corpus partial-agg shuffle to the occupied-cell
+    * counts, a 16-row broadcast center table, an argmin AGGREGATION per
+    * cell (map-side combinable — never a per-cell window over the
+    * corpus), one territory-sized agg. */
+  def territoryAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << TerrLevel
+    val centers = Footprints.boxesDf(spark).select(col("fp_id"),
+      expr(s"((ilat0 + ilat1 + 1800) div 2) * $p div 1800").as("ccy"),
+      expr(s"((ilon0 + ilon1 + 3600) div 2) * $p div 3600").as("ccx"))
+    val occ = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+    occ.crossJoin(broadcast(centers))
+      .withColumn("d2",
+        (col("cy") - col("ccy")) * (col("cy") - col("ccy")) +
+          (col("cx") - col("ccx")) * (col("cx") - col("ccx")))
+      .groupBy(col("cy"), col("cx"), col("c"))
+      .agg(min_by(col("fp_id"), struct(col("d2"), col("fp_id"))).as("fp_id"))
+      .groupBy(col("fp_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n_pages"))
+      .orderBy(col("fp_id"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q138_territory" -> {
+      val p = 1L << TerrLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"ctr AS (SELECT fp_id, ((ilat0 + ilat1 + 1800) // 2) * $p // 1800 AS ccy, " +
+        s"((ilon0 + ilon1 + 3600) // 2) * $p // 3600 AS ccx FROM ${Footprints.sqlValues}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, count(*) AS c FROM pages GROUP BY 1, 2), " +
+        "a AS (SELECT cy, cx, c, fp_id, row_number() OVER (PARTITION BY cy, cx ORDER BY " +
+        "(cy - ccy) * (cy - ccy) + (cx - ccx) * (cx - ccx), fp_id) AS rn FROM occ CROSS JOIN ctr) " +
+        "SELECT fp_id, count(*) AS n_cells, CAST(sum(c) AS BIGINT) AS n_pages " +
+        "FROM a WHERE rn = 1 GROUP BY fp_id ORDER BY fp_id"
+    },
     "q136_emerging_hotspots" -> {
       val p = 1L << MkLevel
       s"WITH pages AS (${Pages.oracleCte}), " +

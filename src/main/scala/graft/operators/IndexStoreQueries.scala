@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.SnapshotTable
@@ -45,7 +46,11 @@ object IndexStoreQueries {
   /** Hold out vec_id % TrainMod == TrainMod-1 as the post-training append. */
   final val TrainMod = 4
 
-  private def isHoldout = col("vec_id") % TrainMod === TrainMod - 1
+  /** Holdout predicate over the given id column (vec_id for the IVF
+    * index, doc_id for the chunk registry). */
+  private def holdout(c: org.apache.spark.sql.Column) = c % TrainMod === TrainMod - 1
+  private def isHoldout = holdout(col("vec_id"))
+  private def isDocHoldout = holdout(col("doc_id"))
 
   /** Build-once persisted IVF index table for `sfDir`; returns its root. */
   private def indexRoot(spark: SparkSession, sfDir: String): String =
@@ -141,6 +146,79 @@ object IndexStoreQueries {
     CurationQueries.encodeWithMerges(spark, sfDir, merges)
   }
 
+  // -------------------------------------------------------------------------
+  // q139 — incremental chunk-dedup registry (dedup's IVM)
+  // -------------------------------------------------------------------------
+
+  /** Chunk stream (doc_id, source, ts_sec, cidx, h = md5(chunk)) with
+    * q88's exact chunking (width = TextQueries.ChunkWords). */
+  private def chunkStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = TextQueries.ChunkWords
+    val chunks = expr(
+      s"transform(sequence(0, int((size(split(text, ' ')) - 1) div $w)), " +
+        s"i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))")
+    graft.sources.Pages.fromDocuments(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("ts_sec"),
+        posexplode(chunks).as(Seq("cidx", "chunk")))
+      .select(col("doc_id"), col("source"), col("ts_sec"), col("cidx"),
+        md5(col("chunk")).as("h"))
+  }
+
+  /** Build-once persisted chunk-hash registry: snapshot 1 = the distinct
+    * chunk digests of the base corpus (doc_id % TrainMod ≠ TrainMod−1);
+    * snapshot 2 appends the delta's NEW digests (anti-joined against the
+    * stored set — the registry only ever grows by what it hasn't seen). */
+  private def registryRoot(spark: SparkSession, sfDir: String): String =
+    graft.jobs.IngestJob.cachedTable("graft-chunk-registry", sfDir, 2L, ver = 1) {
+      (stage, finalRoot) =>
+        val cs = chunkStream(spark, sfDir)
+        def part(seq: Long, df: DataFrame, name: String): PartitionEntry = {
+          df.write.mode(SaveMode.Overwrite).parquet(s"$stage/data/$name")
+          PartitionEntry(seq, name, s"$finalRoot/data/$name", df.count(), 0, 0, 0, 0, 0L, 0L)
+        }
+        val base = cs.filter(!isDocHoldout).select(col("h")).distinct()
+        val a = part(1, base, "base")
+        SnapshotTable.commitSnapshot(stage, Snapshot(1, 1, IndexedSeq(a), base.schema.toDDL))
+        val stored = spark.read.parquet(s"$stage/data/base")
+        val newH = cs.filter(isDocHoldout).select(col("h")).distinct()
+          .join(stored, Seq("h"), "left_anti")
+        val b = part(2, newH, "delta")
+        SnapshotTable.commitSnapshot(stage, Snapshot(2, 1, IndexedSeq(a, b), base.schema.toDDL))
+    }
+
+  /** q139 — incremental dedup against the PERSISTED registry: the delta's
+    * chunks classify as dup-of-registry (digest already stored), dup-
+    * within-delta (first seen earlier IN this delta by (ts, doc_id,
+    * cidx)), or new — the q88 corpus dedup restated so a daily batch
+    * checks only ITSELF plus the bounded registry, never re-deduping the
+    * archive (dedup's q103-IVM). Report per source.
+    *
+    * Scale shape: delta chunking is map-side; the registry probe is one
+    * digest equi-join (bucketable at 100 TB); the within-delta window
+    * keys on the digest (delta-bounded partitions); plan gate: the query
+    * scans the stored base registry + the delta rows, never snapshot 2's
+    * materialized additions (it IS the refresh). */
+  def chunkRegistryAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = registryRoot(spark, sfDir)
+    val snap1 = SnapshotTable.snapshotAt(root, 1).get
+    val stored = spark.read.parquet(snap1.parts.map(_.path): _*)
+      .select(col("h"), lit(1L).as("in_reg"))
+    val w = Window.partitionBy(col("h")).orderBy(col("ts_sec"), col("doc_id"), col("cidx"))
+    chunkStream(spark, sfDir).filter(isDocHoldout)
+      .join(stored, Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("source"),
+        when(col("in_reg").isNotNull, "dup_stored")
+          .when(col("rn") > 1, "dup_delta")
+          .otherwise("new").as("cls"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cls") === "dup_stored", 1L).otherwise(0L)).as("n_dup_stored"),
+        sum(when(col("cls") === "dup_delta", 1L).otherwise(0L)).as("n_dup_delta"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"))
+      .orderBy(col("source"))
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   /** q98's oracle CTE chain with training restricted to the snapshot-1
@@ -198,6 +276,24 @@ object IndexStoreQueries {
           "CAST(nq * nn AS DOUBLE) * 1000000) AS BIGINT) AS cos_m FROM d), " +
           "r AS (SELECT qid, vec_id, cos_m, row_number() OVER (PARTITION BY qid ORDER BY cos_m DESC, vec_id) AS rnk FROM cm) " +
           "SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cos_m FROM r WHERE rnk <= 5 ORDER BY qid, rnk"),
+      "q139_chunk_registry" -> {
+        val w = TextQueries.ChunkWords
+        val hold = s"doc_id % $TrainMod = ${TrainMod - 1}"
+        "WITH w0 AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word, " +
+          "generate_subscripts(string_split(text, ' '), 1) AS ord FROM documents), " +
+          s"cs AS (SELECT doc_id, source, ${graft.sources.Pages.Epoch} + doc_id * 137 AS ts_sec, " +
+          s"(ord - 1) // $w AS cidx, md5(string_agg(word, ' ' ORDER BY ord)) AS h " +
+          s"FROM w0 GROUP BY doc_id, source, (ord - 1) // $w), " +
+          s"reg AS (SELECT DISTINCT h FROM cs WHERE NOT ($hold)), " +
+          "d AS (SELECT cs.source, CASE WHEN reg.h IS NOT NULL THEN 1 ELSE 0 END AS in_reg, " +
+          "row_number() OVER (PARTITION BY cs.h ORDER BY cs.ts_sec, cs.doc_id, cs.cidx) AS rn " +
+          s"FROM cs LEFT JOIN reg ON cs.h = reg.h WHERE $hold) " +
+          "SELECT source, count(*) AS n_chunks, " +
+          "CAST(sum(CASE WHEN in_reg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_stored, " +
+          "CAST(sum(CASE WHEN in_reg = 0 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_delta, " +
+          "CAST(sum(CASE WHEN in_reg = 0 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new " +
+          "FROM d GROUP BY source ORDER BY source"
+      },
       "q128_index_delta" ->
         (s"WITH $servedCtes " +
           s"SELECT cid, CAST(sum(CASE WHEN vec_id % $TrainMod <> ${TrainMod - 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +

@@ -160,7 +160,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q134_areal_interp",
       // q136: the ONE-row broadcast (mn, mx) ts bounds (q102 lazy-scalar
       // shape) + the 8-row broadcast bucket table against the grid agg
-      "q136_emerging_hotspots")
+      "q136_emerging_hotspots",
+      // q138: the 16-row broadcast footprint-center table crossed against
+      // the grid-sized count agg (argmin aggregation — the q130 shape)
+      "q138_territory")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

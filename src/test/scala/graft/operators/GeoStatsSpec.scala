@@ -263,6 +263,30 @@ class GeoStatsSpec extends SparkTestBase {
     }
   }
 
+  test("q138 territory assignment == brute nearest-center allocation; conservation") {
+    val p = 1L << GeoStatsQueries.TerrLevel
+    val pts = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val centers = Footprints.boxes.map(b => (b.fpId,
+      ((b.ilat0 + b.ilat1 + 1800).toLong / 2) * p / 1800,
+      ((b.ilon0 + b.ilon1 + 3600).toLong / 2) * p / 3600))
+    val occ = pts.groupBy { case (lat, lon) =>
+      ((lat + 900).toLong * p / 1800, (lon + 1800).toLong * p / 3600)
+    }.view.mapValues(_.length.toLong)
+    val expect = occ.toSeq.map { case ((cy, cx), c) =>
+      val fp = centers.minBy { case (id, ccy, ccx) =>
+        ((cy - ccy) * (cy - ccy) + (cx - ccx) * (cx - ccx), id)
+      }._1
+      (fp, c)
+    }.groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum))
+      .toMap
+    val got = GeoStatsQueries.territoryAssign(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._2).sum === pts.length.toLong, "territories lost pages")
+    assert(got.values.map(_._1).sum === occ.size.toLong, "territories lost cells")
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>

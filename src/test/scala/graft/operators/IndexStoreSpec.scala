@@ -65,6 +65,42 @@ class IndexStoreSpec extends SparkTestBase {
       s"refresh read the materialized delta it is supposed to compute:\n${roots.mkString("\n")}")
   }
 
+  test("q139 chunk registry: classes conserve; audit scans base registry, never the stored delta") {
+    val df = IndexStoreQueries.chunkRegistryAudit(spark, sf001)
+    val roots = scanRoots(df)
+    assert(roots.exists(_.contains("data/base")), roots.mkString("\n"))
+    assert(roots.exists(_.contains("documents.parquet")), roots.mkString("\n"))
+    assert(!roots.exists(_.contains("data/delta")),
+      s"audit read the materialized registry additions:\n${roots.mkString("\n")}")
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per-source class partition
+    rows.foreach(r => assert(r._2 === r._3 + r._4 + r._5, s"classes lost chunks: $r"))
+    // the fixture exercises every class
+    assert(rows.map(_._3).sum > 0, "no dup-of-registry chunks — registry probe vacuous")
+    assert(rows.map(_._4).sum > 0, "no within-delta dups")
+    assert(rows.map(_._5).sum > 0, "no new chunks")
+    // registry-growth law: the audit's NEW count equals the distinct new
+    // digests snapshot 2 committed (first-in-delta occurrences are the
+    // registry additions)
+    val w = graft.operators.TextQueries.ChunkWords
+    val delta = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % IndexStoreQueries.TrainMod === IndexStoreQueries.TrainMod - 1)
+      .selectExpr(
+        s"explode(transform(sequence(0, int((size(split(text, ' ')) - 1) div $w)), " +
+          s"i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))) AS chunk")
+      .select(md5(col("chunk")).as("h"))
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % IndexStoreQueries.TrainMod =!= IndexStoreQueries.TrainMod - 1)
+      .selectExpr(
+        s"explode(transform(sequence(0, int((size(split(text, ' ')) - 1) div $w)), " +
+          s"i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))) AS chunk")
+      .select(md5(col("chunk")).as("h")).distinct()
+    val wantNew = delta.distinct().join(base, Seq("h"), "left_anti").count()
+    assert(rows.map(_._5).sum === wantNew)
+  }
+
   test("BPE artifact: served encode is row-identical to the train-in-query q123") {
     val trained = CurationQueries.bpeEncode(spark, sf001).collect().map(_.toSeq).toSeq
     val served = IndexStoreQueries.bpeEncodeServed(spark, sf001).collect().map(_.toSeq).toSeq
