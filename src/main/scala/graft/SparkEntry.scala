@@ -171,6 +171,7 @@ object SparkEntry {
     "q137_filter_cascade" -> ((s, d) => CurationQueries.filterCascade(s, d)),
     "q138_territory" -> ((s, d) => GeoStatsQueries.territoryAssign(s, d)),
     "q139_chunk_registry" -> ((s, d) => IndexStoreQueries.chunkRegistryAudit(s, d)),
+    "q140_density_gradient" -> ((s, d) => GeoStatsQueries.densityGradient(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -675,9 +675,79 @@ object GeoStatsQueries {
       .orderBy(col("fp_id"))
   }
 
+  // -------------------------------------------------------------------------
+  // q140 — density gradient field (integer Sobel on the cell grid)
+  // -------------------------------------------------------------------------
+
+  final val GradTopK = 20
+
+  /** q140 — crawl-density GRADIENT field: the 3×3 integer Sobel operator
+    * ([[−1 0 1][−2 0 2][−1 0 1]] and its transpose) over the per-cell
+    * counts gives (gx, gy) per cell; magnitude is the L1 |gx| + |gy|
+    * (sqrt-free) and direction classifies 8-way by pure sign/ratio
+    * comparisons (|gx| > 2|gy| → E/W, |gy| > 2|gx| → N/S, else the
+    * diagonal) — the raster-algebra slope/aspect analog telling a crawl
+    * planner WHERE density falls off fastest and in which direction.
+    * Top-[[GradTopK]] cells by (magnitude desc, cell).
+    *
+    * Scale shape: q111's — one corpus partial-agg shuffle to the grid,
+    * a 9-row broadcast kernel scatter carrying BOTH kernels per offset,
+    * one grid-sized agg. */
+  def densityGradient(spark: SparkSession, sfDir: String, topK: Int = GradTopK): DataFrame = {
+    val p = 1L << KdeLevel
+    val occ = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+    // (dy, dx, wx, wy): Sobel-x weights and Sobel-y weights per offset
+    val offsets = Seq(
+      (-1L, -1L, -1L, -1L), (-1L, 0L, 0L, -2L), (-1L, 1L, 1L, -1L),
+      (0L, -1L, -2L, 0L), (0L, 0L, 0L, 0L), (0L, 1L, 2L, 0L),
+      (1L, -1L, -1L, 1L), (1L, 0L, 0L, 2L), (1L, 1L, 1L, 1L))
+    import spark.implicits._
+    val off = offsets.toDF("dy", "dx", "wx", "wy")
+    occ.crossJoin(broadcast(off))
+      .select((col("cy") + col("dy")).as("ty"), (col("cx") + col("dx")).as("tx"),
+        (col("wx") * col("c")).as("cx_contrib"), (col("wy") * col("c")).as("cy_contrib"))
+      .filter(col("ty") >= 0 && col("ty") < p && col("tx") >= 0 && col("tx") < p)
+      .groupBy(col("ty"), col("tx"))
+      .agg(sum(col("cx_contrib")).as("gx"), sum(col("cy_contrib")).as("gy"))
+      .select((col("ty") * p + col("tx")).as("cell6"), col("gx"), col("gy"),
+        (abs(col("gx")) + abs(col("gy"))).as("mag"),
+        when(abs(col("gx")) > abs(col("gy")) * 2,
+            when(col("gx") > 0, "E").otherwise("W"))
+          .when(abs(col("gy")) > abs(col("gx")) * 2,
+            when(col("gy") > 0, "S").otherwise("N"))
+          .when(col("gx") >= 0 && col("gy") >= 0, "SE")
+          .when(col("gx") >= 0 && col("gy") < 0, "NE")
+          .when(col("gx") < 0 && col("gy") >= 0, "SW")
+          .otherwise("NW").as("dir"))
+      .filter(col("mag") > 0)
+      .orderBy(col("mag").desc, col("cell6"))
+      .limit(topK)
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q140_density_gradient" -> {
+      val p = 1L << KdeLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"occ AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, count(*) AS c FROM pages GROUP BY 1, 2), " +
+        "off AS (SELECT * FROM (VALUES (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1), " +
+        "(0, -1, -2, 0), (0, 0, 0, 0), (0, 1, 2, 0), (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1)) AS o(dy, dx, wx, wy)), " +
+        "g AS (SELECT occ.cy + off.dy AS ty, occ.cx + off.dx AS tx, " +
+        "CAST(sum(off.wx * occ.c) AS BIGINT) AS gx, CAST(sum(off.wy * occ.c) AS BIGINT) AS gy " +
+        s"FROM occ CROSS JOIN off WHERE occ.cy + off.dy >= 0 AND occ.cy + off.dy < $p " +
+        s"AND occ.cx + off.dx >= 0 AND occ.cx + off.dx < $p GROUP BY 1, 2), " +
+        "m AS (SELECT ty * " + p + " + tx AS cell6, gx, gy, abs(gx) + abs(gy) AS mag, " +
+        "CASE WHEN abs(gx) > abs(gy) * 2 THEN (CASE WHEN gx > 0 THEN 'E' ELSE 'W' END) " +
+        "WHEN abs(gy) > abs(gx) * 2 THEN (CASE WHEN gy > 0 THEN 'S' ELSE 'N' END) " +
+        "WHEN gx >= 0 AND gy >= 0 THEN 'SE' WHEN gx >= 0 AND gy < 0 THEN 'NE' " +
+        "WHEN gx < 0 AND gy >= 0 THEN 'SW' ELSE 'NW' END AS dir FROM g) " +
+        s"SELECT cell6, gx, gy, mag, dir FROM m WHERE mag > 0 ORDER BY mag DESC, cell6 LIMIT $GradTopK"
+    },
     "q138_territory" -> {
       val p = 1L << TerrLevel
       s"WITH pages AS (${Pages.oracleCte}), " +

@@ -163,7 +163,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q136_emerging_hotspots",
       // q138: the 16-row broadcast footprint-center table crossed against
       // the grid-sized count agg (argmin aggregation — the q130 shape)
-      "q138_territory")
+      "q138_territory",
+      // q140: the 9-row broadcast Sobel kernel crossed against the
+      // grid-sized count agg (the q111/q129 scatter shape)
+      "q140_density_gradient")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

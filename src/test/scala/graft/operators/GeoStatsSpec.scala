@@ -287,6 +287,45 @@ class GeoStatsSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum === occ.size.toLong, "territories lost cells")
   }
 
+  test("q140 density gradient == brute Sobel; direction classes agree with the vector") {
+    val p = 1L << GeoStatsQueries.KdeLevel
+    val occ = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon").collect()
+      .map(r => (((r.getInt(0) + 900).toLong * p / 1800), ((r.getInt(1) + 1800).toLong * p / 3600)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def g(ty: Long, tx: Long): (Long, Long) = {
+      var gx = 0L; var gy = 0L
+      val k = Seq((-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1), (0, -1, -2, 0),
+        (0, 1, 2, 0), (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1))
+      // the operator scatters source→(cy+dy, cx+dx) with weight w, so
+      // target t sums w·c over sources s = t − d
+      for ((dy, dx, wx, wy) <- k) {
+        val c = occ.getOrElse((ty - dy, tx - dx), 0L)
+        gx += wx * c; gy += wy * c
+      }
+      (gx, gy)
+    }
+    val rows = GeoStatsQueries.densityGradient(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty && rows.length <= GeoStatsQueries.GradTopK)
+    rows.foreach { case (cell, gx, gy, mag, dir) =>
+      val (ty, tx) = (cell / p, cell % p)
+      val (wgx, wgy) = g(ty, tx)
+      assert((gx, gy) === ((wgx, wgy)), s"Sobel diverged at cell $cell")
+      assert(mag === math.abs(gx) + math.abs(gy))
+      val want =
+        if (math.abs(gx) > 2 * math.abs(gy)) { if (gx > 0) "E" else "W" }
+        else if (math.abs(gy) > 2 * math.abs(gx)) { if (gy > 0) "S" else "N" }
+        else if (gx >= 0 && gy >= 0) "SE"
+        else if (gx >= 0 && gy < 0) "NE"
+        else if (gx < 0 && gy >= 0) "SW"
+        else "NW"
+      assert(dir === want)
+    }
+    // top-k really is the magnitude order
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
