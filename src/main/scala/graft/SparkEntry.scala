@@ -172,6 +172,8 @@ object SparkEntry {
     "q138_territory" -> ((s, d) => GeoStatsQueries.territoryAssign(s, d)),
     "q139_chunk_registry" -> ((s, d) => IndexStoreQueries.chunkRegistryAudit(s, d)),
     "q140_density_gradient" -> ((s, d) => GeoStatsQueries.densityGradient(s, d)),
+    "q141_location_quotient" -> ((s, d) => GeoStatsQueries.locationQuotient(s, d)),
+    "q142_vocab_coverage" -> ((s, d) => ClassifierQueries.vocabCoverage(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

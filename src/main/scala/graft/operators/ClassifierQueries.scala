@@ -123,6 +123,42 @@ object ClassifierQueries {
       .orderBy(col("bin"))
   }
 
+  // -------------------------------------------------------------------------
+  // q142 — vocabulary coverage curve (the Zipf audit behind vocab sizing)
+  // -------------------------------------------------------------------------
+
+  final val VocabKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** q142 — cumulative token-mass coverage of the top-k vocabulary for a
+    * ladder of k values: coverage(k) = Σ count over rank ≤ k · 1000 div
+    * total — the curve that decides how big a tokenizer vocabulary must
+    * be before the tail stops mattering (a steep curve = Zipf-friendly
+    * corpus). The fixture grammar holds ~31 types, so the ladder stays
+    * small; at web scale the SAME plan runs with k up to 10^6.
+    *
+    * Scale shape: vocabulary agg (Heaps-sublinear) → the DISTRIBUTED
+    * rank ([[Ranks]]; never a single-task sort) → one ladder × vocab
+    * broadcast classification + partial agg to |ladder| rows; the total
+    * rides the lazy one-row broadcast. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Ranks.distributed(
+      docs(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c")),
+      col("c").desc, col("token"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    import spark.implicits._
+    val ks = VocabKs.toDF("k")
+    vocab.crossJoin(broadcast(ks))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("mass"), count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_types"), col("mass"),
+        expr("(mass * 1000) div total").as("coverage_pm"))
+      .orderBy(col("k"))
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   def oracle: Map[String, String] = Map(
@@ -145,6 +181,16 @@ object ClassifierQueries {
         "(PARTITION BY doc_id ORDER BY score DESC, ml) AS rn FROM sc) " +
         "SELECT true_lang, ml AS pred_lang, count(*) AS n_docs FROM p WHERE rn = 1 " +
         "GROUP BY true_lang, ml ORDER BY true_lang, pred_lang"),
+    "q142_vocab_coverage" ->
+      (s"WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "v AS (SELECT token, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, token) AS rnk " +
+        "FROM tok GROUP BY token), " +
+        "tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v), " +
+        s"ks AS (SELECT unnest([${VocabKs.mkString(", ")}]) AS k) " +
+        "SELECT CAST(ks.k AS BIGINT) AS k, count(*) AS n_types, CAST(sum(v.c) AS BIGINT) AS mass, " +
+        "CAST((sum(v.c) * 1000) // tt.total AS BIGINT) AS coverage_pm " +
+        "FROM v JOIN ks ON v.rnk <= ks.k CROSS JOIN tt " +
+        "GROUP BY ks.k, tt.total ORDER BY k"),
     "q133_packing_balance" ->
       (s"WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk FROM d), " +

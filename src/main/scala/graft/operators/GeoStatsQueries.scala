@@ -727,9 +727,65 @@ object GeoStatsQueries {
       .limit(topK)
   }
 
+  // -------------------------------------------------------------------------
+  // q141 — location quotient (regional specialization)
+  // -------------------------------------------------------------------------
+
+  final val LqLevel = 3
+  final val LqMinPages = 5L
+
+  /** q141 — location quotient per (cell, lang): the cell's language share
+    * relative to the corpus-wide share, in permille —
+    * LQ = (n_cell_lang · total) · 1000 div (n_cell · total_lang) — the
+    * regional-specialization statistic (LQ ≫ 1000 = this language
+    * concentrates here). Cells with fewer than [[LqMinPages]] pages of
+    * the language are suppressed (small-sample LQ is noise). All
+    * integer; products ≤ 1e3·corpus² stay far below 2^63.
+    *
+    * Scale shape: one corpus partial-agg shuffle to the (cell, lang)
+    * counts; cell totals and language totals are grid- and
+    * nLangs-sized rollups of it; totals broadcast back (the q109
+    * factor-join shape). */
+  def locationQuotient(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1L << LqLevel
+    val cl = pages(spark, sfDir)
+      .select(floor((col("ilat") + 900) * p / 1800).cast("long").as("cy"),
+        floor((col("ilon") + 1800) * p / 3600).cast("long").as("cx"), col("lang"))
+      .groupBy(col("cy"), col("cx"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    graft.util.CacheBag.register(cl)
+    val cellTot = cl.groupBy(col("cy"), col("cx")).agg(sum(col("n")).as("n_cell"))
+    val langTot = cl.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val total = cl.agg(sum(col("n")).as("total"))
+    cl.filter(col("n") >= LqMinPages)
+      .join(cellTot, Seq("cy", "cx"))
+      .join(broadcast(langTot), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .select((col("cy") * p + col("cx")).as("cell3"), col("lang"),
+        col("n").as("n_pages"),
+        expr("(n * total * 1000) div (n_cell * n_lang)").as("lq_pm"))
+      .orderBy(col("cell3"), col("lang"))
+  }
+
   // ---- oracle twins -------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q141_location_quotient" -> {
+      val p = 1L << LqLevel
+      s"WITH pages AS (${Pages.oracleCte}), " +
+        s"cl AS (SELECT CAST(floor((ilat + 900) * $p / 1800.0) AS BIGINT) AS cy, " +
+        s"CAST(floor((ilon + 1800) * $p / 3600.0) AS BIGINT) AS cx, lang, count(*) AS n " +
+        "FROM pages GROUP BY 1, 2, 3), " +
+        "ct AS (SELECT cy, cx, CAST(sum(n) AS BIGINT) AS n_cell FROM cl GROUP BY 1, 2), " +
+        "lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cl GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cl) " +
+        s"SELECT cl.cy * $p + cl.cx AS cell3, cl.lang, cl.n AS n_pages, " +
+        "CAST((cl.n * tt.total * 1000) // (ct.n_cell * lt.n_lang) AS BIGINT) AS lq_pm " +
+        "FROM cl JOIN ct ON cl.cy = ct.cy AND cl.cx = ct.cx " +
+        "JOIN lt ON cl.lang = lt.lang CROSS JOIN tt " +
+        s"WHERE cl.n >= $LqMinPages ORDER BY cell3, cl.lang"
+    },
     "q140_density_gradient" -> {
       val p = 1L << KdeLevel
       s"WITH pages AS (${Pages.oracleCte}), " +

@@ -166,7 +166,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q138_territory",
       // q140: the 9-row broadcast Sobel kernel crossed against the
       // grid-sized count agg (the q111/q129 scatter shape)
-      "q140_density_gradient")
+      "q140_density_gradient",
+      // q141/q142: ONE-row broadcast corpus totals (q102 lazy-scalar
+      // shape) + a ≤6-row k-ladder crossed against the vocab/grid aggs
+      "q141_location_quotient", "q142_vocab_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

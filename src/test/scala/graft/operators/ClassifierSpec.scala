@@ -39,6 +39,33 @@ class ClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("q142 vocab coverage: monotone in k; saturates at full vocabulary") {
+    val rows = ClassifierQueries.vocabCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.util.CacheBag.release()
+    assert(rows.map(_._1).toSeq === ClassifierQueries.VocabKs)
+    // coverage and type counts are nondecreasing in k
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"non-monotone: $a -> $b")
+      case _ =>
+    }
+    // brute recompute against the raw token stream
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t")).collect().map(_.getString(0))
+    val byRank = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    rows.foreach { case (k, nTypes, mass, cov) =>
+      val top = byRank.take(k.toInt)
+      assert(nTypes === top.length.toLong)
+      assert(mass === top.map(_._2).sum)
+      assert(cov === mass * 1000 / total)
+    }
+    // the ladder's top rung covers the full (31-type) fixture vocabulary
+    assert(rows.last._4 === 1000L, "ladder must saturate on the fixture")
+  }
+
   test("q133 packing balance: conservation + the longest-first round-robin bound") {
     val rows = ClassifierQueries.packingBalance(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -326,6 +326,29 @@ class GeoStatsSpec extends SparkTestBase {
     assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq)
   }
 
+  test("q141 location quotient == brute share-ratio recompute; suppression respected") {
+    val p = 1L << GeoStatsQueries.LqLevel
+    val pts = graft.sources.Pages.fromDocuments(spark, sf0001)
+      .select("ilat", "ilon", "lang").collect()
+      .map(r => (((r.getInt(0) + 900).toLong * p / 1800) * p +
+        ((r.getInt(1) + 1800).toLong * p / 3600), r.getString(2)))
+    val total = pts.length.toLong
+    val byCellLang = pts.groupBy(identity).view.mapValues(_.length.toLong)
+    val byCell = pts.groupBy(_._1).view.mapValues(_.length.toLong)
+    val byLang = pts.groupBy(_._2).view.mapValues(_.length.toLong)
+    val expect = byCellLang.toSeq.collect {
+      case ((cell, lang), n) if n >= GeoStatsQueries.LqMinPages =>
+        (cell, lang) -> ((n, n * total * 1000 / (byCell(cell) * byLang(lang))))
+    }.toMap
+    val got = GeoStatsQueries.locationQuotient(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    graft.util.CacheBag.release()
+    assert(got === expect)
+    assert(got.nonEmpty && got.values.forall(_._2 > 0))
+    // some specialization exists on the fixture (not all LQ ≡ 1000)
+    assert(got.values.exists(v => v._2 != 1000L))
+  }
+
   test("q112 dissolve area == brute rasterized union; bounded by box sums") {
     val layers = Footprints.boxes.groupBy(_.fpId % 3)
     val expect = layers.toSeq.sortBy(_._1).map { case (layer, boxes) =>
