@@ -190,8 +190,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // subsequent loadTable reads surface p_date as usual
     new GraftTable(root, ddlStruct, SnapshotTable.currentSnapshot(root))
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** ALTER TABLE: ONLY additive, nullable, top-level ADD COLUMN — the
+    * schema-on-read evolution this format already supports (old data
+    * files simply lack the column and read as null; appends after the
+    * ALTER must supply it, enforced by the DDL contract). The change
+    * commits a new snapshot referencing the SAME partitions with the
+    * widened DDL and a bumped schema_ver (reader-side migrations stay
+    * keyed on it). Everything else (drop/rename/type change/nested/
+    * NOT NULL) stays refused — those rewrite data or break old readers. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val cur = SnapshotTable.currentSnapshot(root).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+    val base = StructType.fromDDL(cur.schemaDdl)
+    val updated = changes.foldLeft(base) {
+      case (sch, add: TableChange.AddColumn)
+          if add.fieldNames().length == 1 && add.isNullable =>
+        val name = add.fieldNames().head
+        if (sch.fieldNames.contains(name) || name == "p_date")
+          throw new IllegalArgumentException(s"column $name already exists")
+        sch.add(name, add.dataType(), nullable = true)
+      case (_, ch) =>
+        readOnly(s"ALTER TABLE ${ch.getClass.getSimpleName} — only additive " +
+          "nullable top-level ADD COLUMN evolves in place")
+    }
+    SnapshotTable.commitSnapshot(root, cur.copy(seq = cur.seq + 1,
+      schemaVer = cur.schemaVer + 1, schemaDdl = updated.toDDL, tsMs = 0L))
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")

@@ -460,10 +460,23 @@ private[sources] class GraftRelation(ctx: SQLContext, snap: SnapshotTable.Snapsh
         spark.createDataFrame(new java.util.ArrayList[Row](), required)
       else keep.groupBy(_.pDate).toSeq.sortBy(_._1).map { case (d, es) =>
         // merge-on-read deletes apply BEFORE column pruning (the
-        // doc_id identity column need not be in the required set)
-        SnapshotTable.applyDeletes(spark, es)
+        // doc_id identity column need not be in the required set).
+        // The read schema is the snapshot's recorded DDL contract, NOT
+        // footer inference: after an additive ALTER the group mixes old
+        // and new files, and a single-footer inference would drop the new
+        // column for the whole group
+        val contract = Option(snap.schemaDdl).filter(_.nonEmpty)
+          .map(StructType.fromDDL)
+        val part = SnapshotTable.applyDeletes(spark, es, contract)
           .withColumn("p_date", lit(d))
-          .select(cols.map(col): _*)
+        // schema-on-read: files written BEFORE an ALTER TABLE ADD COLUMN
+        // lack the column — surface typed nulls so every snapshot reads
+        // through the current schema
+        val widened = required.fields.foldLeft(part) { (acc, f) =>
+          if (acc.columns.contains(f.name)) acc
+          else acc.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        widened.select(cols.map(col): _*)
       }.reduce(_.unionByName(_))
     df.rdd
   }

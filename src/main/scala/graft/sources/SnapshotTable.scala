@@ -517,7 +517,16 @@ object SnapshotTable {
     * so the fast path stays a single parquet read; delete sets are
     * commit-bounded and broadcast. */
   def applyDeletes(spark: SparkSession,
-      entries: Seq[PartitionEntry]): DataFrame = {
+      entries: Seq[PartitionEntry]): DataFrame =
+    applyDeletes(spark, entries, None)
+
+  /** `readSchema` (when given) pins the parquet read schema instead of
+    * footer inference — files written BEFORE an additive ALTER lack the
+    * new column, and single-footer inference would drop it for the whole
+    * multi-path group (schema-on-read: absent columns surface as typed
+    * nulls, no mergeSchema footer sweep needed at scale). */
+  def applyDeletes(spark: SparkSession, entries: Seq[PartitionEntry],
+      readSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(entries.nonEmpty, "applyDeletes needs at least one entry")
     // Scope granularity is the delete COMMIT (the vector dir), not the
     // individual per-partition vector file: one delete commit writes one
@@ -532,7 +541,8 @@ object SnapshotTable {
     entries.groupBy(commitDirs).toSeq
       .sortBy(_._2.map(_.path).min) // deterministic group order
       .map { case (_, es) =>
-        val df = spark.read.parquet(es.map(_.path): _*)
+        val df = readSchema.fold(spark.read)(sc => spark.read.schema(sc))
+          .parquet(es.map(_.path): _*)
         val dels = es.flatMap(_.deletes).distinct
         if (dels.isEmpty) df
         else {

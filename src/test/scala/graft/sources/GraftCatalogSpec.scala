@@ -232,6 +232,39 @@ class GraftCatalogSpec extends SparkTestBase {
     } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(wh))
   }
 
+  test("ALTER TABLE ADD COLUMN: schema-on-read widening; old rows null, appends carry it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-alter-wh").toString
+    val s = spark.newSession()
+    try {
+      s.conf.set("spark.sql.catalog.galt", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.galt.warehouse", wh)
+      s.sql("CREATE TABLE galt.t (k BIGINT, v STRING)")
+      s.range(2).selectExpr("id AS k", "'a' AS v", "'all' AS p_date")
+        .createOrReplaceTempView("alt_src0")
+      s.sql("INSERT INTO galt.t SELECT * FROM alt_src0")
+      val verBefore = SnapshotTable.currentSnapshot(s"$wh/t").get.schemaVer
+      s.sql("ALTER TABLE galt.t ADD COLUMN score BIGINT")
+      val snap = SnapshotTable.currentSnapshot(s"$wh/t").get
+      assert(snap.schemaVer === verBefore + 1)
+      assert(snap.schemaDdl.contains("score"))
+      // old files lack the column — reads surface null
+      val pre = s.sql("SELECT k, score FROM galt.t ORDER BY k").collect()
+      assert(pre.length === 2 && pre.forall(_.isNullAt(1)))
+      // appends after the ALTER must carry the widened schema
+      s.range(2).selectExpr("id + 10 AS k", "'b' AS v", "id AS score", "'all' AS p_date")
+        .createOrReplaceTempView("alt_src1")
+      s.sql("INSERT INTO galt.t SELECT * FROM alt_src1")
+      val got = s.sql("SELECT k, score FROM galt.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got === Seq((0L, -1L), (1L, -1L), (10L, 0L), (11L, 1L)))
+      // non-additive changes stay refused
+      val e = intercept[Exception](s.sql("ALTER TABLE galt.t DROP COLUMN v"))
+      assert(e.getMessage.contains("refuses DDL"))
+      val e2 = intercept[Exception](s.sql("ALTER TABLE galt.t RENAME COLUMN v TO w"))
+      assert(e2.getMessage.contains("refuses DDL"))
+    } finally SnapshotTable.recursiveDelete(java.nio.file.Paths.get(wh))
+  }
+
   test("CREATE TABLE AS SELECT composes create + the append writer, row-exact") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ctas-wh").toString
     val s = spark.newSession()
