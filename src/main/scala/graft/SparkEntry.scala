@@ -174,6 +174,7 @@ object SparkEntry {
     "q140_density_gradient" -> ((s, d) => GeoStatsQueries.densityGradient(s, d)),
     "q141_location_quotient" -> ((s, d) => GeoStatsQueries.locationQuotient(s, d)),
     "q142_vocab_coverage" -> ((s, d) => ClassifierQueries.vocabCoverage(s, d)),
+    "q143_collocations" -> ((s, d) => ClassifierQueries.collocations(s, d)),
   )
 
   // ---- oracle SQL ---------------------------------------------------------

@@ -159,6 +159,52 @@ object ClassifierQueries {
       .orderBy(col("k"))
   }
 
+  // -------------------------------------------------------------------------
+  // q143 — collocation mining (integer lift over adjacent bigrams)
+  // -------------------------------------------------------------------------
+
+  final val CollMinPairs = 5L
+  final val CollTopK = 20
+
+  /** q143 — collocation discovery: adjacent bigrams ranked by integer
+    * LIFT — lift_m = (n_pair · total_tok · 1000) div (n_a · n_b), the
+    * permille ratio of observed co-occurrence to the independence
+    * expectation (the PMI family without logs, so both engines replay
+    * exact integers; same arithmetic as q141's location quotient, on the
+    * token axis). Pairs under [[CollMinPairs]] occurrences are
+    * suppressed; top-[[CollTopK]] by (lift desc, pair). The phrase-
+    * discovery pass a tokenizer/quality pipeline runs to find
+    * multi-word units worth preserving.
+    *
+    * Scale shape: one bigram partial agg (Heaps-ish in the pair space) +
+    * two vocab-keyed equi-joins to attach unigram counts + the lazy
+    * one-row total broadcast; top-k is a TakeOrdered, never a global
+    * sort. */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = tok.select(explode(col("ws")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .persist()
+    graft.util.CacheBag.register(uni)
+    val total = uni.agg(sum(col("n")).as("total"))
+    val pairs = tok
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i + 1) AS a, element_at(ws, i + 2) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= CollMinPairs)
+    pairs
+      .join(uni.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_pair"),
+        expr("(n_pair * total * 1000) div (n_a * n_b)").as("lift_m"))
+      .orderBy(col("lift_m").desc, col("a"), col("b"))
+      .limit(CollTopK)
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   def oracle: Map[String, String] = Map(
@@ -181,6 +227,16 @@ object ClassifierQueries {
         "(PARTITION BY doc_id ORDER BY score DESC, ml) AS rn FROM sc) " +
         "SELECT true_lang, ml AS pred_lang, count(*) AS n_docs FROM p WHERE rn = 1 " +
         "GROUP BY true_lang, ml ORDER BY true_lang, pred_lang"),
+    "q143_collocations" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "uni AS (SELECT tk, count(*) AS n FROM (SELECT unnest(ws) AS tk FROM t) GROUP BY tk), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM uni), " +
+        "bg AS (SELECT ws[i+1] AS a, ws[i+2] AS b FROM t CROSS JOIN LATERAL unnest(range(len(ws) - 1)) AS r(i)), " +
+        s"p AS (SELECT a, b, count(*) AS n_pair FROM bg GROUP BY a, b HAVING count(*) >= $CollMinPairs) " +
+        "SELECT p.a, p.b, p.n_pair, " +
+        "CAST((p.n_pair * tt.total * 1000) // (ua.n * ub.n) AS BIGINT) AS lift_m " +
+        "FROM p JOIN uni ua ON p.a = ua.tk JOIN uni ub ON p.b = ub.tk CROSS JOIN tt " +
+        s"ORDER BY lift_m DESC, p.a, p.b LIMIT $CollTopK"),
     "q142_vocab_coverage" ->
       (s"WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
         "v AS (SELECT token, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, token) AS rnk " +

@@ -169,7 +169,9 @@ class PlanShapeSpec extends SparkTestBase {
       "q140_density_gradient",
       // q141/q142: ONE-row broadcast corpus totals (q102 lazy-scalar
       // shape) + a ≤6-row k-ladder crossed against the vocab/grid aggs
-      "q141_location_quotient", "q142_vocab_coverage")
+      "q141_location_quotient", "q142_vocab_coverage",
+      // q143: the ONE-row broadcast total against the pair-count agg
+      "q143_collocations")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

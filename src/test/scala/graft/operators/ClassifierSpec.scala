@@ -66,6 +66,28 @@ class ClassifierSpec extends SparkTestBase {
     assert(rows.last._4 === 1000L, "ladder must saturate on the fixture")
   }
 
+  test("q143 collocations == brute lift recompute; support respected; lift above independence") {
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.flatMap(_.split(" ", -1))
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    val total = toks.length.toLong
+    val pairCounts = texts.flatMap(t => t.split(" ", -1).sliding(2).collect {
+      case Array(a, b) => (a, b)
+    }).groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= ClassifierQueries.CollMinPairs)
+    val expect = pairCounts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, n * total * 1000 / (uni(a) * uni(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(ClassifierQueries.CollTopK)
+    val got = ClassifierQueries.collocations(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    graft.util.CacheBag.release()
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the top collocation must beat independence (lift > 1000‰)
+    assert(got.head._4 > 1000L, s"no true collocation found: ${got.head}")
+  }
+
   test("q133 packing balance: conservation + the longest-first round-robin bound") {
     val rows = ClassifierQueries.packingBalance(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
