@@ -237,6 +237,53 @@ object StreamingJobs {
       }
   }
 
+  final case class DwellState(lastTs: Long, fps: Seq[Int], dwell: Map[Int, Long])
+  final case class DwellUpdate(source: String, fp_id: Int, dwell_sec: Long)
+
+  /** H-custom-state — geofence DWELL time: cumulative seconds each source
+    * spends inside each footprint, under the presence-persists-until-the-
+    * next-observation convention (the interval between consecutive
+    * events accrues to every fence the PREVIOUS event occupied). Emits
+    * the per-(source, fence) cumulative totals after each batch.
+    * Late rows (ts ≤ the last seen) are ignored for the clock, like
+    * [[sourceCadence]] — micro-batches carry no cross-batch ordering
+    * guarantee; a single-batch replay reproduces the exact ordered
+    * semantics (ST-gated against a brute replay). */
+  def geofenceDwell(pages: DataFrame): org.apache.spark.sql.Dataset[DwellUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val fp = graft.sources.Footprints.boxesDf(spark)
+    val tagged = pages.join(broadcast(fp),
+        col("ilat").between(col("ilat0"), col("ilat1")) &&
+        col("ilon").between(col("ilon0"), col("ilon1")) &&
+        col("ts_sec").between(col("tfrom"), col("tto")), "left")
+      .select(col("source").as[String], col("ts_sec").as[Long],
+        col("doc_id").as[Long], coalesce(col("fp_id"), lit(-1)).as[Int])
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, Long, Int)],
+            state: GroupState[DwellState]) =>
+          val events = rows.toArray.groupBy(r => (r._2, r._3)).toSeq
+            .map { case ((ts, id), xs) => (ts, id, xs.map(_._4).filter(_ >= 0).toSet) }
+            .sortBy(e => (e._1, e._2))
+          var st = state.getOption.getOrElse(DwellState(Long.MinValue, Nil, Map.empty))
+          var dwell = st.dwell
+          var lastTs = st.lastTs
+          var lastFps = st.fps.toSet
+          for ((ts, _, fps) <- events) {
+            if (ts > lastTs) {
+              if (lastTs != Long.MinValue)
+                lastFps.foreach(f => dwell += f -> (dwell.getOrElse(f, 0L) + (ts - lastTs)))
+              lastTs = ts
+              lastFps = fps
+            }
+          }
+          state.update(DwellState(lastTs, lastFps.toSeq.sorted, dwell))
+          dwell.toSeq.sortBy(_._1).map { case (f, d) => DwellUpdate(source, f, d) }.iterator
+      }
+  }
+
   final case class SourceState(nPages: Long, lastTs: Long, maxGap: Long)
   final case class SourceUpdate(source: String, n_pages: Long, last_ts: Long, max_gap: Long)
 

@@ -205,6 +205,40 @@ class StreamingSpec extends SparkTestBase {
     assert(landed.select("batch_id").distinct().count() >= 1)
   }
 
+  test("streaming geofence dwell == brute interval replay (single batch); totals positive") {
+    val dir = Files.createTempDirectory("graft-dwell-in").toString
+    Pages.fromDocuments(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingJobs.geofenceDwell(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dwell").start()
+    q.processAllAvailable()
+    q.stop()
+    // one batch → one emission per (source, fp): the cumulative totals
+    val got = spark.table("dwell").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val boxes = graft.sources.Footprints.boxes
+    val pages = Pages.fromDocuments(spark, sf0001)
+      .select("source", "ts_sec", "doc_id", "ilat", "ilon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    val expect = scala.collection.mutable.Map.empty[(String, Int), Long]
+    pages.groupBy(_._1).foreach { case (src, xs) =>
+      var lastTs = Long.MinValue
+      var lastFps = Set.empty[Int]
+      xs.sortBy(x => (x._2, x._3)).foreach { case (_, ts, _, lat, lon) =>
+        if (ts > lastTs) {
+          if (lastTs != Long.MinValue)
+            lastFps.foreach(f => expect((src, f)) = expect.getOrElse((src, f), 0L) + (ts - lastTs))
+          lastTs = ts
+          lastFps = boxes.filter(b => lat >= b.ilat0 && lat <= b.ilat1 &&
+            lon >= b.ilon0 && lon <= b.ilon1 && ts >= b.tfrom && ts <= b.tto)
+            .map(_.fpId).toSet
+        }
+      }
+    }
+    assert(got === expect.toMap)
+    assert(got.nonEmpty && got.values.forall(_ > 0))
+  }
+
   test("streaming geofence alerts == brute enter/exit replay; state survives micro-batches") {
     // single-file stage: one micro-batch reproduces the global replay
     val dir = Files.createTempDirectory("graft-geofence-in").toString
