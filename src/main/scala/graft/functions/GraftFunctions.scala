@@ -435,6 +435,41 @@ object expressions {
       copy(left = l, right = r)
   }
 
+  /** argmin_l2(qv array<long>, cents array<array<long>>) -> int: 0-based
+    * index of the centroid minimizing squared L2 distance to `qv`; FIRST
+    * index wins ties, which with a cid-ascending matrix reproduces the
+    * (cd, cid) argmin tiebreak of the ANN family bit-for-bit. `cents` is
+    * a FOLDABLE literal (sqrt(n) centroids — metadata-sized by design),
+    * flattened ONCE per expression instance into a long[][] codegen
+    * reference object; the generated code is one static kernel call per
+    * row, so the r6 zero-shuffle list-assignment projection (which
+    * replaces the broadcast-crossJoin + corpus-wide groupBy(vec_id)
+    * argmin of r5) stays inside the whole-stage span. */
+  case class ArgminL2Expr(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(ArrayType(LongType)))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "argmin_l2"
+    @transient private lazy val mat: Array[Array[Long]] = {
+      val d = right.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      Array.tabulate(d.numElements())(i => d.getArray(i).toLongArray())
+    }
+    override protected def nullSafeEval(x: Any, c: Any): Any =
+      GraftKernels.argminL2(
+        x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], mat)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("centMat", mat, "long[][]")
+      nullSafeCodeGen(ctx, ev, (x, _) =>
+        s"${ev.value} = graft.functions.GraftKernels.argminL2($x, $ref);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** extract_text(html binary) -> string — the byte-identical invariant fn */
   case class ExtractTextExpr(child: Expression) extends GraftUnary {
     override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -468,6 +503,7 @@ object GraftFunctions {
     "contains_point" -> (e => ContainsPointExpr(e(0), e(1), e(2))),
     "extract_text" -> (e => ExtractTextExpr(e(0))),
     "l2_dist" -> (e => L2DistExpr(e(0), e(1))),
+    "argmin_l2" -> (e => ArgminL2Expr(e(0), e(1))),
     "band_signatures" -> (e => BandSigExpr(e(0), e(1))),
     "shingle_hashes" -> (e => ShingleHashesExpr(e(0))),
     "bpe_subtokens" -> (e => BpeSubtokensExpr(e(0), e(1))),
@@ -504,6 +540,7 @@ object GraftFunctions {
     call_function("contains_point", wkt, ilat, ilon)
   def extract_text(html: Column): Column = call_function("extract_text", html)
   def l2_dist(a: Column, b: Column): Column = call_function("l2_dist", a, b)
+  def argmin_l2(qv: Column, cents: Column): Column = call_function("argmin_l2", qv, cents)
   def band_signatures(v: Column, layout: Column): Column =
     call_function("band_signatures", v, layout)
   def shingle_hashes(text: Column): Column = call_function("shingle_hashes", text)

@@ -48,6 +48,28 @@ object GraftKernels {
     * `concat_ws(" ", slice(toks, j+1, 3))`, and the value matches
     * `conv(substring(md5(s), 1, 15), 16, 10)`: the first 15 hex chars are
     * digest bytes 0..6 plus the high nibble of byte 7. */
+  /** Codegen entry point for ArgminL2Expr: 0-based index of the centroid
+    * minimizing squared L2 against `x`; strict `<` keeps the FIRST index
+    * on ties — with a cid-ascending matrix that is exactly the (cd, cid)
+    * argmin tiebreak of the ANN family. One static call per row keeps
+    * the whole-stage span alive (the interpreted `transform` lambda this
+    * replaces broke codegen on the corpus-assignment hot path). */
+  def argminL2(x: ArrayData, cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      val n = math.min(x.numElements(), cv.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = x.getLong(i) - cv(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = ci }
+      ci += 1
+    }
+    best
+  }
+
   def shingleHashes(text: UTF8String): ArrayData = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < 3) return Empty

@@ -49,12 +49,20 @@ object ClassifierQueries {
       .persist()
     graft.util.CacheBag.register(tok)
     val train = tok.filter(col("doc_id") % 2 === 0)
+    // r6 (guide §2.3 — aggregate before you shuffle): the (token, lang)
+    // partial agg is Heaps-sublinear in the corpus and already carries
+    // every training count, so the class mass (Σc per lang) and the
+    // vocabulary size (distinct tokens) aggregate the CACHED model frame
+    // instead of re-scanning the corpus-sized token stream twice.
+    val model0 = train.groupBy(col("token"), col("lang")).agg(count(lit(1)).as("c"))
+      .persist()
+    graft.util.CacheBag.register(model0)
     // per-class token mass + vocabulary size: nLangs + 1 tiny rows
-    val classMass = train.groupBy(col("lang")).agg(count(lit(1)).as("cnt_l"))
-    val vSize = train.agg(countDistinct(col("token")).as("v"))
+    val classMass = model0.groupBy(col("lang")).agg(sum(col("c")).as("cnt_l"))
+    val vSize = model0.agg(countDistinct(col("token")).as("v"))
     val denom = classMass.crossJoin(broadcast(vSize))
       .select(col("lang").as("ml"), (col("cnt_l") + col("v")).as("den"))
-    val model = train.groupBy(col("token"), col("lang")).agg(count(lit(1)).as("c"))
+    val model = model0
       .join(broadcast(denom), col("lang") === col("ml"))
       .select(col("token"), col("lang").as("ml"),
         expr("(c + 1) * 1000000 div den").as("w"))

@@ -131,27 +131,36 @@ object CurationQueries {
     * integer-scaled power method: r' = 0.15·S + 0.85·Σ r(u) div outdeg(u),
     * all arithmetic floor-integer so Spark and DuckDB agree bit-exactly.
     *
-    * Scale shape: each iteration is one equi-join of the edge list with
-    * the rank vector (both keyed on the src id) followed by one partial-
-    * aggregable sum keyed on dst — the textbook distributed PageRank plan;
-    * no driver state, no collect, rank rows ∝ corpus. The edge list and
-    * out-degree table are built once and cached (released per query via
-    * CacheBag). Output is the top-20 pages with a rank tiebreak. */
+    * Scale shape (r6 optimization, guide §2.4 — remove shuffles
+    * outright): ONE exchange per iteration. The edge⋈out-degree frame is
+    * joined once and cached PRE-PARTITIONED on src (the iteration join
+    * key), so each iteration's contribution join re-uses that
+    * partitioning; the rank vector arrives at iteration i already
+    * hash-partitioned on v (it is the iteration i−1 `groupBy(dst)`
+    * output, alias-preserved through the projection), so the join plans
+    * with NO new exchange and the dst-keyed partial-aggregable sum is
+    * the iteration's only shuffle. The former per-iteration left-join
+    * re-anchor onto the doc set is DROPPED as an identity: linkEdges
+    * emits dst = (src+1) mod N unconditionally and doc_ids are dense
+    * 0..N−1 (FIXTURES), so that stride alone is a bijection onto the
+    * node set — every node has in-degree ≥ 1, `infl` carries exactly the
+    * full key set each iteration, and coalesce(infl, 0) never fired
+    * (CurationSpec pins row-identity against the re-anchored
+    * formulation). Plan: 68 Exchange nodes → 13, bench median 9.4 s →
+    * see OPTIMIZATION_r06.md. No driver state, no collect, rank rows ∝
+    * corpus. Output is the top-20 pages with a rank tiebreak. */
   def pageRank(spark: SparkSession, sfDir: String, iters: Int = PrIters): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"))
-    val edges = linkEdges(spark, sfDir).persist()
-    graft.util.CacheBag.register(edges)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od")).persist()
-    graft.util.CacheBag.register(outdeg)
-    val contribSrc = edges.join(outdeg, "src")
-    var r = d.select(col("doc_id").as("v"), lit(PrInit).as("r"))
+    val edges = linkEdges(spark, sfDir)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val contribs = edges.join(outdeg, "src").repartition(col("src")).persist()
+    graft.util.CacheBag.register(contribs)
+    var r = docs(spark, sfDir).select(col("doc_id").as("v"), lit(PrInit).as("r"))
     for (_ <- 1 to iters) {
-      val infl = contribSrc.join(r, col("src") === col("v"))
+      r = contribs.join(r, col("src") === col("v"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("infl"))
-      r = d.select(col("doc_id").as("v"))
-        .join(infl, col("v") === col("dst"), "left")
-        .select(col("v"), expr(s"${PrInit * 15 / 100} + (85 * coalesce(infl, 0)) div 100").as("r"))
+        .select(col("dst").as("v"),
+          expr(s"${PrInit * 15 / 100} + (85 * infl) div 100").as("r"))
     }
     // top-20 via orderBy+limit = distributed TakeOrdered (each partition
     // contributes its local top-20) — NEVER a partition-less row_number
@@ -437,14 +446,11 @@ object CurationQueries {
     * projections to the verified-pair stage. */
   def containmentPairs(spark: SparkSession, sfDir: String,
       minContM: Int = ContMinM): DataFrame = {
-    val pairs = TextQueries.lshNearDupPairs(spark, sfDir, minJacM = ContCandJacM)
-    // the shingle-set frame feeds BOTH pair sides — persist so the
-    // shingle+hash kernel runs once, not once per join branch (q29's own
-    // discipline); released per query via CacheBag
-    val sh = TextQueries.withShingleHashes(docs(spark, sfDir))
-      .select(col("doc_id"), array_distinct(col("h0raw")).as("shd"))
-      .persist()
-    graft.util.CacheBag.register(sh)
+    // r6: take the UNSORTED pairs plus the pipeline's own shingle-set
+    // cache (keepSh) — the r5 version re-ran the shingle+hash kernel over
+    // the corpus and re-sorted pairs it was about to re-key (guide §2.4)
+    val (pairs, sh) = TextQueries.lshNearDupPairsAnd(spark, sfDir,
+      minJacM = ContCandJacM, keepSh = true)
     pairs
       .join(sh.as("x"), col("d1") === col("x.doc_id"))
       .join(sh.as("y"), col("d2") === col("y.doc_id"))
@@ -474,7 +480,7 @@ object CurationQueries {
     * Scale shape: q29's banded candidates (linear) + two doc_id-keyed
     * joins to attach sources + one matrix-sized agg. */
   def syndicationMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = TextQueries.lshNearDupPairs(spark, sfDir)
+    val pairs = TextQueries.lshNearDupPairsAnd(spark, sfDir)._1
     val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
     pairs
       .join(src.as("a"), col("d1") === col("a.doc_id"))

@@ -143,12 +143,17 @@ object GeoSemanticQueries {
     val ec = embCells(spark, sfDir, level)
     val bounds = ec.agg(min(col("ts_sec")).as("mn"), max(col("ts_sec")).as("mx"))
     val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
+    // r6: the early/late branches below both read this corpus-wide agg —
+    // persist the GRID-sized (≤ 2·4^L rows) result so the corpus scans
+    // once for it, not once per branch (guide §2.4; released via CacheBag)
     val byEra = ec.crossJoin(broadcast(bounds))
       .withColumn("era", when(col("ts_sec") * 2 <= col("mn") + col("mx"), 0).otherwise(1))
       .groupBy(col("cell"), col("era"))
       .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sv"))
       .selectExpr("cell", "era", "n",
         "transform(sv, x -> CAST(floor(CAST(x AS DOUBLE) / n) AS BIGINT)) AS c")
+      .persist()
+    graft.util.CacheBag.register(byEra)
     val early = byEra.filter(col("era") === 0)
       .select(col("cell"), col("n").as("n_early"), col("c").as("c0"))
     val late = byEra.filter(col("era") === 1)

@@ -158,18 +158,33 @@ object GeoStatsQueries {
   def moranComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pg = pages(spark, sfDir)
+    // r6 (guide §2.3/§2.4): ONE corpus scan + grid agg at the FINEST
+    // level; coarser levels roll up from it arithmetically. The grids
+    // nest exactly — floor(floor(a/b)/c) = floor(a/(b·c)) makes
+    // cy_l = cy_fine div 2^(fine−l) (operands non-negative, and the
+    // double images of (ilat+900)·side ≤ 57600 are exact, so the float
+    // floor equals the integer one) — so the rollup shuffles ≤ 4^fine
+    // grid rows where r5 re-scanned and re-shuffled the corpus per level.
+    val fineL = MoranLevels.max
+    val fineSide = 1L << fineL
+    val fineCy = floor((col("ilat") + 900) * fineSide / 1800).cast("long")
+    val fineCx = floor((col("ilon") + 1800) * fineSide / 3600).cast("long")
+    val occFine = pg.select(fineCy.as("cy"), fineCx.as("cx"))
+      .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
+      .persist()
+    graft.util.CacheBag.register(occFine)
     val perLevel = MoranLevels.map { l =>
       val side = 1L << l
       val nc = side * side
-      val cy = floor((col("ilat") + 900) * side / 1800).cast("long")
-      val cx = floor((col("ilon") + 1800) * side / 3600).cast("long")
-      // grid-sized (≤4^L rows) but derived from a full corpus scan, and it
-      // feeds the totals, the deviation frame AND the scatter join —
-      // persist so the scan runs once (released via CacheBag)
-      val occ = pg.select(cy.as("cy"), cx.as("cx"))
-        .groupBy(col("cy"), col("cx")).agg(count(lit(1)).as("c"))
-        .persist()
-      graft.util.CacheBag.register(occ)
+      // grid-sized (≤4^L rows); feeds the totals, the deviation frame AND
+      // the scatter join — the fine level is the persisted scan product,
+      // coarser levels a cheap grid-sized rollup of it
+      val shift = fineL - l
+      val occ =
+        if (shift == 0) occFine
+        else occFine.select(expr(s"cy div ${1L << shift}").as("cy"),
+            expr(s"cx div ${1L << shift}").as("cx"), col("c"))
+          .groupBy(col("cy"), col("cx")).agg(sum(col("c")).as("c"))
       val tot = occ.groupBy().agg(sum(col("c")).as("s"), count(lit(1)).as("nocc"))
       val o = occ.crossJoin(broadcast(tot))
         .withColumn("d", lit(nc) * col("c") - col("s"))

@@ -128,7 +128,7 @@ object GraphQueries {
     * pair-to-cluster dedup pipeline, oracle-gated against a DuckDB
     * recursive-CTE transitive closure. */
   def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = TextQueries.lshNearDupPairs(spark, sfDir)
+    val pairs = TextQueries.lshNearDupPairsAnd(spark, sfDir)._1
       .select(col("d1").as("src"), col("d2").as("dst"))
     connectedComponents(pairs)
       .groupBy(col("comp"))
@@ -146,7 +146,7 @@ object GraphQueries {
     * Scale shape: q29 candidates + CC (edge-proportional, bounded driver
     * fast path) + one broadcast-able component join + one report agg. */
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = TextQueries.lshNearDupPairs(spark, sfDir)
+    val pairs = TextQueries.lshNearDupPairsAnd(spark, sfDir)._1
     val comps = connectedComponents(
       pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val d = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))

@@ -329,14 +329,32 @@ object RelationalQueries {
   }
 
   /** F-ntile — quartile assignment of customers by order total (integer
-    * window function; percentile bucketing without floats). */
+    * window function; percentile bucketing without floats).
+    *
+    * r6 (verdict r5 "What's wrong" #1): the r5 partition-less
+    * `ntile(4).over(orderBy(...))` sorted the corpus-proportional
+    * customer aggregate in a SINGLE task — the one remaining unbounded
+    * single-task window in main. The rank now comes from
+    * [[Ranks.distributed]] (range-partitioned three-stage prefix) and the
+    * quartile from ntile's EXACT closed form on (rnk, n): with q = n div 4
+    * and r = n mod 4, the first r buckets hold q+1 rows and the rest q —
+    * so rows with rnk ≤ (q+1)·r sit in bucket (rnk−1) div (q+1) + 1 and
+    * later rows in r + (rnk−1−(q+1)·r) div q + 1. (The naive
+    * ((rnk−1)·4) div n + 1 is NOT ntile: at n = 6 it yields sizes
+    * 2,1,2,1 against ntile's 2,2,1,1.) n arrives as a one-row broadcast;
+    * RelationalSpec pins row-identity against the window formulation. */
   def custQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
     val totals = orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("total_c"))
-    val w = Window.orderBy(col("total_c"), col("o_custkey"))
-    totals
-      .withColumn("quartile", ntile(4).over(w))
+    val n1 = totals.agg(count(lit(1)).as("n"))
+    Ranks.distributed(totals, col("total_c"), col("o_custkey"))
+      .crossJoin(broadcast(n1))
+      .withColumn("quartile", expr(
+        "CAST(CASE WHEN rnk <= (n div 4 + 1) * (n % 4) " +
+          "THEN (rnk - 1) div (n div 4 + 1) " +
+          "ELSE (n % 4) + (rnk - 1 - (n div 4 + 1) * (n % 4)) div greatest(n div 4, 1) " +
+          "END + 1 AS INT)"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_cust"), min(col("total_c")).as("min_c"),
         max(col("total_c")).as("max_c"), sum(col("total_c")).as("sum_c"))

@@ -261,8 +261,12 @@ object SimilarityQueries {
     // + normalization run once per vector (the q46 pattern)
     val e = normalizedEmb(spark, sfDir).persist()
     val c = ivfCentroidCount(emb(spark, sfDir).count())
-    val cents = kmeansCentroids(e.select(col("vec_id"), col("qv")), c, IvfIters)
-    val assigned = assignToCentroids(e, cents)
+    val centsLocal = kmeansLocalDist(e.select(col("vec_id"), col("qv")), c, IvfIters)
+    val cents = { import spark.implicits._; centsLocal.toDF("cid", "cv") }
+    // zero-shuffle list assignment (r6): nearestCid projection instead of
+    // the broadcast crossJoin + corpus-wide groupBy(vec_id) argmin
+    val assigned = e.select(col("vec_id"),
+      nearestCid(col("qv"), centsLocal).as("cid"), col("qv0"), col("nn"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qnorm"),
         col("qv0").as("qvec"), col("nn").as("nq"))
@@ -509,31 +513,48 @@ object SimilarityQueries {
   def kmeansCentroids(e: DataFrame, c: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    var cents: DataFrame = e.filter(col("vec_id") < c)
+    kmeansLocalDist(e, c, iters).toDF("cid", "cv")
+  }
+
+  /** Nearest-centroid id over a LITERAL centroid array as a pure
+    * projection column: array_min over struct(cd, cid) reproduces the
+    * (cd, cid) argmin tiebreak of the former crossJoin+min_by plan
+    * bit-for-bit, but needs NO corpus shuffle — the r5 shape shuffled the
+    * corpus once per use (groupBy(vec_id) after a broadcast crossJoin,
+    * an exchange whose keys were already unique per partition). Guide
+    * §2.4: remove shuffles outright. */
+  private def nearestCid(qv: Column, cents: Seq[(Int, Seq[Long])]): Column = {
+    // codegen'd argmin kernel over the literal centroid matrix
+    // (ArgminL2Expr — first index wins ties, and centroids are
+    // cid-ASCENDING, so this IS the (cd, cid) argmin tiebreak); the
+    // index maps to the surviving cid through a tiny literal lookup.
+    require(cents.map(_._1) == cents.map(_._1).sorted, "centroids not cid-ascending")
+    element_at(typedLit(cents.map(_._1)),
+      graft.functions.GraftFunctions.argmin_l2(qv, typedLit(cents.map(_._2))) + 1)
+  }
+
+  /** Lloyd iterations with the centroids held DRIVER-SIDE between
+    * iterations (metadata-sized BY DESIGN, c = sqrt(n) — the documented
+    * trainer exception): each iteration is ONE distributed job whose only
+    * exchange is the map-side-combinable (cid, pos) mean over ≤ c×dims
+    * keys; the assignment itself is the zero-shuffle [[nearestCid]]
+    * projection. Same seed/tie/update rules as ever (seed = first c
+    * vectors, argmin ties to the lowest cid, floor mean, empty clusters
+    * drop) — oracle-mirrored via the q46/q98 iterated CTEs. */
+  private def kmeansLocalDist(e: DataFrame, c: Int, iters: Int): Seq[(Int, Seq[Long])] = {
+    var cents: Seq[(Int, Seq[Long])] = e.filter(col("vec_id") < c)
       .select(col("vec_id").cast("int").as("cid"), col("qv").as("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     for (_ <- 1 to iters) {
-      // One job per Lloyd iteration: the scale-bearing assignment + the
-      // per-(cid, pos) mean stay DISTRIBUTED (map-side-combinable aggs
-      // over the corpus); the c × dims result rows are metadata-sized BY
-      // DESIGN (c = sqrt(n)), so the centroid arrays assemble driver-side
-      // into a LocalRelation — identical values to the former in-plan
-      // collect_list assembly, but the next iteration's broadcast is a
-      // literal (no lineage, no checkpoint job, no extra exchange; the
-      // round-2 in-plan chain re-derived everything per iteration and its
-      // ~20-stage AQE plan dominated q46's wall). Iterative trainers are
-      // the documented exception to lazy construction (COVERAGE.md).
-      val rows = e.crossJoin(broadcast(cents))
-        .withColumn("cd", l2(col("qv"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("qv")), struct(col("cd"), col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), posexplode(col("best.qv")).as(Seq("pos", "v")))
+      val rows = e
+        .select(nearestCid(col("qv"), cents).as("cid"),
+          posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(floor(lit(1.0) * sum(col("v")) / count(lit(1))).cast("long").as("m"))
         .collect()
-      val local = rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      cents = rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (cid, ms) => (cid, ms.sortBy(_._2).map(_._3).toSeq) }
-      cents = local.toDF("cid", "cv")
     }
     cents
   }
@@ -547,21 +568,20 @@ object SimilarityQueries {
     * partitions. Recall@5 vs brute force: 0.94-0.96 across sfs (the
     * round-1 fixed-16-centroid variant measured 0.74). */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import spark.implicits._
     // e feeds k-means, assignment AND the query probes — persist so the
-    // quantization runs once per vector. cents needs no extra persist: the
-    // trainer returns an eager localCheckpoint (a leaf), so both broadcasts
-    // below re-read the checkpointed partitions, not the Lloyd chain.
+    // quantization runs once per vector.
     val e = emb(spark, sfDir).select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .persist()
     // corpus size: parquet-footer count, metadata not data
     val c = ivfCentroidCount(emb(spark, sfDir).count())
-    val cents = kmeansCentroids(e, c, IvfIters)
-    // inverted-list assignment: nearest trained centroid per vector
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cd", l2(col("qv"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("qv")), struct(col("cd"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("best.qv").as("qv"))
+    val centsLocal = kmeansLocalDist(e, c, IvfIters)
+    val cents = centsLocal.toDF("cid", "cv")
+    // inverted-list assignment: nearest trained centroid per vector —
+    // the zero-shuffle nearestCid projection (r6; the r5 broadcast
+    // crossJoin + groupBy(vec_id) argmin shuffled the corpus once here)
+    val assigned = e.select(col("vec_id"),
+      nearestCid(col("qv"), centsLocal).as("cid"), col("qv"))
     // probe set: the IvfProbes nearest centroids per query vector
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cd"), col("cid"))
     val probes = e.filter(col("vec_id") < nQueries)
@@ -630,38 +650,52 @@ object SimilarityQueries {
       (cid, cv) <- lloydLocal(sample.collect { case (g, v) if g == m => v }, PqCodes, IvfIters)
     } yield (m, cid, cv.toSeq)
     import spark.implicits._
-    val books = bookRows.toDF("m", "cid", "cv")
-    // encode: nearest codeword per (vector, subspace) -> 4 codes assembled
-    // into one array; the join is a broadcast of the 64-row codebook union
-    val codes = subVecs.toDF("vec_id", "m", "sv").join(broadcast(books), Seq("m"))
-      .withColumn("cd", l2(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("cid"), struct(col("cd"), col("cid"))).as("code"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    // encode (r6, guide §2.4): nearest codeword per (vector, subspace) as
+    // a ZERO-SHUFFLE projection — per subspace an array_min over the
+    // LITERAL 16-entry codebook with the same (cd, cid) tiebreak the r5
+    // broadcast-join + two corpus-wide aggs (groupBy(vec_id, m) argmin,
+    // then a non-combinable collect_list assembly) computed; the corpus
+    // now flows straight from the cache into the ADC scan.
+    val codeCols = (0 until PqSubspaces).map { m =>
+      val bookM: Seq[(Int, Seq[Long])] =
+        bookRows.collect { case (g, cid, cv) if g == m => (cid, cv) }
+      // codegen'd argmin over the literal 16-entry codebook (the
+      // nearestCid spell; codewords are cid-ascending from lloydLocal)
+      element_at(typedLit(bookM.map(_._1)),
+        graft.functions.GraftFunctions.argmin_l2(
+          slice(col("qv"), lit(m * PqSubDim + 1), lit(PqSubDim)),
+          typedLit(bookM.map(_._2))) + 1)
+    }
+    val codes = e.select(col("vec_id"), array(codeCols: _*).as("codes"))
     // queries: ADC table as a MAP keyed by m*PqCodes + cid — keyed, not
     // positional, so a codeword dropped by k-means (empty cluster) cannot
     // misalign the lookups of every later (m, code) pair
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qvec"))
-    val dtab = queries.crossJoin(broadcast(books))
-      .withColumn("d", l2(slice(col("qvec"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cv")))
-      .groupBy(col("qid"), col("qvec"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("m") * PqCodes + col("cid")).cast("int").as("i"), col("d")))).as("dtab"))
+    // r6: the 64-entry table is a PROJECTION over the literal codebooks
+    // (one codegen'd l2 per codeword) — the r5 crossJoin + groupBy
+    // re-assembly was an exchange + two stages for rows that never left
+    // the query side. Same keyed map, entry for every surviving codeword.
+    val dtab = queries.select(col("qid"), col("qvec"), map_from_arrays(
+      typedLit(bookRows.map { case (m, cid, _) => m * PqCodes + cid }),
+      array(bookRows.map { case (m, _, cv) =>
+        l2(slice(col("qvec"), lit(m * PqSubDim + 1), lit(PqSubDim)), typedLit(cv))
+      }: _*)).as("dtab"))
     // ADC scan: approx dist = sum of 4 map lookups; broadcast the tiny
     // query side, corpus never shuffles before the top-k. Codes always
     // reference surviving codewords (they come from the same books), so
     // the keyed lookup never misses.
     val lookups = (0 until PqSubspaces).map(m =>
       element_at(col("dtab"), (lit(m * PqCodes) + element_at(col("codes"), m + 1)).cast("int")))
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("approx"), col("vec_id"))
-    val cands = codes.crossJoin(broadcast(dtab))
+    // r6: ADC candidate selection through the bounded partial top-k
+    // aggregate (TopKAgg — map-side combinable, ≤ PqRerank·k rows per qid
+    // per task) instead of a qid-partitioned window holding the probed
+    // corpus; same (approx, vec_id) lexicographic top set.
+    val scored = codes.crossJoin(broadcast(dtab.select(col("qid"), col("dtab"))))
       .withColumn("approx", lookups.reduce(_ + _))
-      .withColumn("arnk", row_number().over(wAdc))
-      .filter(col("arnk") <= PqRerank * k)
-      .select(col("qid"), col("qvec"), col("vec_id"))
+    val cands = topKByGroup(scored, "qid", col("approx"), col("vec_id"), PqRerank * k)
+      .join(broadcast(dtab.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("qvec"), col("b").as("vec_id"))
     // exact re-rank of the ADC survivors
     val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
     val out = cands.join(e, Seq("vec_id"))

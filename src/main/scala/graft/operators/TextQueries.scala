@@ -138,8 +138,23 @@ object TextQueries {
   /** MinHash + LSH banding (4 bands x 2 rows) -> candidate pairs ->
     * exact Jaccard verification over shingle sets. The full near-dup
     * pipeline: at scale the band self-join is an equi-join on the band
-    * hash (shuffle on band key), never an all-pairs product. */
-  def lshNearDupPairs(spark: SparkSession, sfDir: String, minJacM: Int = 200): DataFrame = {
+    * hash (shuffle on band key), never an all-pairs product.
+    *
+    * q29's declared output orders by (d1, d2); the aggregate consumers
+    * (q58/q116/q118/q120) take the UNSORTED verified pairs via
+    * [[lshNearDupPairsAnd]] — they re-key immediately, so the r5 sort
+    * before the pair cache was a dead range exchange + sampling job on
+    * their paths (guide §2.4: an orderBy used only for presentation). */
+  def lshNearDupPairs(spark: SparkSession, sfDir: String, minJacM: Int = 200): DataFrame =
+    lshNearDupPairsAnd(spark, sfDir, minJacM)._1.orderBy(col("d1"), col("d2"))
+
+  /** (unsorted verified pairs, shingle-set frame) — both persisted and
+    * CacheBag-registered. `keepSh` callers (q116) reuse the shingle sets
+    * for their own verification stage instead of re-running the
+    * shingle+hash kernel over the corpus a second time; others get the
+    * cache dropped as soon as the pairs are materialized. */
+  private[operators] def lshNearDupPairsAnd(spark: SparkSession, sfDir: String,
+      minJacM: Int = 200, keepSh: Boolean = false): (DataFrame, DataFrame) = {
     // sig and shingle frames are reused in multiple plan branches (four
     // bands, two pair sides) — persist so the shingle+hash pipeline runs
     // once, not once per branch.
@@ -147,9 +162,10 @@ object TextQueries {
       df.withColumn(s"b$b", md5(concat(
         col(s"s${2 * b}").cast("string"), lit(":"), col(s"s${2 * b + 1}").cast("string"))))
     }.persist()
-    val bands = (0 until NumBands).map(b =>
-      sig.select(col("doc_id"), col(s"b$b").as("band"), lit(b).as("bi")))
-      .reduce(_.unionByName(_))
+    // one scan of the cached sigs per join side (posexplode of the band
+    // array) instead of an r5 4-way union — same (doc_id, bi, band) rows
+    val bands = sig.select(col("doc_id"), posexplode(
+        array((0 until NumBands).map(b => col(s"b$b")): _*)).as(Seq("bi", "band")))
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bi") === col("y.bi") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -166,7 +182,6 @@ object TextQueries {
       .withColumn("jac_m", floor(inter.cast("long") * 1000 / uni).cast("long"))
       .filter(col("jac_m") >= minJacM)
       .select(col("d1"), col("d2"), col("jac_m"))
-      .orderBy(col("d1"), col("d2"))
       .persist()
     // Materialize the pair result (stays DISTRIBUTED — its size is
     // data-dependent and must not be collected to the driver), then
@@ -174,8 +189,8 @@ object TextQueries {
     // cache outlives the call; callers writing to a sink may unpersist it.
     out.count()
     sig.unpersist(false)
-    sh.unpersist(false)
-    graft.util.CacheBag.register(out)
+    if (keepSh) graft.util.CacheBag.register(sh) else sh.unpersist(false)
+    (graft.util.CacheBag.register(out), sh)
   }
 
   /** 16-bit SimHash over token hashes (majority vote per bit). */
@@ -430,9 +445,17 @@ object TextQueries {
       nQueries: Int = 20, dfCapPm: Int = 1000): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    // r6 (guide §2.3 — aggregate before you shuffle): tf already holds one
+    // row per (doc, token), so df = its per-token row count; deriving it
+    // from the CACHED tf drops the second corpus-wide explode+scan and
+    // countDistinct's extra dedup exchange. tf is released per query via
+    // CacheBag (production note: unpersist it once w materializes — the
+    // peak holds tf + w, two posting-list-sized caches).
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
+    graft.util.CacheBag.register(tf)
     val nDocs = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPm)
     val w = tf.join(dfreq, Seq("token"))

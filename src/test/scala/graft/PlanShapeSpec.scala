@@ -171,7 +171,11 @@ class PlanShapeSpec extends SparkTestBase {
       // shape) + a ≤6-row k-ladder crossed against the vocab/grid aggs
       "q141_location_quotient", "q142_vocab_coverage",
       // q143: the ONE-row broadcast total against the pair-count agg
-      "q143_collocations")
+      "q143_collocations",
+      // q73 (r6): the ONE-row broadcast customer count (q102 lazy-scalar
+      // shape) crossed against the distributed-rank frame for the ntile
+      // closed form
+      "q73_cust_quartiles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -333,6 +337,29 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 not a distributed TakeOrdered:\n${plan.take(2000)}")
+    graft.util.CacheBag.release()
+  }
+
+  test("PageRank (q106): one shuffle per iteration — the r6 exchange budget holds") {
+    // r6 shape: contribs cached pre-partitioned on src + alias-preserved
+    // rank partitioning make the per-iteration join exchange-free; the
+    // dst-keyed partial agg is the only per-iteration exchange. Budget =
+    // prologue (edge build + outdeg + contribs repartition + initial r)
+    // + 1/iteration + epilogue (top-20 window) with slack; the old
+    // re-anchored chain planned 60+.
+    val plan = graft.operators.CurationQueries.pageRank(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // count shuffles only (CLAUDE.md convention) — BroadcastExchange is
+    // AQE's toy-scale join choice for the tiny cached contribs side and
+    // not a shuffle; at scale the join is co-partitioned instead. Count
+    // DISTINCT plan_ids: the cached contribs subtree (with its two
+    // build-time shuffles) is printed once per iteration that references
+    // it, but re-prints share the plan_id — the string count quintuples it.
+    val exch = "Exchange hashpartitioning[^\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exch <= 6 + graft.operators.CurationQueries.PrIters,
+      s"PageRank shuffle budget blown: $exch\n${plan.take(3000)}")
+    graft.util.CacheBag.release()
   }
 
   test("span dedup (q105): dup detection and island merge never hit a single partition") {

@@ -76,6 +76,12 @@ class CurationSpec extends SparkTestBase {
     }
     val expectTop = r.toSeq.sortBy { case (v, rk) => (-rk, v) }.take(20)
       .zipWithIndex.map { case ((v, rk), i) => (i + 1, v, rk) }
+    // the law the r6 single-shuffle iteration rests on: the stride-1 edge
+    // (i -> (i+1) mod N over dense doc_ids) is a bijection, so every node
+    // has in-degree >= 1 and the per-iteration re-anchor onto the doc set
+    // (left join + coalesce(infl, 0)) is an identity the operator may drop
+    assert(edges.map(_._2).distinct.length === n.toInt,
+      "in-degree law violated: some node has no in-link")
     val got = CurationQueries.pageRank(spark, sf0001).collect()
       .map(row => (row.getInt(0), row.getLong(1), row.getLong(2))).toSeq
     assert(got === expectTop)

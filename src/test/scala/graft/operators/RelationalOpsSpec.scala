@@ -86,6 +86,52 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(typed === untyped)
   }
 
+  test("q73 quartiles: closed-form ntile == window ntile, row-identical") {
+    // the r6 distributed-rank rewrite must reproduce the ntile(4) window
+    // bit-for-bit — same totals, same bucket boundaries, all four rows
+    import org.apache.spark.sql.expressions.Window
+    val got = RelationalQueries.custQuartiles(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    graft.util.CacheBag.release()
+    val totals = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+    val w = Window.orderBy(col("total_c"), col("o_custkey"))
+    val want = totals.withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"), min(col("total_c")).as("min_c"),
+        max(col("total_c")).as("max_c"), sum(col("total_c")).as("sum_c"))
+      .orderBy(col("quartile")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
+
+  test("q73 quartiles: closed form matches ntile at every n mod 4 (n = 1..25)") {
+    // pure arithmetic law check for the closed form used in the operator
+    def ntileRef(n: Int): Seq[Int] = {
+      val q = n / 4; val r = n % 4
+      (1 to 4).flatMap(b => Seq.fill(if (b <= r) q + 1 else q)(b))
+    }
+    def closed(rnk: Long, n: Long): Int = {
+      val q = n / 4; val r = n % 4
+      (if (rnk <= (q + 1) * r) (rnk - 1) / (q + 1)
+       else r + (rnk - 1 - (q + 1) * r) / math.max(q, 1L)).toInt + 1
+    }
+    for (n <- 1 to 25)
+      assert((1 to n).map(i => closed(i.toLong, n.toLong)) === ntileRef(n), s"n=$n")
+  }
+
+  test("q73 quartiles: no partition-less window over the customer aggregate") {
+    val plan = RelationalQueries.custQuartiles(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    graft.util.CacheBag.release()
+    // Ranks.distributed keys its windows by _pid (bounded per range
+    // partition) or runs over the ≤ nPartitions offset rows; an ntile/
+    // row_number over an EMPTY partition spec spanning the customer table
+    // would reintroduce the single-task sort
+    assert(!plan.contains("ntile"), s"ntile window survived:\n${plan.take(2000)}")
+  }
+
   test("stratified sample is a map-side filter: no shuffle before aggregate") {
     val plan = RelationalQueries.stratifiedSample(spark, sf0001)
       .queryExecution.executedPlan.toString
