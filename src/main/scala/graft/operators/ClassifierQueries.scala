@@ -182,7 +182,12 @@ object ClassifierQueries {
     * token axis). Pairs under [[CollMinPairs]] occurrences are
     * suppressed; top-[[CollTopK]] by (lift desc, pair). The phrase-
     * discovery pass a tokenizer/quality pipeline runs to find
-    * multi-word units worth preserving.
+    * multi-word units worth preserving. Range caveat (ADVICE r5): the
+    * numerator n_pair · total · 1000 overflows BIGINT once the corpus
+    * token mass nears ~3e7 for the hottest pair; at production scale
+    * pre-scale the counts (per-million) before the multiply — lift is
+    * homogeneous, so the ranking and the permille survive the scaling
+    * up to the documented floor rounding.
     *
     * Scale shape: one bigram partial agg (Heaps-ish in the pair space) +
     * two vocab-keyed equi-joins to attach unigram counts + the lazy
@@ -196,7 +201,14 @@ object ClassifierQueries {
       .persist()
     graft.util.CacheBag.register(uni)
     val total = uni.agg(sum(col("n")).as("total"))
+    // guard single-token/empty docs BEFORE the bigram explode: Spark's
+    // sequence(0, -1) is the DESCENDING [0, -1], never empty (CLAUDE.md;
+    // ADVICE r5), so an unguarded transform would throw on element_at(ws,
+    // 0) while the DuckDB twin's range() correctly yields no bigrams — a
+    // silent cross-engine divergence (Verify skips thrown queries).
+    // Semantics-preserving: 1-token docs contribute no bigrams either way.
     val pairs = tok
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 2), " +
           "i -> struct(element_at(ws, i + 1) AS a, element_at(ws, i + 2) AS b))")).as("p"))

@@ -229,6 +229,11 @@ object GeoSemanticQueries {
     * exactly what the oracle checks. */
   def centroidPyramid(spark: SparkSession, sfDir: String, level: Int = Level): DataFrame = {
     import spark.implicits._
+    // auto-dispatch (verdict r5 #3): the driver assembly collects the
+    // 4^level grid — bounded only while level stays small. Beyond level 6
+    // (4^6 = 4096 cells × 64 dims) switch to the row-identical
+    // distributed twin instead of silently collecting an unbounded grid.
+    if (level > 6) return centroidPyramidDistributed(spark, sfDir, level)
     val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Long]]())
     val base = embCells(spark, sfDir, level)
       .groupBy(col("cell"))

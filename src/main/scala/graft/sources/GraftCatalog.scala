@@ -215,8 +215,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         readOnly(s"ALTER TABLE ${ch.getClass.getSimpleName} — only additive " +
           "nullable top-level ADD COLUMN evolves in place")
     }
-    SnapshotTable.commitSnapshot(root, cur.copy(seq = cur.seq + 1,
-      schemaVer = cur.schemaVer + 1, schemaDdl = updated.toDDL, tsMs = 0L))
+    // route through the retrying delta commit (ADVICE r5): a concurrent
+    // append — or an orphaned branch snapshot already holding seq+1 —
+    // made the plain commitSnapshot at cur.seq + 1 fail outright; the
+    // no-data-change delta carries only the schema bump and re-resolves
+    // its base on conflict like every other incremental metadata write
+    SnapshotTable.commitDeltaWithRetry(root)(Seq.empty, _ => false,
+      schemaVer = Some(cur.schemaVer + 1), schemaDdl = Some(updated.toDDL))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")

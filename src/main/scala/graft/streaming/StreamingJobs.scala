@@ -194,6 +194,7 @@ object StreamingJobs {
 
   final case class GeoAlert(source: String, ts_sec: Long, doc_id: Long,
       fp_id: Int, kind: String)
+  final case class AlertState(lastTs: Long, fps: Seq[Int])
 
   /** H-custom-state — streaming GEOFENCE alerting: each page's footprint
     * membership comes from the stream-static broadcast box join (the
@@ -219,20 +220,28 @@ object StreamingJobs {
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (source: String, rows: Iterator[(String, Long, Long, Int)],
-            state: GroupState[Seq[Int]]) =>
+            state: GroupState[AlertState]) =>
           // one entry per (page × matched fence); group back to per-page
-          // fence sets, replay in (ts, doc_id) order
+          // fence sets, replay in (ts, doc_id) order. Late rows (ts ≤
+          // the last processed event) are DROPPED like geofenceDwell's
+          // clock (ADVICE r5): micro-batches carry no cross-batch
+          // ordering guarantee, and replaying a stale batch against
+          // newer state would flap enter/exit pairs off positions the
+          // source has already left.
           val events = rows.toArray.groupBy(r => (r._2, r._3)).toSeq
             .map { case ((ts, id), xs) => (ts, id, xs.map(_._4).filter(_ >= 0).toSet) }
             .sortBy(e => (e._1, e._2))
-          var cur = state.getOption.getOrElse(Nil).toSet
+          val st = state.getOption.getOrElse(AlertState(Long.MinValue, Nil))
+          var cur = st.fps.toSet
+          var lastTs = st.lastTs
           val out = Seq.newBuilder[GeoAlert]
-          for ((ts, id, fps) <- events) {
+          for ((ts, id, fps) <- events if ts > lastTs) {
             (fps -- cur).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "enter"))
             (cur -- fps).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "exit"))
             cur = fps
+            lastTs = ts
           }
-          state.update(cur.toSeq.sorted)
+          state.update(AlertState(lastTs, cur.toSeq.sorted))
           out.result().iterator
       }
   }

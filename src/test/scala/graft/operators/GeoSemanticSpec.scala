@@ -158,6 +158,19 @@ class GeoSemanticSpec extends SparkTestBase {
     assert(dist === driver)
   }
 
+  test("q104 default entry point dispatches to the distributed twin above level 6") {
+    // verdict r5 #3: a caller raising `level` must NOT get an unbounded
+    // 4^level driver collect. Above the threshold the default returns the
+    // distributed plan (parquet-scan-rooted), and below it the
+    // driver-assembled LocalRelation; both are row-identical (gated above).
+    val high = GeoSemanticQueries.centroidPyramid(spark, sf0001, level = 7)
+      .queryExecution.analyzed.toString
+    assert(high.contains("parquet"), "level 7 did not take the distributed path")
+    val low = GeoSemanticQueries.centroidPyramid(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert(!low.contains("parquet"), "default level left the driver-assembly path")
+  }
+
   test("q101 dominant language: share is a floor permille and the count is the cell max") {
     val rows = GeoSemanticQueries.dominantLang(spark, sf0001).collect()
     assert(rows.nonEmpty)

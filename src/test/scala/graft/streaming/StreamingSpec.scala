@@ -239,6 +239,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.values.forall(_ > 0))
   }
 
+  test("geofence alerts drop late batches: no flaps against stale positions") {
+    // ADVICE r5: a micro-batch made entirely of late rows (ts <= already
+    // processed) must emit NOTHING — before the lastTs guard it replaced
+    // the fence set and flapped enter/exit against positions the source
+    // had already left. Batch 1: inside fence at t=1000, outside at
+    // t=2000 (one enter+exit pair). Batch 2 (late): the t=1000 inside
+    // position again — guarded, zero new alerts.
+    val b = graft.sources.Footprints.boxes.head
+    val (la, lo) = (b.ilat0, b.ilon0)
+    val ts0 = math.max(b.tfrom, 1000L)
+    def page(id: Long, ts: Long, lat: Int, lon: Int) =
+      graft.sources.Page(id, s"u$id", new java.sql.Timestamp(ts * 1000), ts,
+        Array[Byte](), "t", "en", "srcX", 1L, lat, lon)
+    val dir = Files.createTempDirectory("graft-geofence-late").toString
+    spark.createDataFrame(Seq(page(1, ts0, la, lo), page(2, ts0 + 1000, -899, 1799)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamingJobs.geofenceAlerts(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("geolate").start()
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("geolate").count()
+    // batch 2: only late rows (same in-fence position, ts already seen)
+    spark.createDataFrame(Seq(page(3, ts0, la, lo)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val afterBatch2 = spark.table("geolate").count()
+    assert(afterBatch1 >= 2, "fixture produced no enter/exit pair")
+    assert(afterBatch2 === afterBatch1,
+      "late-only batch emitted alerts against stale positions")
+  }
+
   test("streaming geofence alerts == brute enter/exit replay; state survives micro-batches") {
     // single-file stage: one micro-batch reproduces the global replay
     val dir = Files.createTempDirectory("graft-geofence-in").toString
