@@ -452,6 +452,9 @@ object expressions {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "argmin_l2"
     @transient private lazy val mat: Array[Array[Long]] = {
+      // the matrix is read ONCE at planning; a non-foldable child would be
+      // silently frozen to its planning-time value — refuse it loudly
+      require(right.foldable, "argmin_l2 centroid matrix must be a foldable literal")
       val d = right.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       Array.tabulate(d.numElements())(i => d.getArray(i).toLongArray())
     }

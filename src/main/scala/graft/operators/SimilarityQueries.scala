@@ -659,12 +659,10 @@ object SimilarityQueries {
     val codeCols = (0 until PqSubspaces).map { m =>
       val bookM: Seq[(Int, Seq[Long])] =
         bookRows.collect { case (g, cid, cv) if g == m => (cid, cv) }
-      // codegen'd argmin over the literal 16-entry codebook (the
-      // nearestCid spell; codewords are cid-ascending from lloydLocal)
-      element_at(typedLit(bookM.map(_._1)),
-        graft.functions.GraftFunctions.argmin_l2(
-          slice(col("qv"), lit(m * PqSubDim + 1), lit(PqSubDim)),
-          typedLit(bookM.map(_._2))) + 1)
+      // codegen'd argmin over the literal 16-entry codebook — the shared
+      // nearestCid spell, incl. its cid-ascending guard (codes would
+      // silently desync from the ADC table if lloydLocal's order changed)
+      nearestCid(slice(col("qv"), lit(m * PqSubDim + 1), lit(PqSubDim)), bookM)
     }
     val codes = e.select(col("vec_id"), array(codeCols: _*).as("codes"))
     // queries: ADC table as a MAP keyed by m*PqCodes + cid — keyed, not

@@ -186,7 +186,10 @@ object TextQueries {
     // Materialize the pair result (stays DISTRIBUTED — its size is
     // data-dependent and must not be collected to the driver), then
     // release the big shingle/signature caches. Only the far smaller pair
-    // cache outlives the call; callers writing to a sink may unpersist it.
+    // cache outlives the call, registered with CacheBag — the driver's
+    // per-query release point (note: q29's public return is an orderBy
+    // WRAPPER over this cache, so unpersisting the returned frame would
+    // NOT release it; CacheBag is the release path).
     out.count()
     sig.unpersist(false)
     if (keepSh) graft.util.CacheBag.register(sh) else sh.unpersist(false)

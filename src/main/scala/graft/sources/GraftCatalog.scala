@@ -200,28 +200,46 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * NOT NULL) stays refused — those rewrite data or break old readers. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val cur = SnapshotTable.currentSnapshot(root).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(catalogName) ++ ident.namespace() :+ ident.name()))
-    val base = StructType.fromDDL(cur.schemaDdl)
-    val updated = changes.foldLeft(base) {
-      case (sch, add: TableChange.AddColumn)
-          if add.fieldNames().length == 1 && add.isNullable =>
-        val name = add.fieldNames().head
-        if (sch.fieldNames.contains(name) || name == "p_date")
-          throw new IllegalArgumentException(s"column $name already exists")
-        sch.add(name, add.dataType(), nullable = true)
-      case (_, ch) =>
-        readOnly(s"ALTER TABLE ${ch.getClass.getSimpleName} — only additive " +
-          "nullable top-level ADD COLUMN evolves in place")
+    // Read-recompute-retry (ADVICE r5 + r6 review): the schema must be
+    // RE-DERIVED from the snapshot current at each attempt — retrying a
+    // DDL computed from a stale read would silently drop a column a
+    // concurrent ALTER just added (and reuse its schemaVer for a
+    // different DDL). Each attempt delegates the seq/orphan handling to
+    // commitDeltaWithRetry (maxRetries = 0 — one attempt, conflicts come
+    // back here so the schema recomputes); removePCells = Some(empty) +
+    // resolveResult = false keep the schema-only commit's metadata I/O at
+    // zero manifests read (the CLAUDE.md ∝-touched-manifests rule — a
+    // schema bump touches none).
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val cur = SnapshotTable.currentSnapshot(root).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+      val base = StructType.fromDDL(cur.schemaDdl)
+      val updated = changes.foldLeft(base) {
+        case (sch, add: TableChange.AddColumn)
+            if add.fieldNames().length == 1 && add.isNullable =>
+          val name = add.fieldNames().head
+          if (sch.fieldNames.contains(name) || name == "p_date")
+            throw new IllegalArgumentException(s"column $name already exists")
+          sch.add(name, add.dataType(), nullable = true)
+        case (_, ch) =>
+          readOnly(s"ALTER TABLE ${ch.getClass.getSimpleName} — only additive " +
+            "nullable top-level ADD COLUMN evolves in place")
+      }
+      try {
+        SnapshotTable.commitDeltaWithRetry(root, maxRetries = 0)(
+          Seq.empty, _ => false, removePCells = Some(Set.empty),
+          schemaVer = Some(cur.schemaVer + 1), schemaDdl = Some(updated.toDDL),
+          resolveResult = false)
+        done = true
+      } catch {
+        case e: SnapshotTable.SnapshotConflictException =>
+          attempts += 1
+          if (attempts > 10) throw e
+      }
     }
-    // route through the retrying delta commit (ADVICE r5): a concurrent
-    // append — or an orphaned branch snapshot already holding seq+1 —
-    // made the plain commitSnapshot at cur.seq + 1 fail outright; the
-    // no-data-change delta carries only the schema bump and re-resolves
-    // its base on conflict like every other incremental metadata write
-    SnapshotTable.commitDeltaWithRetry(root)(Seq.empty, _ => false,
-      schemaVer = Some(cur.schemaVer + 1), schemaDdl = Some(updated.toDDL))
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")

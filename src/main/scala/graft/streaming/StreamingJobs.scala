@@ -194,7 +194,7 @@ object StreamingJobs {
 
   final case class GeoAlert(source: String, ts_sec: Long, doc_id: Long,
       fp_id: Int, kind: String)
-  final case class AlertState(lastTs: Long, fps: Seq[Int])
+  final case class AlertState(lastTs: Long, lastId: Long, fps: Seq[Int])
 
   /** H-custom-state — streaming GEOFENCE alerting: each page's footprint
     * membership comes from the stream-static broadcast box join (the
@@ -222,26 +222,32 @@ object StreamingJobs {
         (source: String, rows: Iterator[(String, Long, Long, Int)],
             state: GroupState[AlertState]) =>
           // one entry per (page × matched fence); group back to per-page
-          // fence sets, replay in (ts, doc_id) order. Late rows (ts ≤
-          // the last processed event) are DROPPED like geofenceDwell's
-          // clock (ADVICE r5): micro-batches carry no cross-batch
-          // ordering guarantee, and replaying a stale batch against
-          // newer state would flap enter/exit pairs off positions the
-          // source has already left.
+          // fence sets, replay in (ts, doc_id) order. Late rows — (ts,
+          // doc_id) at or before the last processed event in the SAME
+          // (ts, doc_id) replay order — are DROPPED (ADVICE r5):
+          // micro-batches carry no cross-batch ordering guarantee, and
+          // replaying a stale batch against newer state would flap
+          // enter/exit pairs off positions the source has already left.
+          // The guard keys on the full (ts, doc_id) tiebreak, NOT ts
+          // alone, so same-timestamp events within one batch still
+          // replay exactly like the brute oracle (r6 review).
           val events = rows.toArray.groupBy(r => (r._2, r._3)).toSeq
             .map { case ((ts, id), xs) => (ts, id, xs.map(_._4).filter(_ >= 0).toSet) }
             .sortBy(e => (e._1, e._2))
-          val st = state.getOption.getOrElse(AlertState(Long.MinValue, Nil))
+          val st = state.getOption.getOrElse(AlertState(Long.MinValue, Long.MinValue, Nil))
           var cur = st.fps.toSet
           var lastTs = st.lastTs
+          var lastId = st.lastId
           val out = Seq.newBuilder[GeoAlert]
-          for ((ts, id, fps) <- events if ts > lastTs) {
+          for ((ts, id, fps) <- events
+               if ts > lastTs || (ts == lastTs && id > lastId)) {
             (fps -- cur).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "enter"))
             (cur -- fps).toSeq.sorted.foreach(f => out += GeoAlert(source, ts, id, f, "exit"))
             cur = fps
             lastTs = ts
+            lastId = id
           }
-          state.update(AlertState(lastTs, cur.toSeq.sorted))
+          state.update(AlertState(lastTs, lastId, cur.toSeq.sorted))
           out.result().iterator
       }
   }

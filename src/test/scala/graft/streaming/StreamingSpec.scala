@@ -270,6 +270,33 @@ class StreamingSpec extends SparkTestBase {
       "late-only batch emitted alerts against stale positions")
   }
 
+  test("geofence alerts: same-timestamp events in one batch still replay in doc_id order") {
+    // r6 review: the late-row guard must key on the FULL (ts, doc_id)
+    // tiebreak — a ts-only guard would drop the second of two same-ts
+    // events and lose the exit transition
+    val b = graft.sources.Footprints.boxes.head
+    val ts0 = math.max(b.tfrom, 1000L)
+    def page(id: Long, ts: Long, lat: Int, lon: Int) =
+      graft.sources.Page(id, s"u$id", new java.sql.Timestamp(ts * 1000), ts,
+        Array[Byte](), "t", "en", "srcY", 1L, lat, lon)
+    val dir = Files.createTempDirectory("graft-geofence-tie").toString
+    // doc 10 inside fence, doc 11 (same ts, higher id) outside every fence
+    spark.createDataFrame(Seq(
+        page(10, ts0, b.ilat0, b.ilon0), page(11, ts0, -899, 1799)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamingJobs.geofenceAlerts(StreamingJobs.pagesStreamRaw(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("geotie").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("geotie").collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getString(4))).sortBy(x => (x._1, x._2)).toSeq
+    val entered = graft.sources.Footprints.boxes.filter(x =>
+      b.ilat0 >= x.ilat0 && b.ilat0 <= x.ilat1 && b.ilon0 >= x.ilon0 &&
+        b.ilon0 <= x.ilon1 && ts0 >= x.tfrom && ts0 <= x.tto).map(_.fpId).sorted
+    assert(got === (entered.map(f => (10L, f, "enter")) ++
+      entered.map(f => (11L, f, "exit"))).sortBy(x => (x._1, x._2)))
+  }
+
   test("streaming geofence alerts == brute enter/exit replay; state survives micro-batches") {
     // single-file stage: one micro-batch reproduces the global replay
     val dir = Files.createTempDirectory("graft-geofence-in").toString
