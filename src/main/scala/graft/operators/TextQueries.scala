@@ -451,9 +451,7 @@ object TextQueries {
     // r6 (guide §2.3 — aggregate before you shuffle): tf already holds one
     // row per (doc, token), so df = its per-token row count; deriving it
     // from the CACHED tf drops the second corpus-wide explode+scan and
-    // countDistinct's extra dedup exchange. tf is released per query via
-    // CacheBag (production note: unpersist it once w materializes — the
-    // peak holds tf + w, two posting-list-sized caches).
+    // countDistinct's extra dedup exchange.
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .persist()
     graft.util.CacheBag.register(tf)
@@ -465,6 +463,14 @@ object TextQueries {
       .select(col("doc_id"), col("token"), expr("tf * 1000000 div df").as("w"))
       .persist()
     graft.util.CacheBag.register(w)
+    // Materialize-then-release (guide §5, the q29/q41 pattern): every
+    // downstream consumer reads only w, so once w is materialized the tf
+    // posting cache is dead weight — peak memory holds ONE
+    // posting-list-sized cache, not two. (tf stays CacheBag-registered:
+    // double-unpersist is a no-op, and the bag remains the exception-path
+    // cleanup.)
+    w.count()
+    tf.unpersist(false)
     val q = w.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("token"), col("w").as("qw"))
     val sims = q
